@@ -1,0 +1,182 @@
+"""Synchronous-AM (SAM) demodulation — Wheatley/cuteSDR + WDSP PLL.
+
+Reference: `AudioDriver_DemodSAM` (`audio_driver.c:2022-2166`) and parameter
+setup `AudioDriver_SetSamPllParameters` (`audio_driver.c:709-746`).
+
+Per-sample reference behavior:
+  1. NCO mix by the PLL phase: ``corr = (i + jq) * exp(-j*phs)``.
+  2. Phase detector ``atan2(Im corr, Re corr)``; 2nd-order loop
+     ``omega2 += g2*err`` (clamped to ±2π·pll_fmax/fs),
+     ``fil_out = g1*err + omega2``, ``phs += fil_out_prev``.
+  3. Sideband separation: 4 paths (delayed(ai), bi, delayed(bq), aq) each
+     through a 7-stage cascade of 2nd-order allpasses
+     ``y[n] = c*x[n] + x[n-2] - c*y[n-2]`` (coefficient sets c0/c1,
+     `audio_driver.c:1932-1953`), combined USB/LSB/stereo.
+  4. Fade leveler (see demod.am).
+
+TPU-first split: only step 2 is truly sequential — it runs as a small
+`lax.scan` whose state is 3 scalars/channel.  Given phs[n], the mixing is
+vectorized, and each allpass stage is a z^-2 biquad (b=[c,0,1], a=[1,0,c])
+run by the parallel associative-scan biquad — no per-sample Python-level
+loop anywhere.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import iir
+from . import am
+
+# sideband-separation allpass coefficients (values from the public
+# WDSP/cuteSDR phase-splitter design, as used by the reference)
+C0 = np.array([
+    -0.328201924180698, -0.744171491539427, -0.923022915444215,
+    -0.978490468768238, -0.994128272402075, -0.998458978159551,
+    -0.999790306259206], np.float32)
+C1 = np.array([
+    -0.0991227952747244, -0.565619728761389, -0.857467122550052,
+    -0.959123933111275, -0.988739372718090, -0.996959189310611,
+    -0.999282492800792], np.float32)
+
+N_STAGES = 7
+
+
+class SamParams(NamedTuple):
+    g1: jnp.ndarray
+    g2: jnp.ndarray
+    omega_min: jnp.ndarray
+    omega_max: jnp.ndarray
+    fade: am.FadeLevelerParams
+
+
+def make_params(fs: float, zeta: float = 0.6, omegaN: float = 200.0,
+                pll_fmax: float = 500.0) -> SamParams:
+    """PLL presets (reference comments): DX 0.2/70, medium 0.6/200, fast 1.0/500."""
+    g1 = 1.0 - np.exp(-2.0 * omegaN * zeta / fs)
+    g2 = -g1 + 2.0 * (1 - np.exp(-omegaN * zeta / fs)
+                      * np.cos(omegaN / fs * np.sqrt(1.0 - zeta * zeta)))
+    om = 2.0 * np.pi * pll_fmax / fs
+    return SamParams(
+        g1=jnp.float32(g1), g2=jnp.float32(g2),
+        omega_min=jnp.float32(-om), omega_max=jnp.float32(om),
+        fade=am.fade_leveler_params(fs),
+    )
+
+
+class SamState(NamedTuple):
+    phs: jnp.ndarray       # (...,) PLL phase
+    fil_out: jnp.ndarray   # (...,) loop filter output (applied next sample)
+    omega2: jnp.ndarray    # (...,) frequency estimate
+    # allpass biquad states per path: (4, N_STAGES, ..., 2)
+    ap_state: jnp.ndarray
+    ds: jnp.ndarray        # (..., 2) one-sample delays [ai, bq]
+    fade: am.FadeLevelerState
+
+
+def init_state(batch_shape) -> SamState:
+    z = jnp.zeros(batch_shape, jnp.float32)
+    return SamState(
+        phs=z, fil_out=z, omega2=z,
+        ap_state=jnp.zeros((4, N_STAGES) + tuple(batch_shape) + (2,), jnp.float32),
+        ds=jnp.zeros(tuple(batch_shape) + (2,), jnp.float32),
+        fade=am.fade_leveler_init(batch_shape),
+    )
+
+
+def _pll_scan(params: SamParams, state: SamState, iq: jnp.ndarray):
+    """Sequential PLL: returns per-sample phases and phase-detector outputs."""
+
+    def step(carry, zn):
+        phs, fil_out, omega2 = carry
+        # advance phase by previous loop output first? Reference order:
+        # mixes with current phs, computes err, updates omega2/fil_out,
+        # then phs += del_out (the *previous* fil_out).
+        osc = jnp.exp(jax.lax.complex(jnp.zeros_like(phs), -phs))
+        corr = zn * osc
+        err = jnp.arctan2(jnp.imag(corr), jnp.real(corr))
+        del_out = fil_out
+        omega2_n = jnp.clip(omega2 + params.g2 * err,
+                            params.omega_min, params.omega_max)
+        fil_out_n = params.g1 * err + omega2_n
+        phs_n = jnp.mod(phs + del_out, 2.0 * jnp.pi)
+        return (phs_n, fil_out_n, omega2_n), (phs, omega2_n)
+
+    zt = jnp.moveaxis(iq, -1, 0)
+    (phs, fil_out, omega2), (phases, omegas) = jax.lax.scan(
+        step, (state.phs, state.fil_out, state.omega2), zt)
+    return (jnp.moveaxis(phases, 0, -1), jnp.moveaxis(omegas, 0, -1),
+            phs, fil_out, omega2)
+
+
+# precomputed biquad coefficient rows [b0,b1,b2,a1,a2] for the z^-2 allpasses
+_AP_COEFFS = {
+    0: np.stack([np.stack([c, np.zeros_like(c), np.ones_like(c),
+                           np.zeros_like(c), c], axis=-1)
+                 for c in [C0]], axis=0)[0],   # (N_STAGES, 5)
+    1: np.stack([np.stack([c, np.zeros_like(c), np.ones_like(c),
+                           np.zeros_like(c), c], axis=-1)
+                 for c in [C1]], axis=0)[0],
+}
+
+
+def _allpass_chain(coeff_set: int, st: jnp.ndarray, x: jnp.ndarray):
+    """7-stage cascade of z^-2 allpasses.  st: (N_STAGES, ..., 2)."""
+    coeffs = jnp.asarray(_AP_COEFFS[coeff_set])
+    outs = []
+    y = x
+    for j in range(N_STAGES):
+        y, s2 = iir.biquad_block(coeffs[j], st[j], y)
+        outs.append(s2)
+    return y, jnp.stack(outs, axis=0)
+
+
+def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
+          sideband: str = "usb", fade_leveler_on: bool = True):
+    """iq (..., T) complex64 at decimated rate -> (audio, carrier_offset_hz*2pi/fs, new_state).
+
+    sideband: 'usb' | 'lsb' | 'both' (both = plain product detector).
+    """
+    phases, omegas, phs_f, fil_f, om_f = _pll_scan(params, state, iq)
+    osc = jnp.exp(jax.lax.complex(jnp.zeros_like(phases), -phases))
+    corr = iq * osc
+    corr_re = jnp.real(corr)
+
+    if sideband == "both":
+        audio = corr_re
+        ap_state = state.ap_state
+        ds_new = state.ds
+    else:
+        cos_p = jnp.cos(phases)
+        sin_p = jnp.sin(phases)
+        i_t, q_t = jnp.real(iq), jnp.imag(iq)
+        ai = cos_p * i_t
+        bi = sin_p * i_t
+        aq = cos_p * q_t
+        bq = sin_p * q_t
+        # path inputs: a = ai delayed 1, b = bi, c = bq delayed 1, d = aq
+        ai_d = jnp.concatenate([state.ds[..., 0:1], ai[..., :-1]], axis=-1)
+        bq_d = jnp.concatenate([state.ds[..., 1:2], bq[..., :-1]], axis=-1)
+        a_out, sa = _allpass_chain(0, state.ap_state[0], ai_d)
+        b_out, sb = _allpass_chain(1, state.ap_state[1], bi)
+        c_out, sc = _allpass_chain(0, state.ap_state[2], bq_d)
+        d_out, sd = _allpass_chain(1, state.ap_state[3], aq)
+        ap_state = jnp.stack([sa, sb, sc, sd], axis=0)
+        ds_new = jnp.stack([ai[..., -1], bq[..., -1]], axis=-1)
+        ai_ps, bi_ps, bq_ps, aq_ps = a_out, b_out, c_out, d_out
+        if sideband == "usb":
+            audio = (ai_ps - bi_ps) + (aq_ps + bq_ps)
+        else:  # lsb
+            audio = (ai_ps + bi_ps) - (aq_ps - bq_ps)
+
+    fade_state = state.fade
+    if fade_leveler_on:
+        audio, fade_state = am.fade_leveler(params.fade, fade_state,
+                                            audio, corr_re)
+
+    new_state = SamState(phs=phs_f, fil_out=fil_f, omega2=om_f,
+                         ap_state=ap_state, ds=ds_new, fade=fade_state)
+    return audio, omegas[..., -1], new_state

@@ -1,0 +1,197 @@
+"""Streaming block FIR: overlap-save convolution, polyphase decimation and
+interpolation.
+
+Replaces the reference's CMSIS streaming FIR machinery —
+`arm_fir_f32` (Hilbert pairs, `audio_driver.c:2751-2752`),
+`arm_fir_decimate_f32` (`audio_driver.c:2744-2745`),
+`arm_fir_interpolate_f32` (`audio_driver.c:2560-2590`) — whose persistent
+`pState` arrays become an explicit carry of the last ``taps-1`` input
+samples.  Given the carry, each block is pure:
+
+    y, new_carry = fir_block(h, carry, x)
+
+Two execution strategies, same results:
+
+* ``time``: direct convolution via a dense (frames x taps) gather + matmul
+  onto the MXU — best for small tap counts / small blocks.
+* ``fft``: overlap-save in the frequency domain — O(log N) per sample,
+  independent of tap count; best for the 89/199/201-tap chain filters.
+  This generalizes the reference's experimental partitioned-convolution
+  path (`audio_convolution.c:480+`) which it only used behind
+  `USE_CONVOLUTION`.
+
+All entry points take channel-batched input ``(..., time)`` and work for
+real or complex data and taps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def init_carry(batch_shape: tuple[int, ...], num_taps: int, dtype) -> jnp.ndarray:
+    """Zero history for a streaming FIR (taps-1 samples)."""
+    return jnp.zeros(batch_shape + (num_taps - 1,), dtype=dtype)
+
+
+def _conv_valid_fft(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """'Valid' convolution of xfull (..., L) with h (taps,) via FFT overlap-save,
+    keeping the last n_out outputs (those with full history)."""
+    taps = h.shape[-1]
+    L = xfull.shape[-1]
+    nfft = _next_pow2(L)
+    cplx = jnp.iscomplexobj(xfull) or jnp.iscomplexobj(h)
+    if cplx:
+        X = jnp.fft.fft(xfull.astype(jnp.complex64), n=nfft, axis=-1)
+        H = jnp.fft.fft(h.astype(jnp.complex64), n=nfft)
+        y = jnp.fft.ifft(X * H, axis=-1)
+        if not (jnp.iscomplexobj(xfull) and jnp.iscomplexobj(h)):
+            if not jnp.iscomplexobj(h) and not jnp.iscomplexobj(xfull):
+                y = y.real
+    else:
+        X = jnp.fft.rfft(xfull.astype(jnp.float32), n=nfft, axis=-1)
+        H = jnp.fft.rfft(h.astype(jnp.float32), n=nfft)
+        y = jnp.fft.irfft(X * H, n=nfft, axis=-1)
+    # valid region: indices taps-1 .. taps-1+n_out-1
+    return y[..., taps - 1: taps - 1 + n_out]
+
+
+def _conv_valid_dense(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int,
+                      stride: int = 1) -> jnp.ndarray:
+    """'Valid' convolution via frame-gather + matmul (MXU path).
+
+    Output m = sum_k h[k] * xfull[taps-1 + m*stride - k].
+    """
+    taps = h.shape[-1]
+    # frames[m, k] = xfull[m*stride + k], k in [0, taps)
+    idx = (jnp.arange(n_out) * stride)[:, None] + jnp.arange(taps)[None, :]
+    frames = xfull[..., idx]                       # (..., n_out, taps)
+    hrev = h[::-1]
+    if jnp.iscomplexobj(frames) or jnp.iscomplexobj(hrev):
+        fr, fi = jnp.real(frames), jnp.imag(frames)
+        hr, hi = jnp.real(hrev).astype(jnp.float32), jnp.imag(hrev).astype(jnp.float32)
+        yr = fr @ hr - fi @ hi
+        yi = fr @ hi + fi @ hr
+        return jax.lax.complex(yr, yi)
+    return frames @ hrev.astype(frames.dtype)
+
+
+def fir_block(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
+              method: Literal["fft", "time"] = "fft"):
+    """One streaming FIR block.  x: (..., B); carry: (..., taps-1).
+    Returns (y (..., B), new_carry)."""
+    taps = h.shape[-1]
+    xfull = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+    B = x.shape[-1]
+    if method == "fft":
+        y = _conv_valid_fft(xfull, h, B)
+    else:
+        y = _conv_valid_dense(xfull, h, B)
+    new_carry = xfull[..., -(taps - 1):] if taps > 1 else carry
+    return y, new_carry
+
+
+def fir_decimate_block(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
+                       decim: int, method: Literal["fft", "time"] = "fft"):
+    """Streaming FIR + downsample by `decim` (arm_fir_decimate_f32 analog).
+
+    x: (..., B) with B % decim == 0.  Output (..., B//decim).
+    Output sample m corresponds to input index m*decim (first output uses
+    the first new input sample with full history, matching CMSIS phase).
+    """
+    taps = h.shape[-1]
+    B = x.shape[-1]
+    assert B % decim == 0, (B, decim)
+    xfull = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+    n_out = B // decim
+    if method == "fft":
+        y = _conv_valid_fft(xfull, h, B)[..., ::decim]
+    else:
+        y = _conv_valid_dense(xfull, h, n_out, stride=decim)
+    new_carry = xfull[..., -(taps - 1):] if taps > 1 else carry
+    return y, new_carry
+
+
+def fir_interpolate_block(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
+                          interp: int):
+    """Streaming zero-stuff upsample by `interp` + anti-image FIR
+    (arm_fir_interpolate_f32 analog).  Polyphase: no zero multiplies.
+
+    x: (..., B) at the low rate; h designed at the high rate with gain
+    `interp` baked in (see design.interpolation_fir).  carry holds
+    ceil(taps/interp)-1 low-rate samples.  Output (..., B*interp).
+    """
+    taps = h.shape[-1]
+    sub_len = -(-taps // interp)          # ceil
+    pad = sub_len * interp - taps
+    hp = jnp.concatenate([h, jnp.zeros((pad,), h.dtype)]) if pad else h
+    # polyphase components: phase p uses taps h[p], h[p+interp], ...
+    hpoly = hp.reshape(sub_len, interp)    # [k, p] = h[k*interp + p]
+    xfull = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+    B = x.shape[-1]
+    # y[m*interp + p] = sum_k hpoly[k, p] * x[m - k]  (streaming index)
+    idx = jnp.arange(B)[:, None] + jnp.arange(sub_len)[None, :]
+    frames = xfull[..., idx]               # frames[..., m, j] = x[m - (sub_len-1-j)]
+    # so with k = sub_len-1-j:  y[.., m, p] = frames @ hpoly[::-1]
+    ypoly = frames @ hpoly[::-1, :].astype(frames.dtype)   # (..., B, interp)
+    y = ypoly.reshape(x.shape[:-1] + (B * interp,))
+    new_carry = xfull[..., -(sub_len - 1):] if sub_len > 1 else carry[..., :0]
+    return y, new_carry
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain streaming filter with precomputed H (for fixed filters
+# run every block — avoids re-FFT of taps).
+# ---------------------------------------------------------------------------
+
+class OverlapSaveFilter:
+    """Precompiled overlap-save filter for a fixed (block_len, taps) config.
+
+    Usage:
+        f = OverlapSaveFilter(h, block_len)
+        y, carry = f(carry, x)
+    """
+
+    def __init__(self, h: np.ndarray, block_len: int):
+        self.taps = int(h.shape[-1])
+        self.block_len = int(block_len)
+        self.nfft = _next_pow2(self.taps - 1 + block_len)
+        self.complex = np.iscomplexobj(h)
+        if self.complex:
+            self.H = jnp.asarray(np.fft.fft(h, n=self.nfft).astype(np.complex64))
+        else:
+            self.H = jnp.asarray(np.fft.rfft(h, n=self.nfft).astype(np.complex64))
+
+    def init_carry(self, batch_shape, dtype):
+        return init_carry(batch_shape, self.taps, dtype)
+
+    def __call__(self, carry, x):
+        xfull = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
+        if self.complex or jnp.iscomplexobj(x):
+            X = jnp.fft.fft(xfull.astype(jnp.complex64), n=self.nfft, axis=-1)
+            y = jnp.fft.ifft(X * self.H, axis=-1)
+            if not self.complex and not jnp.iscomplexobj(x):
+                y = y.real
+        else:
+            X = jnp.fft.rfft(xfull, n=self.nfft, axis=-1)
+            y = jnp.fft.irfft(X * self.H, n=self.nfft, axis=-1)
+        y = y[..., self.taps - 1: self.taps - 1 + self.block_len]
+        new_carry = xfull[..., -(self.taps - 1):]
+        return y, new_carry
+
+
+# ---------------------------------------------------------------------------
+# Pure stateless helpers (for offline / test use)
+# ---------------------------------------------------------------------------
+
+def filtfilt_once(h: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Offline zero-state 'same-ish' filtering via numpy (test helper)."""
+    return np.convolve(x, h)[: len(x)]

@@ -1,0 +1,70 @@
+"""Numerically-controlled oscillator (frequency translation).
+
+Replaces the reference's two `FreqShift` implementations
+(`drivers/audio/freq_shift.c:57-103` recursive approximation and `:107+`
+exact table mode) and the `softdds` phase-accumulator synth
+(`drivers/audio/softdds/softdds.c:26-157`).
+
+TPU-first design: a *uint32 phase accumulator* evaluated in closed form —
+``phase[n] = phase0 + n * delta (mod 2^32)`` — so an entire block of phases
+is one integer multiply-add (exact, drift-free for unbounded streams, unlike
+a float recurrence), then sin/cos on the VPU.  State carried between blocks
+is a single uint32 per channel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TWO32 = float(2 ** 32)
+_PHASE_SCALE = np.float32(2.0 * np.pi / TWO32)
+
+
+def freq_to_delta(freq_hz, fs) -> jnp.ndarray:
+    """Frequency (Hz, may be negative) -> uint32 phase increment per sample."""
+    cycles = jnp.asarray(freq_hz, jnp.float64 if isinstance(freq_hz, float) else jnp.float32) / fs
+    # host-side: prefer exact f64 path when inputs are python/np scalars
+    d = np.round(np.mod(np.asarray(cycles, np.float64), 1.0) * TWO32)
+    return jnp.asarray(d.astype(np.int64).astype(np.uint32))
+
+
+def phase_ramp(phase0: jnp.ndarray, delta: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Phases (radians, f32) for n samples; phase0/delta uint32, any batch shape.
+
+    Returns (..., n) phases and relies on uint32 wraparound for exactness.
+    """
+    k = jnp.arange(n, dtype=jnp.uint32)
+    acc = phase0[..., None] + delta[..., None] * k  # mod 2^32 automatic
+    return acc.astype(jnp.float32) * _PHASE_SCALE
+
+
+def advance(phase0: jnp.ndarray, delta: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Phase accumulator state after n samples."""
+    return phase0 + delta * jnp.uint32(n)
+
+
+def mix(iq: jnp.ndarray, phase0: jnp.ndarray, delta: jnp.ndarray):
+    """Complex mix ``iq * exp(j*phase[n])`` — the RX frequency translation
+    (reference `FreqShift`, ±6/±12 kHz or arbitrary).
+
+    iq: (..., n) complex64; phase0/delta: (...,) uint32.
+    Returns (shifted_iq, new_phase0).
+    """
+    n = iq.shape[-1]
+    ph = phase_ramp(phase0, delta, n)
+    osc = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    return iq * osc, advance(phase0, delta, n)
+
+
+def tone(phase0: jnp.ndarray, delta: jnp.ndarray, n: int):
+    """Real sine block (softdds_runIQ single-tone analog).
+    Returns (sin_block, new_phase0)."""
+    ph = phase_ramp(phase0, delta, n)
+    return jnp.sin(ph), advance(phase0, delta, n)
+
+
+def tone_iq(phase0: jnp.ndarray, delta: jnp.ndarray, n: int):
+    """Complex exponential block (softdds_genIQSingleTone analog)."""
+    ph = phase_ramp(phase0, delta, n)
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph)), advance(phase0, delta, n)
