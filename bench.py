@@ -1,0 +1,79 @@
+"""Benchmark: IQ Msamples/s/chip through the full SSB RX chain.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference firmware sustains 0.048 complex
+Msamples/s per chip (48 kHz x 1 channel, the hard real-time contract of
+the STM32 ISR chain).  vs_baseline = our Msamples/s / 0.048.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_MSAMPLES_PER_CHIP = 0.048   # 48 kHz, 1 channel, 1x real time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from uhsdr_tpu.chain import rx
+
+    channels = int(os.environ.get("BENCH_CHANNELS", "128"))
+    block = int(os.environ.get("BENCH_BLOCK", "16384"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                      translate_hz=6000.0, block_len=block)
+    params = rx.make_params(cfg)
+    state = rx.init_state(cfg, params, (channels,))
+
+    @jax.jit
+    def step(state, i_plane, q_plane):
+        iq = jax.lax.complex(i_plane, q_plane)
+        audio, new_state, _ = rx.process_block(cfg, params, state, iq)
+        return audio, new_state
+
+    rng = np.random.default_rng(0)
+    i_np = rng.standard_normal((channels, block)).astype(np.float32) * 0.1
+    q_np = rng.standard_normal((channels, block)).astype(np.float32) * 0.1
+    i_plane = jax.device_put(i_np)
+    q_plane = jax.device_put(q_np)
+
+    # warmup / compile
+    audio, state = step(state, i_plane, q_plane)
+    jax.block_until_ready(audio)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        audio, state = step(state, i_plane, q_plane)
+    jax.block_until_ready(audio)
+    dt = time.perf_counter() - t0
+
+    msamps = channels * block * steps / dt / 1e6
+    print(json.dumps({
+        "metric": "IQ Msamples/s/chip, full SSB RX chain "
+                  f"({channels} ch x {block} blk)",
+        "value": round(msamps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msamps / REF_MSAMPLES_PER_CHIP, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

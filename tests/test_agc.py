@@ -1,0 +1,66 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uhsdr_tpu.ops import agc
+from golden import ref_dsp
+
+
+def make_burst(fs, n, seed=0):
+    """Speech-like test signal: tone bursts with varying level + noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    env = np.zeros(n)
+    third = n // 3
+    env[:third] = 2000.0
+    env[third:2 * third] = 100.0
+    env[2 * third:] = 900.0
+    x = env * np.sin(2 * np.pi * 700 * t) + 5.0 * rng.standard_normal(n)
+    return x.astype(np.float32)
+
+
+@pytest.mark.parametrize("mode,hang", [("med", False), ("fast", False),
+                                       ("slow", True)])
+def test_agc_matches_golden(mode, hang):
+    fs = 12000
+    n = 12000
+    x = make_burst(fs, n)
+    ref = ref_dsp.wdsp_agc(x.astype(np.float64), fs, mode=mode,
+                           hang_enable=hang)
+    params = agc.make_params(fs, mode=mode, hang_enable=hang)
+    state = agc.init_state((1,), params)
+    outs = []
+    for i in range(0, n, 3000):
+        y, state = agc.run(params, state, jnp.asarray(x[None, i:i + 3000]))
+        outs.append(np.asarray(y)[0])
+    y = np.concatenate(outs)
+    err = y - ref
+    sig = np.sqrt(np.mean(ref ** 2))
+    snr = 20 * np.log10(sig / (np.sqrt(np.mean(err ** 2)) + 1e-12))
+    assert snr > 40, snr
+
+
+def test_agc_levels_output():
+    """AGC should bring strong and weak segments to comparable levels."""
+    fs = 12000
+    n = 24000
+    x = make_burst(fs, n)
+    params = agc.make_params(fs, mode="fast")
+    state = agc.init_state((1,), params)
+    y, _ = agc.run(params, state, jnp.asarray(x)[None])
+    y = np.asarray(y)[0]
+    third = n // 3
+    rms_strong = np.sqrt(np.mean(y[third - 3000:third] ** 2))
+    rms_weak = np.sqrt(np.mean(y[2 * third - 3000:2 * third] ** 2))
+    # 2000 vs 100 input (26 dB) should compress to < 8 dB difference
+    assert abs(20 * np.log10(rms_strong / rms_weak)) < 8.0
+
+
+def test_agc_off_fixed_gain():
+    fs = 12000
+    params = agc.make_params(fs, mode="off")
+    state = agc.init_state((2,), params)
+    x = jnp.ones((2, 100), jnp.float32)
+    y, _ = agc.run(params, state, x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(params.fixed_gain), rtol=1e-6)

@@ -1,0 +1,74 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uhsdr_tpu.chain import rx
+from uhsdr_tpu.parallel import mesh as mesh_mod
+from uhsdr_tpu.parallel import rx_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_mod.make_mesh(4, 2)
+
+
+def test_sharded_rx_matches_single_device(mesh42):
+    fs = 48000
+    T = 4096
+    nblocks = 4
+    C = 8
+    t = np.arange(T * nblocks) / fs
+    rng = np.random.default_rng(0)
+    z = (0.5 * np.exp(2j * np.pi * (6000 + 700) * t)
+         + 0.001 * (rng.standard_normal(len(t))
+                    + 1j * rng.standard_normal(len(t)))).astype(np.complex64)
+
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                      translate_hz=6000.0, block_len=T)
+
+    # single-device reference
+    chain = rx.RxChain(cfg)
+    st = chain.init_state((C,))
+    ref_out = []
+    for k in range(nblocks):
+        blk = np.broadcast_to(z[k * T:(k + 1) * T], (C, T))
+        y, st, _ = chain(st, blk)
+        ref_out.append(np.asarray(y))
+    ref = np.concatenate(ref_out, axis=-1)
+
+    # sharded
+    step, init_state = rx_sharded.make_sharded_rx(cfg, mesh42)
+    state = init_state(C)
+    grid = mesh_mod.grid_sharding(mesh42)
+    outs = []
+    for k in range(nblocks):
+        blk = np.ascontiguousarray(
+            np.broadcast_to(z[k * T:(k + 1) * T], (C, T)))
+        i_p = jax.device_put(blk.real.astype(np.float32), grid)
+        q_p = jax.device_put(blk.imag.astype(np.float32), grid)
+        audio, state = step(state, i_p, q_p)
+        outs.append(np.asarray(audio))
+    got = np.concatenate(outs, axis=-1)
+
+    assert got.shape == ref.shape
+    # NCO phase handling and FFT sizes differ slightly between paths;
+    # assert sample-level agreement to f32 noise
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=1e-3)
+    err = got - ref
+    snr = 10 * np.log10((ref ** 2).mean() / max((err ** 2).mean(), 1e-20))
+    assert snr > 40, snr
+
+
+def test_dryrun_multichip_contract():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_contract():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)

@@ -1,0 +1,134 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uhsdr_tpu.chain import rx, tx
+
+
+def run_tx(chain, audio, batch=1):
+    state = chain.init_state((batch,))
+    outs_i, outs_q = [], []
+    B = chain.cfg.block_len
+    n = (audio.shape[-1] // B) * B
+    for k in range(0, n, B):
+        blk = jnp.asarray(np.broadcast_to(audio[k:k + B], (batch, B)).astype(np.float32))
+        i_p, q_p, state = chain(state, blk)
+        outs_i.append(np.asarray(i_p))
+        outs_q.append(np.asarray(q_p))
+    return (np.concatenate(outs_i, axis=-1)
+            + 1j * np.concatenate(outs_q, axis=-1)).astype(np.complex64)
+
+
+def spectrum_peak_hz(z, fs):
+    n = z.shape[-1]
+    spec = np.abs(np.fft.fft(z * np.hanning(n)))
+    freqs = np.fft.fftfreq(n, 1 / fs)
+    return freqs[np.argmax(spec)]
+
+
+def test_ssb_tx_places_tone_on_usb():
+    fs = 48000
+    n = fs
+    t = np.arange(n) / fs
+    audio = 0.3 * np.sin(2 * np.pi * 1000 * t)
+    chain = tx.TxChain(tx.TxConfig(mode="usb", translate_hz=6000.0,
+                                   compressor=False))
+    z = run_tx(chain, audio)[0][10000:]
+    pk = spectrum_peak_hz(z, fs)
+    assert abs(pk - 7000) < 20, pk     # 6 kHz shift + 1 kHz audio
+    # image at +5 kHz (LSB side) suppressed
+    spec = np.abs(np.fft.fft(z * np.hanning(len(z))))
+    freqs = np.fft.fftfreq(len(z), 1 / fs)
+    p_img = spec[np.abs(freqs - 5000).argmin()]
+    p_sig = spec[np.abs(freqs - 7000).argmin()]
+    assert p_img < 0.01 * p_sig
+
+
+def test_lsb_tx_mirror():
+    fs = 48000
+    n = fs
+    t = np.arange(n) / fs
+    audio = 0.3 * np.sin(2 * np.pi * 1000 * t)
+    chain = tx.TxChain(tx.TxConfig(mode="lsb", translate_hz=6000.0,
+                                   compressor=False))
+    z = run_tx(chain, audio)[0][10000:]
+    pk = spectrum_peak_hz(z, fs)
+    assert abs(pk - 5000) < 20, pk     # LSB: carrier - audio
+
+
+def test_am_tx_carrier_and_sidebands():
+    fs = 48000
+    n = fs
+    t = np.arange(n) / fs
+    audio = 0.5 * np.sin(2 * np.pi * 800 * t)
+    chain = tx.TxChain(tx.TxConfig(mode="am", translate_hz=6000.0,
+                                   compressor=False))
+    z = run_tx(chain, audio)[0][10000:]
+    spec = np.abs(np.fft.fft(z * np.hanning(len(z))))
+    freqs = np.fft.fftfreq(len(z), 1 / fs)
+    p_car = spec[np.abs(freqs - 6000).argmin()]
+    p_usb = spec[np.abs(freqs - 6800).argmin()]
+    p_lsb = spec[np.abs(freqs - 5200).argmin()]
+    assert p_car > 2 * p_usb            # carrier dominates
+    assert p_usb > 0.1 * p_car and p_lsb > 0.1 * p_car
+    # both sidebands roughly equal
+    assert 0.5 < p_usb / p_lsb < 2.0
+
+
+def test_fm_tx_deviation():
+    fs = 48000
+    n = fs
+    t = np.arange(n) / fs
+    audio = 0.8 * np.sin(2 * np.pi * 1000 * t)
+    chain = tx.TxChain(tx.TxConfig(mode="fm", translate_hz=6000.0,
+                                   compressor=False, tx_bandpass=False))
+    z = run_tx(chain, audio)[0][5000:]
+    # instantaneous frequency
+    dphi = np.angle(z[1:] * np.conj(z[:-1]))
+    inst_f = dphi * fs / (2 * np.pi)
+    assert abs(np.mean(inst_f) - 6000) < 100
+    dev = (np.percentile(inst_f, 98) - np.percentile(inst_f, 2)) / 2
+    assert 500 < dev < 6000, dev
+
+
+def test_cw_tx_keyed_carrier():
+    fs = 48000
+    n = fs // 2
+    env = np.zeros(n, np.float32)
+    env[4000:12000] = 1.0
+    chain = tx.TxChain(tx.TxConfig(mode="cw", translate_hz=6000.0,
+                                   cw_sidetone_hz=700.0))
+    z = run_tx(chain, env)[0]
+    on = z[6000:10000]
+    off = z[16000:20000]
+    assert np.mean(np.abs(on)) > 0.9
+    assert np.mean(np.abs(off)) < 1e-3
+    pk = spectrum_peak_hz(on, fs)
+    assert abs(pk - 6700) < 30, pk
+
+
+def test_tx_rx_loopback_ssb():
+    """BASELINE config 4: SSB TX -> RX demod recovers the audio."""
+    fs = 48000
+    n = fs * 2
+    t = np.arange(n) / fs
+    audio_tx = (0.4 * np.sin(2 * np.pi * 700 * t)
+                + 0.25 * np.sin(2 * np.pi * 1500 * t)).astype(np.float32)
+    txc = tx.TxChain(tx.TxConfig(mode="usb", translate_hz=6000.0,
+                                 compressor=False))
+    z = run_tx(txc, audio_tx)[0]
+    rxc = rx.RxChain(rx.RxConfig(mode="usb", bw_key="2P3KHZ",
+                                 path_name="LPF", translate_hz=6000.0))
+    state = rxc.init_state((1,))
+    outs = []
+    B = rxc.cfg.block_len
+    for k in range(0, (len(z) // B) * B, B):
+        y, state, _ = rxc(state, z[None, k:k + B])
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=-1)[0][fs:]
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y)))) ** 2
+    freqs = np.fft.rfftfreq(len(y), 1 / fs)
+    mask = (np.abs(freqs - 700) < 15) | (np.abs(freqs - 1500) < 15)
+    snr = 10 * np.log10(spec[mask].sum() /
+                        spec[~mask & (freqs > 50)].sum())
+    assert snr > 25, snr

@@ -29,8 +29,8 @@ class FadeLevelerParams(NamedTuple):
 
 def fade_leveler_params(fs: float) -> FadeLevelerParams:
     return FadeLevelerParams(
-        mtauR=jnp.float32(np.exp(-1.0 / (fs * 0.02))),
-        mtauI=jnp.float32(np.exp(-1.0 / (fs * 1.4))),
+        mtauR=np.float32(np.exp(-1.0 / (fs * 0.02))),
+        mtauI=np.float32(np.exp(-1.0 / (fs * 1.4))),
     )
 
 

@@ -43,7 +43,7 @@ class FmParams(NamedTuple):
     sql_threshold: int          # 0..24, 0 = squelch off
     subtone_hz: float           # 0 = detection off
     squelch_sos: np.ndarray     # HPF for noise estimate
-    deltas: jnp.ndarray | None  # (3,) uint32 NCO deltas [ctr, low, high]
+    deltas: np.ndarray | None   # (3,) uint32 NCO deltas [ctr, low, high]
 
 
 def make_params(fs: float = 48000.0, sql_threshold: int = 0,
@@ -59,7 +59,7 @@ def make_params(fs: float = 48000.0, sql_threshold: int = 0,
         # differential detection: above/below = ±(~4%) like the reference's
         # UiCalcSubaudibleDetFreq high/low offsets
         freqs = np.array([subtone_hz, subtone_hz * 0.95, subtone_hz * 1.05])
-        deltas = jnp.stack([nco.freq_to_delta(float(f), fs) for f in freqs])
+        deltas = np.stack([nco.freq_to_delta(float(f), fs) for f in freqs])
     return FmParams(fs=fs, sql_threshold=sql_threshold,
                     subtone_hz=subtone_hz, squelch_sos=sos5, deltas=deltas)
 

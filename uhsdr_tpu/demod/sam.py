@@ -61,8 +61,8 @@ def make_params(fs: float, zeta: float = 0.6, omegaN: float = 200.0,
                       * np.cos(omegaN / fs * np.sqrt(1.0 - zeta * zeta)))
     om = 2.0 * np.pi * pll_fmax / fs
     return SamParams(
-        g1=jnp.float32(g1), g2=jnp.float32(g2),
-        omega_min=jnp.float32(-om), omega_max=jnp.float32(om),
+        g1=np.float32(g1), g2=np.float32(g2),
+        omega_min=np.float32(-om), omega_max=np.float32(om),
         fade=am.fade_leveler_params(fs),
     )
 

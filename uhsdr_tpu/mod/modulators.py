@@ -1,0 +1,206 @@
+"""TX modulators: SSB (phasing), AM (dual sideband + carrier), FM (phase
+accumulator), CW carrier shaping.
+
+Reference: `tx_processor.c` —
+  * SSB `TxProcessor_SSB:467-491`: 201-tap TX Hilbert pair (I/Q swapped for
+    LSB) then FreqShift.  Here: one complex analytic FIR; LSB = conjugate.
+  * AM `TxProcessor_AM:734-810`: Hilbert pair then in-place both-sideband +
+    carrier: i = (I-Q) + 2C, q = (Q-I) - 2C with C = AM_CARRIER_LEVEL,
+    then FreqShift.  Note q = -i: the pre-shift signal is a real DSB
+    waveform duplicated with opposite signs.
+  * FM `TxProcessor_FM:534-600`: one-pole pre-emphasis differentiator
+    (alpha 0.05), optional subaudible-tone / tone-burst DDS add, then a
+    16-bit integer phase accumulator stepping by (carrier word + scaled
+    audio), sin table for I, +90 deg for Q.  Here the accumulator is an
+    exact int32 cumulative sum (parallel) with the same 16-bit wrap.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import design, fir, iir, nco
+
+IQ_RATE = 48000.0
+TX_TAPS = 201                    # filters.h / audio_filter.c:1239-1249
+# Reference AM_CARRIER_LEVEL is 5100 DAC units against ~30000 full-scale
+# audio (audio_driver.h:429); in this framework's normalized +/-1.0 audio
+# domain the equivalent relative carrier is ~0.5 (100% modulation when the
+# phased sideband sum peaks at 1.0).
+AM_CARRIER_LEVEL = 0.5
+
+FM_TX_HPF_ALPHA = 0.05
+# The reference's FM_MOD_SCALING=16 assumes +/-30000-unit (DAC-scale)
+# audio; this framework's audio is normalized +/-1.0, so fold the domain
+# ratio into the accumulator scaling (16 * 30000).  A full-scale 1 kHz
+# tone then produces ~2.5 kHz deviation, matching tx_processor.c:504.
+FM_MOD_SCALING_2K5 = 16.0 * 30000.0
+FM_MOD_ACC_BITS = 16
+FM_SUBAUDIBLE_SCALE = 0.00045
+FM_TONE_BURST_SCALE = FM_MOD_SCALING_2K5 / 4266.0
+FM_MOD_AMPLITUDE_SCALING = 0.875
+
+
+# ---------------------------------------------------------------------------
+# SSB
+# ---------------------------------------------------------------------------
+
+class SsbModParams(NamedTuple):
+    fir_re: np.ndarray
+    fir_im: np.ndarray
+    nco_delta: np.ndarray   # uint32
+    lsb: bool
+
+
+def ssb_params(f_lo: float = 150.0, f_hi: float = 2850.0,
+               translate_hz: float = 6000.0, lsb: bool = False) -> SsbModParams:
+    h = design.complex_bandpass_fir(TX_TAPS, f_lo, f_hi, IQ_RATE)
+    return SsbModParams(h.real.astype(np.float32), h.imag.astype(np.float32),
+                        nco.freq_to_delta(translate_hz, IQ_RATE), lsb)
+
+
+class SsbModState(NamedTuple):
+    carry: jnp.ndarray      # (..., taps-1) f32 audio history
+    phase: jnp.ndarray      # (...,) uint32
+
+
+def ssb_init(batch_shape) -> SsbModState:
+    bs = tuple(batch_shape)
+    return SsbModState(carry=jnp.zeros(bs + (TX_TAPS - 1,), jnp.float32),
+                       phase=jnp.zeros(bs, jnp.uint32))
+
+
+def ssb_modulate(params: SsbModParams, state: SsbModState, audio: jnp.ndarray):
+    """audio (..., T) f32 -> (iq (..., T) complex64, new_state)."""
+    h = jax.lax.complex(jnp.asarray(params.fir_re), jnp.asarray(params.fir_im))
+    z, carry = fir.fir_block(h, state.carry, audio)
+    if params.lsb:
+        z = jnp.conj(z)
+    z, phase = nco.mix(z, state.phase,
+                       jnp.broadcast_to(params.nco_delta, state.phase.shape))
+    return z, SsbModState(carry=carry, phase=phase)
+
+
+# ---------------------------------------------------------------------------
+# AM
+# ---------------------------------------------------------------------------
+
+class AmModParams(NamedTuple):
+    fir_re: np.ndarray
+    fir_im: np.ndarray
+    nco_delta: np.ndarray
+    carrier_level: float
+
+
+def am_params(translate_hz: float = 6000.0,
+              carrier_level: float = AM_CARRIER_LEVEL) -> AmModParams:
+    h = design.complex_bandpass_fir(TX_TAPS, 150.0, 2850.0, IQ_RATE)
+    return AmModParams(h.real.astype(np.float32), h.imag.astype(np.float32),
+                       nco.freq_to_delta(translate_hz, IQ_RATE),
+                       carrier_level)
+
+
+def am_init(batch_shape) -> SsbModState:
+    return ssb_init(batch_shape)
+
+
+def am_modulate(params: AmModParams, state: SsbModState, audio: jnp.ndarray):
+    h = jax.lax.complex(jnp.asarray(params.fir_re), jnp.asarray(params.fir_im))
+    z, carry = fir.fir_block(h, state.carry, audio)
+    i_f, q_f = jnp.real(z), jnp.imag(z)
+    s = (i_f - q_f) + 2.0 * params.carrier_level
+    iq = jax.lax.complex(s, -s)
+    iq, phase = nco.mix(iq, state.phase,
+                        jnp.broadcast_to(params.nco_delta, state.phase.shape))
+    return iq, SsbModState(carry=carry, phase=phase)
+
+
+# ---------------------------------------------------------------------------
+# FM
+# ---------------------------------------------------------------------------
+
+class FmModParams(NamedTuple):
+    freq_word: np.int32       # carrier shift accumulator step (16-bit domain)
+    mod_scale: np.float32     # audio -> accumulator step scaling
+    subtone_delta: np.ndarray | None   # uint32 DDS for subaudible tone
+    subtone_scale: np.float32
+    swap_iq: bool             # negative translate
+
+
+def fm_mod_params(translate_hz: float = 6000.0, dev_5khz: bool = False,
+                  subtone_hz: float = 0.0) -> FmModParams:
+    mult = 2.0 if dev_5khz else 1.0
+    word = int(((1 << FM_MOD_ACC_BITS) * abs(translate_hz)) // IQ_RATE)
+    sub = nco.freq_to_delta(subtone_hz, IQ_RATE) if subtone_hz > 0 else None
+    return FmModParams(np.int32(word),
+                       np.float32(FM_MOD_SCALING_2K5 * mult),
+                       sub, np.float32(FM_SUBAUDIBLE_SCALE * mult),
+                       translate_hz < 0)
+
+
+class FmModState(NamedTuple):
+    hpf_a: jnp.ndarray      # pre-emphasis state
+    hpf_b: jnp.ndarray
+    accum: jnp.ndarray      # (...,) int32 16-bit phase accumulator
+    sub_phase: jnp.ndarray  # (...,) uint32
+
+
+def fm_mod_init(batch_shape) -> FmModState:
+    bs = tuple(batch_shape)
+    z = jnp.zeros(bs, jnp.float32)
+    return FmModState(hpf_a=z, hpf_b=z,
+                      accum=jnp.zeros(bs, jnp.int32),
+                      sub_phase=jnp.zeros(bs, jnp.uint32))
+
+
+def fm_modulate(params: FmModParams, state: FmModState, audio: jnp.ndarray):
+    """audio (..., T) -> (iq complex64, new_state)."""
+    # 6 dB/oct pre-emphasis: b[n] = alpha*(b[n-1] + a[n] - a[n-1])
+    a_d = jnp.concatenate([state.hpf_a[..., None], audio[..., :-1]], axis=-1)
+    diff = audio - a_d
+    pre, hpf_b = iir.one_pole_block(FM_TX_HPF_ALPHA, FM_TX_HPF_ALPHA,
+                                    state.hpf_b, diff)
+    sub_phase = state.sub_phase
+    if params.subtone_delta is not None:
+        tone, sub_phase = nco.tone(state.sub_phase,
+                                   jnp.broadcast_to(params.subtone_delta,
+                                                    state.sub_phase.shape),
+                                   audio.shape[-1])
+        pre = pre + tone * params.subtone_scale
+
+    # integer phase accumulation, exact (reference 16-bit accumulator)
+    steps = (params.freq_word +
+             jnp.round(pre * params.mod_scale).astype(jnp.int32))
+    acc = state.accum[..., None] + jnp.cumsum(steps, axis=-1)
+    acc_wrapped = jnp.bitwise_and(acc, (1 << FM_MOD_ACC_BITS) - 1)
+    ph = acc_wrapped.astype(jnp.float32) * np.float32(
+        2.0 * np.pi / (1 << FM_MOD_ACC_BITS))
+    # z = i + jq = e^{j ph}: positive accumulator step -> positive
+    # (upper-side) frequency.  The reference's sin/cos(+90 deg) table pair
+    # with its i/q swap for negative shifts encodes the same two cases.
+    i_s = jnp.cos(ph)
+    q_s = jnp.sin(ph)
+    if params.swap_iq:
+        i_s, q_s = q_s, i_s
+    iq = jax.lax.complex(i_s, q_s) * np.float32(FM_MOD_AMPLITUDE_SCALING)
+    return iq, FmModState(hpf_a=audio[..., -1], hpf_b=hpf_b,
+                          accum=acc[..., -1] & ((1 << FM_MOD_ACC_BITS) - 1),
+                          sub_phase=sub_phase)
+
+
+# ---------------------------------------------------------------------------
+# CW carrier (keyed envelope applied to a tone; the keyer state machine
+# lives in modems.cw)
+# ---------------------------------------------------------------------------
+
+def cw_carrier(envelope: jnp.ndarray, phase0: jnp.ndarray,
+               delta) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """envelope (..., T) in [0,1] -> keyed IQ carrier at the sidetone/offset
+    frequency (reference: CW TX at translate offset, tx_processor.c:856-889)."""
+    osc, phase = nco.tone_iq(phase0, jnp.broadcast_to(jnp.asarray(delta),
+                                                      phase0.shape),
+                             envelope.shape[-1])
+    return envelope * osc, phase

@@ -71,8 +71,8 @@ def make_params(fs: float, f_low: float, f_high: float,
     xih1 = 10.0 ** (ASNR_DB / 10.0)
     xih1r = 1.0 / (1.0 + xih1) - 1.0
     pfac = (1.0 / PSPRI - 1.0) * (1.0 + xih1)
-    return NrParams(alpha=jnp.float32(alpha),
-                    power_threshold=jnp.float32(power_threshold),
+    return NrParams(alpha=np.float32(alpha),
+                    power_threshold=np.float32(power_threshold),
                     vad_low=vad_low, vad_high=vad_high,
                     xih1=xih1, xih1r=xih1r, pfac=pfac)
 
@@ -134,7 +134,8 @@ def _frame_step(params: NrParams, carry, frame):
     xt, pslp, hk_old, init_count, nest_acc = carry
     win = jnp.asarray(fftutil.sqrt_hann(FFT_L))
     fw = frame * win
-    F = jnp.fft.fft(fw.astype(jnp.complex64), axis=-1)
+    # real frames -> rfft (the axon TPU backend lacks complex-input FFT)
+    F = jnp.fft.rfft(fw, axis=-1)                 # (..., FFT_L//2+1)
     nb = FFT_L // 2
     X = jnp.abs(F[..., :nb]) ** 2
 
@@ -164,9 +165,10 @@ def _frame_step(params: NrParams, carry, frame):
     hk = _musical_noise_smooth(params, hk, X)
     hk = jnp.where(booting[..., None], 1.0, hk)
 
-    # spectral weighting with conjugate symmetry, then IFFT + window
-    gains = jnp.concatenate([hk, hk[..., ::-1]], axis=-1)
-    y = jnp.fft.ifft(F * gains, axis=-1).real * win
+    # spectral weighting (rfft half-spectrum; Nyquist bin untouched like the
+    # reference, which never mirrors bin N/2), then IFFT + window
+    gains = jnp.concatenate([hk, jnp.ones_like(hk[..., :1])], axis=-1)
+    y = jnp.fft.irfft(F * gains, n=FFT_L, axis=-1) * win
     init_count = init_count + 1
     return (xt, pslp, hk_old, init_count, nest_acc), y
 

@@ -111,21 +111,21 @@ def make_params(fs: float, mode: str = "med", thresh_db: float = 60.0,
 
     return AgcParams(
         attack_buffsize=attack_buffsize,
-        attack_mult=jnp.float32(attack_mult),
-        decay_mult=jnp.float32(decay_mult),
-        fast_decay_mult=jnp.float32(fast_decay_mult),
-        hang_decay_mult=jnp.float32(hang_decay_mult),
-        fast_backmult=jnp.float32(fast_backmult),
-        hang_backmult=jnp.float32(hang_backmult),
-        out_target=jnp.float32(out_target),
-        min_volts=jnp.float32(min_volts),
-        slope_constant=jnp.float32(slope_constant),
-        inv_max_input=jnp.float32(1.0 / max_input),
-        hang_level=jnp.float32(hang_level),
-        hang_time_samples=jnp.int32(int(p["hangtime"] * fs)),
+        attack_mult=np.float32(attack_mult),
+        decay_mult=np.float32(decay_mult),
+        fast_decay_mult=np.float32(fast_decay_mult),
+        hang_decay_mult=np.float32(hang_decay_mult),
+        fast_backmult=np.float32(fast_backmult),
+        hang_backmult=np.float32(hang_backmult),
+        out_target=np.float32(out_target),
+        min_volts=np.float32(min_volts),
+        slope_constant=np.float32(slope_constant),
+        inv_max_input=np.float32(1.0 / max_input),
+        hang_level=np.float32(hang_level),
+        hang_time_samples=np.int32(int(p["hangtime"] * fs)),
         hang_enable=hang_enable,
-        pop_ratio=jnp.float32(pop_ratio),
-        fixed_gain=jnp.float32(fixed_gain),
+        pop_ratio=np.float32(pop_ratio),
+        fixed_gain=np.float32(fixed_gain),
         remove_dc=remove_dc,
         agc_off=(mode == "off"),
     )

@@ -9,8 +9,52 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Complex FFT built from real FFTs.
+#
+# The axon TPU PJRT backend implements rfft/irfft but NOT complex-input FFT
+# (verified empirically: jnp.fft.fft(complex64) -> UNIMPLEMENTED).  For a
+# complex signal x = a + jb:  F = RFFT_full(a) + j*RFFT_full(b), where
+# RFFT_full extends the half-spectrum hermitian-symmetrically.  Inverse by
+# splitting F into its hermitian and anti-hermitian parts.
+# ---------------------------------------------------------------------------
+
+def _rfft_full(x: "jnp.ndarray", n: int) -> "jnp.ndarray":
+    """Full n-point spectrum of real x via rfft (n even)."""
+    H = jnp.fft.rfft(x, n=n, axis=-1)            # (..., n//2+1)
+    tail = jnp.conj(H[..., -2:0:-1])             # bins n//2+1 .. n-1
+    return jnp.concatenate([H, tail], axis=-1)
+
+
+def cfft(x: "jnp.ndarray", n: int | None = None) -> "jnp.ndarray":
+    """Complex-input FFT along the last axis, TPU-safe (rfft-composed)."""
+    if n is None:
+        n = x.shape[-1]
+    if not jnp.iscomplexobj(x):
+        return _rfft_full(x.astype(jnp.float32), n)
+    a = jnp.real(x)
+    b = jnp.imag(x)
+    if a.shape[-1] < n:
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+    return _rfft_full(a, n) + 1j * _rfft_full(b, n)
+
+
+def icfft(F: "jnp.ndarray") -> "jnp.ndarray":
+    """Inverse of cfft: complex output, TPU-safe."""
+    n = F.shape[-1]
+    Frev = jnp.conj(jnp.roll(F[..., ::-1], 1, axis=-1))  # conj(F[N-k])
+    Fa = 0.5 * (F + Frev)            # hermitian part -> spectrum of Re
+    Fb = -0.5j * (F - Frev)          # spectrum of Im
+    a = jnp.fft.irfft(Fa[..., : n // 2 + 1], n=n, axis=-1)
+    b = jnp.fft.irfft(Fb[..., : n // 2 + 1], n=n, axis=-1)
+    return jax.lax.complex(a, b)
 
 
 @functools.lru_cache(maxsize=None)

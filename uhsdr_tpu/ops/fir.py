@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fftutil
+
 
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
@@ -50,12 +52,9 @@ def _conv_valid_fft(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int) -> jnp.ndarr
     nfft = _next_pow2(L)
     cplx = jnp.iscomplexobj(xfull) or jnp.iscomplexobj(h)
     if cplx:
-        X = jnp.fft.fft(xfull.astype(jnp.complex64), n=nfft, axis=-1)
-        H = jnp.fft.fft(h.astype(jnp.complex64), n=nfft)
-        y = jnp.fft.ifft(X * H, axis=-1)
-        if not (jnp.iscomplexobj(xfull) and jnp.iscomplexobj(h)):
-            if not jnp.iscomplexobj(h) and not jnp.iscomplexobj(xfull):
-                y = y.real
+        X = fftutil.cfft(xfull, nfft)
+        H = fftutil.cfft(h, nfft)
+        y = fftutil.icfft(X * H)
     else:
         X = jnp.fft.rfft(xfull.astype(jnp.float32), n=nfft, axis=-1)
         H = jnp.fft.rfft(h.astype(jnp.float32), n=nfft)
@@ -168,7 +167,8 @@ class OverlapSaveFilter:
         if self.complex:
             self.H = jnp.asarray(np.fft.fft(h, n=self.nfft).astype(np.complex64))
         else:
-            self.H = jnp.asarray(np.fft.rfft(h, n=self.nfft).astype(np.complex64))
+            self.H_r = jnp.asarray(np.fft.rfft(h, n=self.nfft).astype(np.complex64))
+            self.H = jnp.asarray(np.fft.fft(h, n=self.nfft).astype(np.complex64))
 
     def init_carry(self, batch_shape, dtype):
         return init_carry(batch_shape, self.taps, dtype)
@@ -176,13 +176,13 @@ class OverlapSaveFilter:
     def __call__(self, carry, x):
         xfull = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
         if self.complex or jnp.iscomplexobj(x):
-            X = jnp.fft.fft(xfull.astype(jnp.complex64), n=self.nfft, axis=-1)
-            y = jnp.fft.ifft(X * self.H, axis=-1)
+            X = fftutil.cfft(xfull, self.nfft)
+            y = fftutil.icfft(X * self.H)
             if not self.complex and not jnp.iscomplexobj(x):
                 y = y.real
         else:
             X = jnp.fft.rfft(xfull, n=self.nfft, axis=-1)
-            y = jnp.fft.irfft(X * self.H, n=self.nfft, axis=-1)
+            y = jnp.fft.irfft(X * self.H_r, n=self.nfft, axis=-1)
         y = y[..., self.taps - 1: self.taps - 1 + self.block_len]
         new_carry = xfull[..., -(self.taps - 1):]
         return y, new_carry

@@ -21,12 +21,16 @@ TWO32 = float(2 ** 32)
 _PHASE_SCALE = np.float32(2.0 * np.pi / TWO32)
 
 
-def freq_to_delta(freq_hz, fs) -> jnp.ndarray:
-    """Frequency (Hz, may be negative) -> uint32 phase increment per sample."""
-    cycles = jnp.asarray(freq_hz, jnp.float64 if isinstance(freq_hz, float) else jnp.float32) / fs
-    # host-side: prefer exact f64 path when inputs are python/np scalars
-    d = np.round(np.mod(np.asarray(cycles, np.float64), 1.0) * TWO32)
-    return jnp.asarray(d.astype(np.int64).astype(np.uint32))
+def freq_to_delta(freq_hz, fs) -> np.ndarray:
+    """Frequency (Hz, may be negative) -> uint32 phase increment per sample.
+
+    Host-side computation at f64 for exactness.  Returns a NUMPY uint32 so
+    it embeds as a compile-time literal when closed over under jit — the
+    axon TPU relay cannot device_put non-f32 dtypes (see ARCHITECTURE.md
+    "axon dtype constraints")."""
+    cycles = np.asarray(freq_hz, np.float64) / float(fs)
+    d = np.round(np.mod(cycles, 1.0) * TWO32)
+    return d.astype(np.int64).astype(np.uint32)
 
 
 def phase_ramp(phase0: jnp.ndarray, delta: jnp.ndarray, n: int) -> jnp.ndarray:
