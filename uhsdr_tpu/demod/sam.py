@@ -107,7 +107,7 @@ def _pll_scan(params: SamParams, state: SamState, iq: jnp.ndarray):
 
     zt = jnp.moveaxis(iq, -1, 0)
     (phs, fil_out, omega2), (phases, omegas) = jax.lax.scan(
-        step, (state.phs, state.fil_out, state.omega2), zt)
+        step, (state.phs, state.fil_out, state.omega2), zt, unroll=8)
     return (jnp.moveaxis(phases, 0, -1), jnp.moveaxis(omegas, 0, -1),
             phs, fil_out, omega2)
 

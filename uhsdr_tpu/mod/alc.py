@@ -69,7 +69,7 @@ def run(params: AlcParams, state: AlcState, x: jnp.ndarray):
         return new_val, new_val
 
     xt = jnp.moveaxis(x, -1, 0)
-    alc_f, gains = jax.lax.scan(step, state.alc_val, xt)
+    alc_f, gains = jax.lax.scan(step, state.alc_val, xt, unroll=8)
     gains = jnp.moveaxis(gains, 0, -1) * params.gain_scaling
 
     # delayed audio, immediate gain (look-ahead)

@@ -276,7 +276,7 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     carry0 = (state.volts, state.save_volts, state.hang_counter,
               state.decay_type, state.state)
     (volts_f, save_f, hang_f, decay_f, st_f), volts_seq = jax.lax.scan(
-        step, carry0, seq)
+        step, carry0, seq, unroll=8)
     volts_t = jnp.moveaxis(volts_seq, 0, -1)
 
     vo = jnp.minimum(jnp.log10(params.inv_max_input * volts_t), 0.0)

@@ -65,5 +65,6 @@ def run(params: LmsParams, state: LmsState, x: jnp.ndarray):
         return (w, hist), out
 
     xt = jnp.moveaxis(x, -1, 0)
-    (w, hist), ys = jax.lax.scan(step, (state.weights, state.history), xt)
+    (w, hist), ys = jax.lax.scan(step, (state.weights, state.history), xt,
+                                 unroll=4)
     return jnp.moveaxis(ys, 0, -1), LmsState(weights=w, history=hist)
