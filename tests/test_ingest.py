@@ -1,0 +1,61 @@
+import os
+
+import numpy as np
+import pytest
+
+from uhsdr_tpu.io import ingest
+
+
+def _make_capture(tmp_path, n=10000, fs=48000):
+    t = np.arange(n) / fs
+    iq = (0.5 * np.exp(2j * np.pi * 1000 * t)).astype(np.complex64)
+    return iq
+
+
+def test_wav_roundtrip(tmp_path):
+    iq = _make_capture(tmp_path)
+    p = str(tmp_path / "cap.wav")
+    ingest.write_iq_wav(p, iq)
+    back = ingest.read_iq_file(p)
+    assert len(back) == len(iq)
+    np.testing.assert_allclose(np.real(back), np.real(iq), atol=2e-4)
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_ingest_blocks(tmp_path, force_numpy):
+    if not force_numpy and ingest._LIB is None:
+        pytest.skip("native lib not built")
+    iq = _make_capture(tmp_path, n=8192)
+    p = str(tmp_path / "cap.wav")
+    ingest.write_iq_wav(p, iq)
+    blocks = []
+    with ingest.IqIngest(p, 2048, force_numpy=force_numpy) as src:
+        while True:
+            b = src.next_block()
+            if b is None:
+                break
+            blocks.append(b[0] + 1j * b[1])
+            if len(blocks) > 10:
+                break
+    z = np.concatenate(blocks)[:8192]
+    np.testing.assert_allclose(z.real, iq.real, atol=2e-4)
+
+
+def test_native_ingest_raw(tmp_path):
+    if ingest._LIB is None:
+        pytest.skip("native lib not built")
+    iq = _make_capture(tmp_path, n=6144)
+    raw = np.empty(2 * len(iq), np.int16)
+    raw[0::2] = (iq.real * 32767).astype(np.int16)
+    raw[1::2] = (iq.imag * 32767).astype(np.int16)
+    p = str(tmp_path / "cap.iq")
+    raw.tofile(p)
+    with ingest.IqIngest(p, 2048) as src:
+        b1 = src.next_block()
+        b2 = src.next_block()
+        b3 = src.next_block()
+        b4 = src.next_block()
+    assert b4 is None or np.all(b4[0] == 0)
+    z = np.concatenate([b1[0] + 1j * b1[1], b2[0] + 1j * b2[1],
+                        b3[0] + 1j * b3[1]])
+    np.testing.assert_allclose(z.real, iq.real, atol=2e-4)

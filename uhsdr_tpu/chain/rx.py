@@ -34,7 +34,7 @@ from ..demod import sam as sam_mod
 from ..demod import ssb as ssb_mod
 from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
-from ..ops import design, fir, iir, lms, nco
+from ..ops import design, fir, iir, iqcorr, lms, nco
 from . import filterpaths
 
 IQ_RATE = 48000.0
@@ -64,6 +64,7 @@ class RxConfig:
     sam_sideband: str = "both"     # SAM: both | usb | lsb
     fade_leveler: bool = True
     cw_offset_hz: float = 700.0    # CW sidetone / passband center
+    iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
 
     @property
     def path(self) -> filterpaths.FilterPath:
@@ -103,6 +104,7 @@ class RxParams(NamedTuple):
 
 
 class RxState(NamedTuple):
+    iqcorr: Any
     nco_phase: jnp.ndarray
     front_carry: jnp.ndarray
     audio_sos_state: jnp.ndarray
@@ -178,6 +180,7 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
     bs = tuple(batch_shape)
     taps = params.front_fir_re.shape[-1]
     return RxState(
+        iqcorr=iqcorr.init_state(bs) if cfg.iq_auto_correction else None,
         nco_phase=jnp.zeros(bs, jnp.uint32),
         front_carry=fir.init_carry(bs, taps, jnp.complex64),
         audio_sos_state=jnp.zeros((params.audio_sos.shape[0],) + bs + (2,),
@@ -201,9 +204,14 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     front_fir = jax.lax.complex(jnp.asarray(params.front_fir_re),
                                 jnp.asarray(params.front_fir_im))
 
-    # --- IQ amplitude/phase correction (manual path; audio_driver.c:1776) ---
-    i_ = jnp.real(iq) * params.iq_gain
-    q_ = jnp.imag(iq) + i_ * params.iq_phase
+    # --- IQ imbalance correction (audio_driver.c:2254-2316) ---
+    iqc_state = state.iqcorr
+    if cfg.iq_auto_correction:
+        i_, q_, iqc_state = iqcorr.correct(state.iqcorr, jnp.real(iq),
+                                           jnp.imag(iq))
+    else:
+        i_ = jnp.real(iq) * params.iq_gain
+        q_ = jnp.imag(iq) + i_ * params.iq_phase
     z = jax.lax.complex(i_, q_)
 
     taps_out["spectrum_iq"] = z    # pre-translate tap for the scope display
@@ -220,7 +228,7 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     if cfg.mode == "fm":
         zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
         audio, fm_state = fm_mod.demod(params.fm, state.fm, zf)
-        new_state = state._replace(nco_phase=nco_phase,
+        new_state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                                    front_carry=front_carry, fm=fm_state)
         return audio, new_state, taps_out
 
@@ -266,7 +274,7 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         params.interp_fir, state.interp_carry, audio, cfg.decim)
 
     new_state = RxState(
-        nco_phase=nco_phase, front_carry=front_carry,
+        iqcorr=iqc_state, nco_phase=nco_phase, front_carry=front_carry,
         audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
         sam=sam_state, fm=state.fm, nr=nr_state, notch=notch_state,
         interp_carry=interp_carry)

@@ -1,0 +1,172 @@
+"""Configuration registry + persistence.
+
+The reference persists a 144-row table of `ConfigEntryDescriptor`s
+(`drivers/ui/ui_configuration.c:61-282`: {type, eeprom_id, ptr, default,
+min, max}) through a 3-backend store (RAM / I2C EEPROM / flash-emulated
+EEPROM, `misc/config_storage.c`, `misc/v_eprom/uhsdr_flash.c`), plus
+band/VFO memories, with host-side backup via `uhsdr_tool.py`.
+
+Here the same semantics — typed entries with defaults and min/max
+clamping, grouped persistence, versioning — back a plain dict registry
+with JSON save/load (the "EEPROM"), and streaming DSP state checkpointing
+to .npz (which the reference does NOT have: its DSP state is rebuilt on
+every chain switch, SURVEY §5 "Checkpoint/resume").
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+CONFIG_VERSION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ConfigEntry:
+    name: str
+    default: Any
+    min: float | None = None
+    max: float | None = None
+    typ: type = int
+    doc: str = ""
+
+    def clamp(self, value):
+        v = self.typ(value)
+        if self.typ in (int, float):
+            if self.min is not None:
+                v = max(v, self.typ(self.min))
+            if self.max is not None:
+                v = min(v, self.typ(self.max))
+        return v
+
+
+# Registry mirroring the DSP-relevant rows of the reference's table
+# (ui_configuration.h EEPROM ids; hardware-only rows like LCD/PA bias have
+# no equivalent here).
+REGISTRY: list[ConfigEntry] = [
+    ConfigEntry("audio_gain", 16, 0, 30, int, "AF gain"),
+    ConfigEntry("rf_gain", 50, 0, 50, int),
+    ConfigEntry("agc_mode", "med", typ=str,
+                doc="very_long|long|slow|med|fast|off"),
+    ConfigEntry("agc_wdsp_thresh_db", 60.0, 0, 120, float),
+    ConfigEntry("agc_wdsp_slope_db", 6.0, 0, 20, float),
+    ConfigEntry("agc_wdsp_hang_time_ms", 250, 0, 5000, int),
+    ConfigEntry("agc_wdsp_hang_enable", 0, 0, 1, int),
+    ConfigEntry("dsp_nr_enable", 0, 0, 1, int),
+    ConfigEntry("dsp_nr_strength", 141, 0, 200, int,
+                doc="alpha = 0.799 + strength/1000"),
+    ConfigEntry("dsp_notch_enable", 0, 0, 1, int),
+    ConfigEntry("iq_freq_mode", 2, 0, 4, int,
+                doc="0=off 1=+6k 2=-6k 3=+12k 4=-12k translate"),
+    ConfigEntry("filter_bw_key", "2P3KHZ", typ=str),
+    ConfigEntry("filter_path_name", "LPF", typ=str),
+    ConfigEntry("dmod_mode", "usb", typ=str,
+                doc="usb|lsb|cw|am|sam|fm"),
+    ConfigEntry("sam_pll_zeta_x100", 60, 10, 100, int),
+    ConfigEntry("sam_pll_omega", 200, 50, 1000, int),
+    ConfigEntry("sam_fmax", 500, 50, 1000, int),
+    ConfigEntry("sam_sideband", "both", typ=str),
+    ConfigEntry("fade_leveler", 1, 0, 1, int),
+    ConfigEntry("fm_sql_threshold", 0, 0, 24, int),
+    ConfigEntry("fm_subaudible_tone_hz", 0.0, 0, 300, float),
+    ConfigEntry("fm_dev_5khz", 0, 0, 1, int),
+    ConfigEntry("cw_sidetone_freq", 700, 400, 1000, int),
+    ConfigEntry("cw_speed_wpm", 20, 5, 48, int),
+    ConfigEntry("cw_keyer_mode", "iambic_b", typ=str),
+    ConfigEntry("cw_decoder_thresh", 32000, 1000, 1000000, int),
+    ConfigEntry("tx_comp_level", 2, -1, 13, int),
+    ConfigEntry("tx_postfilt_gain", 4, 1, 25, int),
+    ConfigEntry("rtty_shift_hz", 170.0, 85, 850, float),
+    ConfigEntry("rtty_baud", 45.45, 45.45, 50.0, float),
+    ConfigEntry("psk_speed", 31, 31, 125, int),
+    ConfigEntry("spectrum_fft_len", 256, 256, 1024, int),
+    ConfigEntry("spectrum_magnify", 0, 0, 5, int),
+    ConfigEntry("spectrum_avg_alpha_x100", 25, 5, 100, int),
+    ConfigEntry("dbm_constant", 0, -100, 100, int),
+    ConfigEntry("iq_gain_balance_x1000", 0, -500, 500, int),
+    ConfigEntry("iq_phase_balance_x1000", 0, -500, 500, int),
+    ConfigEntry("beep_freq", 1000, 200, 3000, int),
+    ConfigEntry("beep_volume", 10, 0, 20, int),
+]
+
+_BY_NAME = {e.name: e for e in REGISTRY}
+
+
+class Config:
+    """Runtime config store with registry semantics."""
+
+    def __init__(self, **overrides):
+        self._values = {e.name: e.default for e in REGISTRY}
+        for k, v in overrides.items():
+            self.set(k, v)
+
+    def get(self, name: str):
+        return self._values[name]
+
+    def set(self, name: str, value):
+        entry = _BY_NAME.get(name)
+        if entry is None:
+            raise KeyError(f"unknown config entry: {name}")
+        self._values[name] = entry.clamp(value)
+
+    def __getitem__(self, name):
+        return self.get(name)
+
+    def __setitem__(self, name, value):
+        self.set(name, value)
+
+    def to_dict(self) -> dict:
+        return dict(self._values)
+
+    # --- persistence (EEPROM analog) ---
+    def save(self, path: str) -> None:
+        blob = {"version": CONFIG_VERSION, "values": self._values}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(blob, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)   # atomic, the analog of wear-leveled paging
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        cfg = cls()
+        with open(path) as f:
+            blob = json.load(f)
+        for k, v in blob.get("values", {}).items():
+            if k in _BY_NAME:          # unknown rows ignored (fw-compat)
+                cfg.set(k, v)
+        return cfg
+
+    def load_defaults(self) -> None:
+        self._values = {e.name: e.default for e in REGISTRY}
+
+    @property
+    def translate_hz(self) -> float:
+        return {0: 0.0, 1: 6000.0, 2: -6000.0,
+                3: 12000.0, 4: -12000.0}[self.get("iq_freq_mode")] * -1.0
+
+
+# ---------------------------------------------------------------------------
+# Streaming-state checkpointing (new capability vs. reference)
+# ---------------------------------------------------------------------------
+
+def save_state(path: str, state) -> None:
+    """Checkpoint any ChannelState pytree to .npz."""
+    import jax
+    leaves, treedef = jax.tree.flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    np.savez(path, n_leaves=len(leaves), **arrays)
+
+
+def load_state(path: str, like):
+    """Restore a checkpoint into the structure of `like`."""
+    import jax
+    import jax.numpy as jnp
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(like)
+    n = int(data["n_leaves"])
+    assert n == len(leaves), (n, len(leaves))
+    new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree.unflatten(treedef, new_leaves)

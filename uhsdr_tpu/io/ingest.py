@@ -1,0 +1,134 @@
+"""IQ capture ingest — Python binding to the native runtime.
+
+The native engine (`runtime/iq_ingest.cpp`) is the framework's data-plane
+transport, the analog of the reference's I2S DMA double-buffering + USB
+audio streaming (`uhsdr_hw_i2s.c`, `usbd_audio_if.c`): a producer thread
+reads raw int16 IQ (or 16-bit stereo WAV) and converts to f32 planes into
+a ring of blocks; `next_block()` pops without blocking on disk.
+
+Falls back to a pure-NumPy reader when the shared library is missing
+(e.g. before `make -C runtime`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import wave
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "runtime",
+    "libuhsdr_ingest.so")
+
+
+def _load_lib():
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.uhsdr_ingest_open.restype = ctypes.c_void_p
+    lib.uhsdr_ingest_open.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                      ctypes.c_long, ctypes.c_int]
+    lib.uhsdr_ingest_next.restype = ctypes.c_long
+    lib.uhsdr_ingest_next.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.POINTER(ctypes.c_float)]
+    lib.uhsdr_ingest_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = _load_lib()
+
+
+class IqIngest:
+    """Streaming IQ block source.  Produces (i_plane, q_plane) float32."""
+
+    def __init__(self, path: str, block_samples: int,
+                 ring_blocks: int = 4, loop: bool = False,
+                 force_numpy: bool = False):
+        self.block = block_samples
+        self._native = None
+        self._np_data = None
+        self._np_pos = 0
+        self._loop = loop
+        if _LIB is not None and not force_numpy:
+            h = _LIB.uhsdr_ingest_open(path.encode(), block_samples,
+                                       ring_blocks, int(loop))
+            if not h:
+                raise OSError(f"ingest_open failed: {path}")
+            self._native = h
+        else:
+            self._np_data = read_iq_file(path)
+
+    def next_block(self):
+        """Returns (i, q) f32 arrays of block length, or None at stream end."""
+        if self._native is not None:
+            i = np.empty(self.block, np.float32)
+            q = np.empty(self.block, np.float32)
+            n = _LIB.uhsdr_ingest_next(
+                self._native,
+                i.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if n == 0:
+                return None
+            return i, q
+        # numpy fallback
+        z = self._np_data
+        if self._np_pos >= len(z):
+            if not self._loop:
+                return None
+            self._np_pos = 0
+        end = self._np_pos + self.block
+        chunk = z[self._np_pos:end]
+        self._np_pos = end
+        if len(chunk) < self.block:
+            chunk = np.pad(chunk, (0, self.block - len(chunk)))
+        return (np.ascontiguousarray(chunk.real, np.float32),
+                np.ascontiguousarray(chunk.imag, np.float32))
+
+    def close(self):
+        if self._native is not None:
+            _LIB.uhsdr_ingest_close(self._native)
+            self._native = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def read_iq_file(path: str) -> np.ndarray:
+    """Whole-file IQ read (int16 interleaved raw, or stereo WAV)."""
+    if path.lower().endswith(".wav"):
+        with wave.open(path, "rb") as w:
+            assert w.getnchannels() == 2 and w.getsampwidth() == 2
+            raw = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    else:
+        raw = np.fromfile(path, np.int16)
+    raw = raw[: len(raw) // 2 * 2].astype(np.float32) / 32768.0
+    return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+
+
+def write_iq_wav(path: str, iq: np.ndarray, fs: int = 48000) -> None:
+    """Write complex IQ to 16-bit stereo WAV (the capture format the
+    reference's digital-IQ USB mode produces)."""
+    scaled = np.clip(np.stack([iq.real, iq.imag], -1) * 32767, -32768, 32767)
+    inter = scaled.astype(np.int16).reshape(-1)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(fs)
+        w.writeframes(inter.tobytes())
+
+
+def write_audio_wav(path: str, audio: np.ndarray, fs: int = 48000,
+                    norm: bool = True) -> None:
+    a = np.asarray(audio, np.float64)
+    if norm and np.max(np.abs(a)) > 0:
+        a = a / np.max(np.abs(a)) * 0.9
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(fs)
+        w.writeframes((a * 32767).astype(np.int16).tobytes())
