@@ -1,0 +1,84 @@
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from uhsdr_tpu.modems import keyer
+from uhsdr_tpu.utils import profiling
+
+
+def test_iambic_b_alternates():
+    k = keyer.Keyer(mode=keyer.KeyerMode.IAMBIC_B, wpm=20, fs=12000)
+    dit = k._dit
+    # squeeze both paddles for 20 dit-lengths
+    env = k.process(True, True, 20 * dit)
+    # expect alternating dit(1) gap(1) dah(3) gap(1) pattern
+    # detect elements
+    edges = np.flatnonzero(np.diff(np.concatenate([[0.0], env, [0.0]])))
+    assert len(edges) >= 6
+    lengths = np.diff(edges)[::2]  # mark lengths
+    # alternating short/long
+    short = lengths.min()
+    assert any(l > 2.5 * short for l in lengths)
+
+
+def test_straight_key():
+    k = keyer.Keyer(mode=keyer.KeyerMode.STRAIGHT, fs=12000)
+    env = k.process(True, False, 100)
+    assert env.all()
+    env = k.process(False, False, 100)
+    assert not env.any()
+
+
+def test_digi_buffer():
+    b = keyer.DigiTxBuffer(maxlen=4)
+    assert b.put("hello") == 4
+    assert b.has_data()
+    assert b.get() == "h"
+    b.clear()
+    assert not b.has_data()
+
+
+def test_profiler():
+    p = profiling.EventProfiler()
+    with p.event("x"):
+        pass
+    with p.event("x"):
+        pass
+    rep = p.report()
+    assert rep["x"]["count"] == 2
+    tp = profiling.throughput(48000, 10, 1.0)
+    assert abs(tp["realtime_channels_48k"] - 10) < 1e-9
+
+
+def test_cli_tx_rx_roundtrip(tmp_path):
+    iq_path = str(tmp_path / "tx.wav")
+    audio_path = str(tmp_path / "rx.wav")
+    env = dict(JAX_PLATFORMS="cpu")
+    import os
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r1 = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "tx", "--out", iq_path,
+         "--mode", "usb"], capture_output=True, text=True, env=env,
+        cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "rx", "--input", iq_path,
+         "--out", audio_path, "--mode", "usb"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    metrics = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert metrics["samples"] > 40000
+    assert metrics["audio_rms"] > 0
+    # recovered tone should be ~700 Hz
+    from uhsdr_tpu.io import ingest
+    import wave
+    with wave.open(audio_path) as w:
+        audio = np.frombuffer(w.readframes(w.getnframes()),
+                              np.int16).astype(np.float32)
+    tail = audio[24000:]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+    pk = np.fft.rfftfreq(len(tail), 1 / 48000)[spec.argmax()]
+    assert abs(pk - 700) < 15, pk

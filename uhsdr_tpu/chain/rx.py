@@ -35,6 +35,7 @@ from ..demod import ssb as ssb_mod
 from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
 from ..ops import design, fir, iir, iqcorr, lms, nco
+from . import eq as eq_mod
 from . import filterpaths
 
 IQ_RATE = 48000.0
@@ -65,6 +66,7 @@ class RxConfig:
     fade_leveler: bool = True
     cw_offset_hz: float = 700.0    # CW sidetone / passband center
     iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
+    eq: eq_mod.EqSettings = eq_mod.EqSettings()   # tone controls
 
     @property
     def path(self) -> filterpaths.FilterPath:
@@ -101,6 +103,8 @@ class RxParams(NamedTuple):
     notch: Any                    # lms.LmsParams or None
     iq_gain: float
     iq_phase: float
+    eq1_sos: np.ndarray           # decimated-rate EQ cascade (biquad1)
+    eq2_sos: np.ndarray           # 48k treble shelf (biquad2)
 
 
 class RxState(NamedTuple):
@@ -115,6 +119,8 @@ class RxState(NamedTuple):
     nr: Any
     notch: Any
     interp_carry: jnp.ndarray
+    eq1: jnp.ndarray
+    eq2: jnp.ndarray
 
 
 def make_params(cfg: RxConfig) -> RxParams:
@@ -173,6 +179,8 @@ def make_params(cfg: RxConfig) -> RxParams:
         notch=notch_params,
         iq_gain=1.0,
         iq_phase=0.0,
+        eq1_sos=eq_mod.rx_biquad1_sos(cfg.eq, fs_dec),
+        eq2_sos=eq_mod.rx_biquad2_sos(cfg.eq, IQ_RATE),
     )
 
 
@@ -194,6 +202,8 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
         interp_carry=jnp.zeros(
             bs + (-(-params.interp_fir.shape[-1] // cfg.decim) - 1,),
             jnp.float32),
+        eq1=jnp.zeros((params.eq1_sos.shape[0],) + bs + (2,), jnp.float32),
+        eq2=jnp.zeros((params.eq2_sos.shape[0],) + bs + (2,), jnp.float32),
     )
 
 
@@ -267,17 +277,23 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     if params.nr is not None:
         audio, nr_state = nr_mod.process_block(params.nr, state.nr, audio)
 
+    # --- EQ biquad1 (notch/peak/bass, audio_driver.c:2527) ---
+    audio, eq1_state = iir.biquad_cascade_block(
+        jnp.asarray(params.eq1_sos), state.eq1, audio)
+
     taps_out["audio_dec"] = audio   # decimated-rate tap (modem decoders)
 
-    # --- interpolation back to 48 kHz ---
+    # --- interpolation back to 48 kHz + treble shelf (biquad2) ---
     audio48, interp_carry = fir.fir_interpolate_block(
         params.interp_fir, state.interp_carry, audio, cfg.decim)
+    audio48, eq2_state = iir.biquad_cascade_block(
+        jnp.asarray(params.eq2_sos), state.eq2, audio48)
 
     new_state = RxState(
         iqcorr=iqc_state, nco_phase=nco_phase, front_carry=front_carry,
         audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
         sam=sam_state, fm=state.fm, nr=nr_state, notch=notch_state,
-        interp_carry=interp_carry)
+        interp_carry=interp_carry, eq1=eq1_state, eq2=eq2_state)
     return audio48, new_state, taps_out
 
 

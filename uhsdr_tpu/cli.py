@@ -1,0 +1,179 @@
+"""Command-line interface: receive/transmit on IQ captures, conformance.
+
+The host-tool layer of the framework (the reference's `support/python/`
+CAT client + config tool play this role for the firmware).
+
+Usage:
+  python -m uhsdr_tpu.cli rx --input cap.wav --mode usb --bw 2P3KHZ \
+      --out audio.wav [--nr] [--notch] [--snap]
+  python -m uhsdr_tpu.cli tx --text "CQ CQ" --mode cw --out iq.wav
+  python -m uhsdr_tpu.cli conformance
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even though this image's sitecustomize preloads
+    jax pinned to the axon TPU tunnel before env vars are consulted."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+def _fetch32(x) -> np.ndarray:
+    """Device->host fetch through float32 (the axon tunnel only transfers
+    f32; see ARCHITECTURE.md dtype constraints)."""
+    import jax.numpy as jnp
+    return np.asarray(jnp.asarray(x, jnp.float32))
+
+
+def cmd_rx(args) -> int:
+    import jax.numpy as jnp
+
+    from .chain import rx
+    from .io import ingest
+    from .spectrum import scope
+
+    cfg = rx.RxConfig(mode=args.mode, bw_key=args.bw,
+                      path_name=args.path or None,
+                      translate_hz=args.translate,
+                      nr_enable=args.nr, notch_enable=args.notch,
+                      agc_mode=args.agc, block_len=args.block)
+    chain = rx.RxChain(cfg)
+    state = chain.init_state((1,))
+    sc_params = scope.make_params(translate_hz=args.translate,
+                                  f_lo=cfg.path.audio_band[0],
+                                  f_hi=cfg.path.audio_band[1],
+                                  mode=args.mode)
+    sc_state = scope.init_state((1,), sc_params)
+
+    out = []
+    nblocks = 0
+    with ingest.IqIngest(args.input, args.block) as src:
+        while True:
+            blk = src.next_block()
+            if blk is None:
+                break
+            i_p, q_p = blk
+            audio, state, taps = chain(state, i=jnp.asarray(i_p[None]),
+                                       q=jnp.asarray(q_p[None]))
+            sc_out, sc_state = scope.process(sc_params, sc_state,
+                                             taps["spectrum_iq"])
+            out.append(_fetch32(audio)[0])
+            nblocks += 1
+            if args.max_blocks and nblocks >= args.max_blocks:
+                break
+    audio = np.concatenate(out) if out else np.zeros(0, np.float32)
+    if args.out:
+        ingest.write_audio_wav(args.out, audio)
+    metrics = {
+        "blocks": nblocks,
+        "samples": int(audio.size),
+        "audio_rms": float(np.sqrt(np.mean(audio ** 2))) if audio.size else 0,
+        "dbm": float(_fetch32(sc_out["dbm"])[0]) if nblocks else None,
+        "snap_freq_hz": float(_fetch32(sc_out["snap_freq"])[0])
+        if nblocks else None,
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_tx(args) -> int:
+    import jax.numpy as jnp
+
+    from .chain import tx
+    from .io import ingest
+    from .modems import cw_text
+
+    fs = 48000
+    if args.mode == "cw":
+        env = cw_text.text_to_keying(args.text or "CQ TEST", args.wpm, fs)
+        audio = env
+        cfg = tx.TxConfig(mode="cw", translate_hz=args.translate)
+    else:
+        if args.audio_in:
+            import wave
+            with wave.open(args.audio_in) as w:
+                raw = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+                if w.getnchannels() == 2:
+                    raw = raw[0::2]
+                audio = raw.astype(np.float32) / 32768.0
+        else:
+            t = np.arange(fs * 2) / fs
+            audio = (0.5 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+        cfg = tx.TxConfig(mode=args.mode, translate_hz=args.translate)
+    chain = tx.TxChain(cfg)
+    state = chain.init_state((1,))
+    B = 4096
+    n = (len(audio) // B) * B
+    iqs = []
+    for k in range(0, n, B):
+        i_p, q_p, state = chain(state, jnp.asarray(audio[None, k:k + B]))
+        iqs.append(_fetch32(i_p)[0] + 1j * _fetch32(q_p)[0])
+    iq = np.concatenate(iqs) * 0.5
+    ingest.write_iq_wav(args.out, iq.astype(np.complex64))
+    print(json.dumps({"samples": int(iq.size), "out": args.out}))
+    return 0
+
+
+def cmd_conformance(args) -> int:
+    """Run the BASELINE.json-style configs on synthetic signals and report
+    output SNRs (the recorded-capture analog of the reference's GNURadio
+    model check)."""
+    import subprocess
+    rc = subprocess.call([sys.executable, "-m", "pytest",
+                          "tests/test_rx_chain.py", "tests/test_tx_chain.py",
+                          "tests/test_demod.py", "-q", "--no-header"])
+    return rc
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="uhsdr_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rxp = sub.add_parser("rx", help="demodulate an IQ capture")
+    rxp.add_argument("--input", required=True)
+    rxp.add_argument("--out", default="")
+    rxp.add_argument("--mode", default="usb",
+                     choices=["usb", "lsb", "cw", "am", "sam", "fm"])
+    rxp.add_argument("--bw", default="2P3KHZ")
+    rxp.add_argument("--path", default="")
+    rxp.add_argument("--translate", type=float, default=6000.0)
+    rxp.add_argument("--agc", default="med")
+    rxp.add_argument("--nr", action="store_true")
+    rxp.add_argument("--notch", action="store_true")
+    rxp.add_argument("--block", type=int, default=4096)
+    rxp.add_argument("--max-blocks", type=int, default=0)
+    rxp.set_defaults(fn=cmd_rx)
+
+    txp = sub.add_parser("tx", help="modulate to an IQ capture")
+    txp.add_argument("--out", required=True)
+    txp.add_argument("--mode", default="usb",
+                     choices=["usb", "lsb", "am", "fm", "cw"])
+    txp.add_argument("--text", default="")
+    txp.add_argument("--wpm", type=float, default=20.0)
+    txp.add_argument("--audio-in", default="")
+    txp.add_argument("--translate", type=float, default=6000.0)
+    txp.set_defaults(fn=cmd_tx)
+
+    cp = sub.add_parser("conformance", help="run conformance checks")
+    cp.set_defaults(fn=cmd_conformance)
+
+    args = p.parse_args(argv)
+    _apply_platform_env()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,7 +71,7 @@ class FmState(NamedTuple):
     hpf_b: jnp.ndarray         # (...,)
     sql_sos_state: jnp.ndarray # (n_sections, ..., 2)
     sql_avg: jnp.ndarray       # (...,)
-    sql_count: jnp.ndarray     # (...,) int32 sub-block counter
+    sql_count: jnp.ndarray     # (...,) float sub-block counter
     squelched: jnp.ndarray     # (...,) bool
     tone_acc: jnp.ndarray      # (..., 3) complex64 accumulators [ctr, low, high]
     tone_phase: jnp.ndarray    # (..., 3) uint32 NCO phases
@@ -89,7 +89,7 @@ def init_state(batch_shape, params: FmParams) -> FmState:
         z_prev=zc, lpf=z, hpf_a=z, hpf_b=z,
         sql_sos_state=jnp.zeros((params.squelch_sos.shape[0],) +
                                 tuple(batch_shape) + (2,), jnp.float32),
-        sql_avg=z, sql_count=zi,
+        sql_avg=z, sql_count=z,
         squelched=jnp.zeros(batch_shape, bool),
         tone_acc=jnp.zeros(tuple(batch_shape) + (3,), jnp.complex64),
         tone_phase=jnp.zeros(tuple(batch_shape) + (3,), jnp.uint32),
@@ -106,14 +106,17 @@ def _squelch_scan(params: FmParams, state: FmState, noise_samples: jnp.ndarray):
     """
     thr = params.sql_threshold
 
+    # float counter + boolean squelch carry; all blends arithmetic (scan
+    # carries through constant-branch selects serialize on the axon TPU)
     def step(carry, ns):
         sql_avg, count, squelched = carry
         sql_avg = (1 - SQL_SMOOTHING) * sql_avg + SQL_SMOOTHING * ns
-        count = (count + 1) % SQL_PROC_DECIM
-        do_eval = count == 0
+        count = count + 1.0
+        do_eval = count > (SQL_PROC_DECIM - 0.5)
+        ev = do_eval.astype(jnp.float32)
+        count = count * (1.0 - ev)
         capped = jnp.minimum(sql_avg, 0.175)
-        scaled = jnp.minimum(capped * 172.0, 24.0)
-        scaled = 22.0 - scaled
+        scaled = 22.0 - jnp.minimum(capped * 172.0, 24.0)
         if thr == 0:
             new_squelched = jnp.zeros_like(squelched)
         else:
@@ -123,13 +126,14 @@ def _squelch_scan(params: FmParams, state: FmState, noise_samples: jnp.ndarray):
             else:
                 close_cond = scaled < thr
             new_squelched = jnp.where(squelched, ~open_cond, close_cond)
-        squelched = jnp.where(do_eval, new_squelched, squelched)
-        sql_avg = jnp.where(do_eval, capped, sql_avg)
+        squelched = (do_eval & new_squelched) | (~do_eval & squelched)
+        sql_avg = ev * capped + (1.0 - ev) * sql_avg
         return (sql_avg, count, squelched), squelched
 
     ns_t = jnp.moveaxis(noise_samples, -1, 0)
     (sql_avg, count, squelched), sq_seq = jax.lax.scan(
-        step, (state.sql_avg, state.sql_count, state.squelched), ns_t)
+        step, (state.sql_avg, state.sql_count, state.squelched), ns_t,
+        unroll=4)
     return sql_avg, count, squelched, jnp.moveaxis(sq_seq, 0, -1)
 
 

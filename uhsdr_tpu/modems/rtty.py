@@ -74,27 +74,27 @@ class RttyRxState(NamedTuple):
     space_bq: jnp.ndarray
     lpf_bq: jnp.ndarray
     atc_env: jnp.ndarray     # (..., 4): mark_env, space_env, mark_noise, space_noise
-    # DPLL/UART scan state
-    dpll_phase: jnp.ndarray  # (...,) int32
-    dpll_oldval: jnp.ndarray # (...,) bool
+    # DPLL/UART scan state — all float32 (exact small integers; see the
+    # axon scan-carry PERF NOTE in ops/agc.py)
+    dpll_phase: jnp.ndarray
+    dpll_oldval: jnp.ndarray
     dpll_changed: jnp.ndarray
-    run_state: jnp.ndarray   # (...,) int32 0=wait_start 1=bits
-    wait_state: jnp.ndarray  # (...,) int32 start-bit detector state
-    wait_half: jnp.ndarray   # (...,) int32
-    byte_acc: jnp.ndarray    # (...,) int32
-    byte_pos: jnp.ndarray    # (...,) int32
+    run_state: jnp.ndarray   # 0=wait_start 1=bits
+    wait_state: jnp.ndarray  # start-bit detector state
+    wait_half: jnp.ndarray
+    byte_acc: jnp.ndarray
+    byte_pos: jnp.ndarray
 
 
 def init_state(batch_shape) -> RttyRxState:
     bs = tuple(batch_shape)
     z2 = jnp.zeros(bs + (2,), jnp.float32)
-    zi = jnp.zeros(bs, jnp.int32)
-    zb = jnp.zeros(bs, bool)
+    z = jnp.zeros(bs, jnp.float32)
     return RttyRxState(mark_bq=z2, space_bq=z2, lpf_bq=z2,
                        atc_env=jnp.zeros(bs + (4,), jnp.float32),
-                       dpll_phase=zi, dpll_oldval=zb, dpll_changed=zb,
-                       run_state=zi, wait_state=zi, wait_half=zi,
-                       byte_acc=zi, byte_pos=zi)
+                       dpll_phase=z, dpll_oldval=z, dpll_changed=z,
+                       run_state=z, wait_state=z, wait_half=z,
+                       byte_acc=z, byte_pos=z)
 
 
 def _atc_scan(params: RttyParams, env0: jnp.ndarray, mark2: jnp.ndarray,
@@ -102,17 +102,24 @@ def _atc_scan(params: RttyParams, env0: jnp.ndarray, mark2: jnp.ndarray,
     """fldigi decayavg envelopes (fast attack / slow decay) + optimal ATC.
     Returns (v1 per sample, final env)."""
     ob = params.one_bit
+    # reciprocal weights blended arithmetically (constant-branch selects
+    # inside scan carries serialize on the axon TPU backend)
+    w_fast = np.float32(4.0 / ob)
+    w_slow16 = np.float32(1.0 / (ob * 16))
+    w_slow48 = np.float32(1.0 / (ob * 48))
 
-    def decay(avg, x, w):
-        return (x - avg) / w + avg
+    def decay(avg, x, up_mask, w_up, w_dn):
+        w = up_mask * w_up + (1.0 - up_mask) * w_dn
+        return (x - avg) * w + avg
 
     def step(env, ms):
         m, s = ms
         me, se, mn, sn = env[..., 0], env[..., 1], env[..., 2], env[..., 3]
-        me = decay(me, m, jnp.where(m > me, ob / 4, ob * 16).astype(jnp.float32))
-        se = decay(se, s, jnp.where(s > se, ob / 4, ob * 16).astype(jnp.float32))
-        mn = decay(mn, m, jnp.where(m < mn, ob / 4, ob * 48).astype(jnp.float32))
-        sn = decay(sn, s, jnp.where(s < sn, ob / 4, ob * 48).astype(jnp.float32))
+        f32 = jnp.float32
+        me = decay(me, m, (m > me).astype(f32), w_fast, w_slow16)
+        se = decay(se, s, (s > se).astype(f32), w_fast, w_slow16)
+        mn = decay(mn, m, (m < mn).astype(f32), w_fast, w_slow48)
+        sn = decay(sn, s, (s < sn).astype(f32), w_fast, w_slow48)
         nf = jnp.minimum(mn, sn)
         mc = jnp.clip(jnp.minimum(m, me), nf, None)
         sc = jnp.clip(jnp.minimum(s, se), nf, None)
@@ -151,72 +158,74 @@ def demodulate(params: RttyParams, state: RttyRxState, audio: jnp.ndarray):
     bitval = v1 > 0 if params.atc else v1 <= 0
 
     # ---- DPLL + async UART framing scan ----
-    ob = params.one_bit
-    nbits = 5
+    # All carries float32, all blends arithmetic: scan carries updated via
+    # constant-branch selects serialize on the axon TPU backend (see
+    # ops/agc.py PERF NOTE).  Integer quantities (phase counter, bit index,
+    # accumulated code) are exact small floats; bit packing uses exp2.
+    ob = np.float32(params.one_bit)
+    ob_half = np.float32(params.one_bit // 2)
+    ob_nudge = np.float32(max(params.one_bit // 32, 1))
+    nbits = 5.0
 
     def step(carry, bv):
         (phase, oldval, changed, run, wstate, whalf, acc, pos) = carry
-        emit = jnp.int32(-1)
+        f32 = jnp.float32
+        b = bv.astype(f32)            # 1 = mark
+        sp = 1.0 - b                  # 1 = space
 
-        # start-bit waiter (run==0): states 0 falling-edge arm, 1 wait mark
-        # end, 2/3 half-bit confirm (rtty.c:594-632). bit sense: 0=space
-        is_space = ~bv
-        w0 = (wstate == 0) & bv
-        w1 = (wstate == 1) & is_space
-        wstate_n = jnp.where(w0, 1, jnp.where(w1, 2, wstate))
-        start_half = wstate_n == 2
-        whalf_n = jnp.where(start_half, ob // 2, whalf)
-        wstate_n = jnp.where(start_half, 3, wstate_n)
-        in_confirm = wstate_n == 3
-        whalf_n = jnp.where(in_confirm, whalf_n - 1, whalf_n)
-        confirmed = in_confirm & (whalf_n == 0)
-        got_start = confirmed & is_space
-        wstate_n = jnp.where(confirmed, 0, wstate_n)
+        # start-bit waiter (rtty.c:594-632): 0 arm on mark, 1 wait space,
+        # 2 load half-bit timer, 3 count down and confirm space
+        is_w = (run < 0.5).astype(f32)
+        w0 = (wstate < 0.5).astype(f32)
+        w1 = ((wstate > 0.5) & (wstate < 1.5)).astype(f32)
+        w3 = (wstate > 2.5).astype(f32)
+        adv0 = w0 * b                 # arm
+        adv1 = w1 * sp                # falling edge seen
+        wstate_n = wstate + adv0 + adv1          # 0->1, 1->2
+        start_half = ((wstate_n > 1.5) & (wstate_n < 2.5)).astype(f32)
+        whalf_n = start_half * ob_half + (1.0 - start_half) * whalf
+        wstate_n = wstate_n + start_half         # 2->3
+        in_conf = (wstate_n > 2.5).astype(f32)
+        whalf_n = whalf_n - in_conf
+        confirmed = in_conf * (whalf_n < 0.5).astype(f32)
+        got_start = is_w * confirmed * sp
+        wstate_n = wstate_n * (1.0 - confirmed)  # reset waiter
 
-        # entering bit mode
-        run_n = jnp.where((run == 0) & got_start, 1, run)
-        phase = jnp.where((run == 0) & got_start, 0, phase)
-        acc = jnp.where((run == 0) & got_start, 0, acc)
-        pos = jnp.where((run == 0) & got_start, 0, pos)
+        run_n = run + got_start * (1.0 - run)
+        phase = phase * (1.0 - got_start)
+        acc = acc * (1.0 - got_start)
+        pos = pos * (1.0 - got_start)
 
-        # DPLL (only in run==1)
-        edge = (bv != oldval) & ~changed
-        early = phase < ob // 2
-        phase_adj = jnp.where(edge & early, phase + ob // 32,
-                              jnp.where(edge, phase - ob // 32, phase))
-        changed_n = jnp.where(edge, True, changed)
-        phase_n = phase_adj + 1
-        bit_ready = phase_n >= ob
-        phase_n = jnp.where(bit_ready, phase_n - ob, phase_n)
-        changed_n = jnp.where(bit_ready, False, changed_n)
+        # DPLL (active in run==1)
+        active = (run > 0.5).astype(f32)
+        edge = active * (b != oldval).astype(f32) * (1.0 - changed)
+        early = (phase < ob_half).astype(f32)
+        phase = phase + edge * (2.0 * early - 1.0) * ob_nudge
+        changed_n = jnp.minimum(changed + edge, 1.0)
+        phase_n = phase + active
+        bit_ready = active * (phase_n > ob - 0.5).astype(f32)
+        phase_n = phase_n - bit_ready * ob
+        changed_n = changed_n * (1.0 - bit_ready)
 
-        active = run == 1
-        # sample bit at center: when bit_ready fires we take current bv
-        take = active & bit_ready
-        acc_n = jnp.where(take & (pos < nbits),
-                          acc | (bv.astype(jnp.int32) << pos), acc)
-        pos_n = jnp.where(take, pos + 1, pos)
-        done = take & (pos_n >= nbits + 1)   # 5 data bits + stop bit sampled
-        # stop bit must be mark; emit either way (reference emits value)
-        emit = jnp.where(done, acc_n, emit)
-        run_n = jnp.where(done, 0, run_n)
+        take = bit_ready
+        in_data = (pos < nbits - 0.5).astype(f32)
+        acc_n = acc + take * in_data * b * jnp.exp2(pos)
+        pos_n = pos + take
+        done = take * (pos_n > nbits + 0.5).astype(f32)  # 5 data + stop
+        emit = done * acc_n + (1.0 - done) * (-1.0)
+        run_n = run_n * (1.0 - done)
 
-        new_carry = (jnp.where(active, phase_n, phase),
-                     bv,
-                     jnp.where(active, changed_n, changed),
-                     run_n,
-                     jnp.where(run_n == 0, wstate_n, jnp.int32(0)),
-                     whalf_n,
-                     jnp.where(done, 0, acc_n),
-                     jnp.where(done, 0, pos_n))
+        new_carry = (phase_n, b, changed_n, run_n,
+                     wstate_n * (1.0 - active), whalf_n,
+                     acc_n * (1.0 - done), pos_n * (1.0 - done))
         return new_carry, emit
 
     carry0 = (state.dpll_phase, state.dpll_oldval, state.dpll_changed,
               state.run_state, state.wait_state, state.wait_half,
               state.byte_acc, state.byte_pos)
     bv_t = jnp.moveaxis(bitval, -1, 0)
-    carry_f, emits = jax.lax.scan(step, carry0, bv_t, unroll=8)
-    emits = jnp.moveaxis(emits, 0, -1)          # (..., T) int32, -1 = none
+    carry_f, emits_f = jax.lax.scan(step, carry0, bv_t, unroll=8)
+    emits = jnp.moveaxis(emits_f, 0, -1).astype(jnp.int32)  # -1 = none
 
     # compact: gather emitted codes into a fixed-size per-block buffer
     # (only this small buffer ever leaves the device)

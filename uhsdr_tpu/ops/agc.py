@@ -144,13 +144,15 @@ class AgcState(NamedTuple):
 
 
 def init_state(batch_shape, params: AgcParams) -> AgcState:
+    # all-float state: integer-valued quantities (hang counter, decay type,
+    # state id) are carried as exact small floats — see the PERF NOTE in
+    # run() about scan carries on the axon TPU backend
     z = jnp.zeros(batch_shape, jnp.float32)
-    zi = jnp.zeros(batch_shape, jnp.int32)
     return AgcState(
         delay=jnp.zeros(tuple(batch_shape) + (params.attack_buffsize,),
                         jnp.float32),
         volts=z, save_volts=z, fast_backaverage=z, hang_backaverage=z,
-        hang_counter=zi, decay_type=zi, state=zi,
+        hang_counter=z, decay_type=z, state=z,
         dc=jnp.zeros(tuple(batch_shape) + (2,), jnp.float32))
 
 
@@ -206,66 +208,71 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
                                        state.hang_backaverage, abs_out)
 
     # --- the 5-state gain machine (sequential, tiny state) ---
+    # PERF NOTE (axon TPU): a scan carry updated through jnp.where /
+    # jnp.select whose branches are constants serializes the loop
+    # catastrophically (~1000x, measured in-session); the body below blends
+    # every update arithmetically with {0,1} float masks instead.  All
+    # carries are float32 (the state id lives in {0..4} exactly).
+    f32 = jnp.float32
+    hang_en = np.float32(1.0 if params.hang_enable else 0.0)
+    hang_time = np.float32(params.hang_time_samples)
+
     def step(carry, inp):
         volts, save_volts, hang_counter, decay_type, st = carry
         rm, fb, hb = inp
-        hang_counter = jnp.maximum(hang_counter - 1, 0)
+        hang_counter = jnp.maximum(hang_counter - 1.0, 0.0)
 
         attack_v = volts + (rm - volts) * params.attack_mult
         fast_v = volts + (rm - volts) * params.fast_decay_mult
         long_v = volts + (rm - volts) * params.decay_mult
         hangd_v = volts + (rm - volts) * params.hang_decay_mult
-        attacking = rm >= volts
 
-        hang_trigger = params.hang_enable & (hb > params.hang_level)
+        att = (rm >= volts).astype(f32)
+        natt = 1.0 - att
+        is0 = (st < 0.5).astype(f32)
+        is1 = ((st > 0.5) & (st < 1.5)).astype(f32)
+        is2 = ((st > 1.5) & (st < 2.5)).astype(f32)
+        is3 = ((st > 2.5) & (st < 3.5)).astype(f32)
+        is4 = (st > 3.5).astype(f32)
 
-        # state 0
-        s0_fast = volts > params.pop_ratio * fb
-        s0_state = jnp.where(attacking, 0,
-                    jnp.where(s0_fast, 1,
-                     jnp.where(hang_trigger, 2, 3)))
-        s0_volts = jnp.where(attacking, attack_v,
-                    jnp.where(s0_fast, fast_v,
-                     jnp.where(hang_trigger, volts, long_v)))
-        s0_hang = jnp.where(~attacking & ~s0_fast & hang_trigger,
-                            params.hang_time_samples, hang_counter)
-        s0_decay = jnp.where(~attacking & ~s0_fast,
-                             jnp.where(hang_trigger, 1, 0), decay_type)
-        s0_save = save_volts
+        ht = hang_en * (hb > params.hang_level).astype(f32)
+        s0_fast = (volts > params.pop_ratio * fb).astype(f32)
+        s1_fastc = (volts > save_volts).astype(f32)
+        hc_wait = (hang_counter > 0.5).astype(f32)
+        hc_zero = 1.0 - hc_wait
+        dt1 = decay_type              # decay_type in {0,1} as float
+        dt0 = 1.0 - dt1
 
-        # state 1
-        s1_fastcont = volts > save_volts
-        s1_hangwait = hang_counter > 0
-        s1_state = jnp.where(attacking, 0,
-                    jnp.where(s1_fastcont, 1,
-                     jnp.where(s1_hangwait, 2,
-                      jnp.where(decay_type == 0, 3, 4))))
-        s1_volts = jnp.where(attacking, attack_v,
-                    jnp.where(s1_fastcont, fast_v,
-                     jnp.where(s1_hangwait, volts,
-                      jnp.where(decay_type == 0, long_v, hangd_v))))
+        # mutually exclusive branch masks (reference case analysis,
+        # audio_agc.c:436-551)
+        m0a = is0 * att
+        m0f = is0 * natt * s0_fast
+        m0h = is0 * natt * (1 - s0_fast) * ht
+        m0l = is0 * natt * (1 - s0_fast) * (1 - ht)
+        m1a = is1 * att
+        m1f = is1 * natt * s1_fastc
+        m1w = is1 * natt * (1 - s1_fastc) * hc_wait
+        m1l = is1 * natt * (1 - s1_fastc) * hc_zero * dt0
+        m1h = is1 * natt * (1 - s1_fastc) * hc_zero * dt1
+        m2a = is2 * att
+        m2d = is2 * natt * hc_zero
+        m2s = is2 * natt * hc_wait
+        m3a = is3 * att
+        m3d = is3 * natt
+        m4a = is4 * att
+        m4d = is4 * natt
 
-        # states 2..4 share: attack -> state 0 + save_volts
-        s2_state = jnp.where(attacking, 0,
-                    jnp.where(hang_counter == 0, 4, 2))
-        s2_volts = jnp.where(attacking, attack_v,
-                    jnp.where(hang_counter == 0, hangd_v, volts))
-        s3_state = jnp.where(attacking, 0, 3)
-        s3_volts = jnp.where(attacking, attack_v, long_v)
-        s4_state = jnp.where(attacking, 0, 4)
-        s4_volts = jnp.where(attacking, attack_v, hangd_v)
-
-        new_volts = jnp.select(
-            [st == 0, st == 1, st == 2, st == 3],
-            [s0_volts, s1_volts, s2_volts, s3_volts], s4_volts)
-        new_state = jnp.select(
-            [st == 0, st == 1, st == 2, st == 3],
-            [s0_state, s1_state, s2_state, s3_state], s4_state)
-        # save_volts updated when attacking from states 2,3,4
-        new_save = jnp.where((st >= 2) & attacking, volts,
-                             jnp.where(st == 0, s0_save, save_volts))
-        new_hang = jnp.where(st == 0, s0_hang, hang_counter)
-        new_decay = jnp.where(st == 0, s0_decay, decay_type)
+        new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
+                     + (m0f + m1f) * fast_v
+                     + (m0l + m1l + m3d) * long_v
+                     + (m1h + m2d + m4d) * hangd_v
+                     + (m0h + m1w + m2s) * volts)
+        new_state = ((m0f + m1f) * 1.0 + (m0h + m1w + m2s) * 2.0
+                     + (m0l + m1l + m3d) * 3.0 + (m1h + m2d + m4d) * 4.0)
+        save_upd = m2a + m3a + m4a      # attack from states 2/3/4
+        new_save = save_upd * volts + (1.0 - save_upd) * save_volts
+        new_hang = m0h * hang_time + (1.0 - m0h) * hang_counter
+        new_decay = m0h * 1.0 + (1.0 - (m0h + m0l)) * decay_type
 
         new_volts = jnp.maximum(new_volts, params.min_volts)
         return (new_volts, new_save, new_hang, new_decay, new_state), new_volts
@@ -275,8 +282,11 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
            jnp.moveaxis(hba, -1, 0))
     carry0 = (state.volts, state.save_volts, state.hang_counter,
               state.decay_type, state.state)
+    # NOTE: no `unroll` here — unrolling this body makes XLA:CPU compile
+    # time explode (>2 min for unroll=8, measured); XLA already keeps the
+    # rolled loop body fused and the scan is latency- not overhead-bound.
     (volts_f, save_f, hang_f, decay_f, st_f), volts_seq = jax.lax.scan(
-        step, carry0, seq, unroll=8)
+        step, carry0, seq)
     volts_t = jnp.moveaxis(volts_seq, 0, -1)
 
     vo = jnp.minimum(jnp.log10(params.inv_max_input * volts_t), 0.0)

@@ -66,15 +66,17 @@ def correct(state: IqCorrState, i_in: jnp.ndarray, q_in: jnp.ndarray):
     a3 = jnp.sum(jnp.abs(q_b), axis=-1) / SUBBLOCK
 
     def step(carry, accs):
+        # arithmetic-only blends (axon scan-carry PERF NOTE, ops/agc.py)
         t1, t2, t3 = carry
         x1, x2, x3 = accs
         t1 = -LP_B * x1 + LP_A * t1
         t2 = LP_B * x2 + LP_A * t2
         t3 = LP_B * x3 + LP_A * t3
-        c1 = jnp.where(t2 != 0.0, t1 / jnp.where(t2 == 0, 1.0, t2), 0.0)
-        h = jnp.where(t2 > 0, (t3 * t3 - t1 * t1) /
-                      jnp.maximum(t2 * t2, 1e-20), 0.0)
-        c2 = jnp.where(h > 0, jnp.sqrt(jnp.maximum(h, 0.0)), 1.0)
+        nz = (jnp.abs(t2) > 1e-20).astype(jnp.float32)
+        c1 = nz * t1 * t2 / (t2 * t2 + 1e-20)
+        h = (t3 * t3 - t1 * t1) / (t2 * t2 + 1e-20)
+        hp = (h > 0).astype(jnp.float32) * nz
+        c2 = hp * jnp.sqrt(jnp.maximum(h, 1e-20)) + (1.0 - hp)
         return (t1, t2, t3), (c1, c2)
 
     (t1f, t2f, t3f), (c1_seq, c2_seq) = jax.lax.scan(
