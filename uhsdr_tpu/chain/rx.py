@@ -32,6 +32,7 @@ from ..demod import am as am_mod
 from ..demod import fm as fm_mod
 from ..demod import sam as sam_mod
 from ..demod import ssb as ssb_mod
+from ..nr import blanker as nb_mod
 from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
 from ..ops import design, fir, iir, iqcorr, lms, nco
@@ -59,6 +60,8 @@ class RxConfig:
     agc_thresh_db: float = 60.0
     nr_enable: bool = False
     nr_strength: int = 141         # alpha = 0.799 + strength/1000 (:1195)
+    nb_enable: bool = False        # LPC impulse noise blanker
+    nb_setting: int = 8            # 0..15 (audio_nr.c:2434)
     notch_enable: bool = False
     sql_threshold: int = 0         # FM squelch
     subtone_hz: float = 0.0        # FM subaudible tone detect
@@ -100,6 +103,7 @@ class RxParams(NamedTuple):
     sam: sam_mod.SamParams
     fm: Any                       # fm_mod.FmParams or None
     nr: Any                       # nr_mod.NrParams or None
+    nb: Any                       # nb_mod.NbParams or None
     notch: Any                    # lms.LmsParams or None
     iq_gain: float
     iq_phase: float
@@ -117,6 +121,7 @@ class RxState(NamedTuple):
     sam: sam_mod.SamState
     fm: Any
     nr: Any
+    nb: Any
     notch: Any
     interp_carry: jnp.ndarray
     eq1: jnp.ndarray
@@ -176,6 +181,7 @@ def make_params(cfg: RxConfig) -> RxParams:
         sam=sam_mod.make_params(fs_dec),
         fm=fm_params,
         nr=nr_params,
+        nb=nb_mod.make_params(cfg.nb_setting) if cfg.nb_enable else None,
         notch=notch_params,
         iq_gain=1.0,
         iq_phase=0.0,
@@ -198,6 +204,7 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
         sam=sam_mod.init_state(bs),
         fm=fm_mod.init_state(bs, params.fm) if params.fm is not None else None,
         nr=nr_mod.init_state(bs) if params.nr is not None else None,
+        nb=nb_mod.init_state(bs) if params.nb is not None else None,
         notch=lms.init_state(bs, params.notch) if params.notch is not None else None,
         interp_carry=jnp.zeros(
             bs + (-(-params.interp_fir.shape[-1] // cfg.decim) - 1,),
@@ -273,6 +280,12 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     # samples, max_input 4096)
     audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
 
+    # --- LPC impulse noise blanker (alt_noise_blanking, runs on the NR
+    # input in the reference: audio_nr.c:357-366) ---
+    nb_state = state.nb
+    if params.nb is not None:
+        audio, nb_state = nb_mod.process_block(params.nb, state.nb, audio)
+
     nr_state = state.nr
     if params.nr is not None:
         audio, nr_state = nr_mod.process_block(params.nr, state.nr, audio)
@@ -292,7 +305,8 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     new_state = RxState(
         iqcorr=iqc_state, nco_phase=nco_phase, front_carry=front_carry,
         audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
-        sam=sam_state, fm=state.fm, nr=nr_state, notch=notch_state,
+        sam=sam_state, fm=state.fm, nr=nr_state, nb=nb_state,
+        notch=notch_state,
         interp_carry=interp_carry, eq1=eq1_state, eq2=eq2_state)
     return audio48, new_state, taps_out
 

@@ -189,6 +189,82 @@ class OverlapSaveFilter:
 
 
 # ---------------------------------------------------------------------------
+# Uniformly-partitioned convolution (low-latency long filters)
+# ---------------------------------------------------------------------------
+
+class PartitionedConvolver:
+    """Uniformly-partitioned block overlap-save convolution.
+
+    Reference: the experimental WDSP-style `USE_CONVOLUTION` RX path
+    (`audio_convolution.c:284-352,480+`): 128-sample blocks, 1024-tap
+    filters split into 8 partitions, frequency-domain masks, 2.7 ms
+    latency.  The partitioning keeps per-block latency at `block_len`
+    samples regardless of filter length — the filter's tail partitions
+    multiply *older* input spectra held in a frequency-delay line (FDL).
+
+    TPU shape: the per-block work is one FFT of 2B samples plus a
+    (P, bins) x (P, bins) multiply-accumulate over the FDL — fully
+    batched over channels, and the FDL update is a roll of a static
+    (P, ..., bins) array.
+
+    Usage:
+        pc = PartitionedConvolver(h, block_len=128)
+        state = pc.init_state(batch_shape, dtype)
+        y, state = pc(state, x)      # x: (..., block_len)
+    """
+
+    def __init__(self, h: np.ndarray, block_len: int = 128):
+        B = int(block_len)
+        h = np.asarray(h)
+        taps = h.shape[-1]
+        P = -(-taps // B)                      # partitions
+        pad = P * B - taps
+        hp = np.concatenate([h, np.zeros(pad, h.dtype)]) if pad else h
+        parts = hp.reshape(P, B)
+        self.block_len = B
+        self.parts = P
+        self.nfft = 2 * B
+        self.complex = np.iscomplexobj(h)
+        # H[p] = FFT_{2B}(part_p zero-padded); keep both full and rfft
+        # spectra so real taps also work on complex input
+        self.H_c = jnp.asarray(
+            np.fft.fft(parts, n=self.nfft, axis=-1).astype(np.complex64))
+        self.H_r = None if self.complex else jnp.asarray(
+            np.fft.rfft(parts, n=self.nfft, axis=-1).astype(np.complex64))
+
+    def init_state(self, batch_shape, dtype):
+        bins = self.nfft if self.complex or jnp.issubdtype(
+            jnp.dtype(dtype), jnp.complexfloating) else self.nfft // 2 + 1
+        fdl = jnp.zeros((self.parts,) + tuple(batch_shape) + (bins,),
+                        jnp.complex64)
+        prev = jnp.zeros(tuple(batch_shape) + (self.block_len,), dtype)
+        return (fdl, prev)
+
+    def __call__(self, state, x):
+        fdl, prev = state
+        B = self.block_len
+        buf = jnp.concatenate([prev, x], axis=-1)      # (..., 2B)
+        cplx_in = jnp.iscomplexobj(x) or self.complex
+        if cplx_in:
+            X = fftutil.cfft(buf, self.nfft)
+            H = self.H_c
+        else:
+            X = jnp.fft.rfft(buf, n=self.nfft, axis=-1)
+            H = self.H_r
+        # FDL: newest spectrum at index 0
+        fdl = jnp.roll(fdl, 1, axis=0)
+        fdl = fdl.at[0].set(X)
+        # expand H across batch dims: (P, 1..., bins)
+        Hx = H.reshape((self.parts,) + (1,) * (fdl.ndim - 2) + (H.shape[-1],))
+        Y = jnp.sum(fdl * Hx, axis=0)
+        if cplx_in:
+            y = fftutil.icfft(Y)[..., B:]
+        else:
+            y = jnp.fft.irfft(Y, n=self.nfft, axis=-1)[..., B:]
+        return y, (fdl, x)
+
+
+# ---------------------------------------------------------------------------
 # Pure stateless helpers (for offline / test use)
 # ---------------------------------------------------------------------------
 

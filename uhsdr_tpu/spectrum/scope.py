@@ -164,3 +164,34 @@ def waterfall_row(spectrum: jnp.ndarray, floor_db: float = -20.0,
     db = 20.0 * jnp.log10(jnp.maximum(spectrum, 1e-12))
     scaled = (db - floor_db) / range_db
     return jnp.clip(scaled * 255.0, 0.0, 255.0).astype(jnp.float32)
+
+
+class WaterfallImage:
+    """Rolling waterfall display buffer with automatic floor tracking.
+
+    The reference scrolls palette rows down the LCD and auto-adjusts the
+    display floor from the running spectrum statistics
+    (`ui_spectrum.c:1099-1348`, floor AGC around `:1466-1500`).  Here the
+    "display" is a (rows, fft_len) numpy image of palette indices per
+    channel consumer; the floor tracks the 10th percentile of each row
+    with one-pole smoothing so weak-signal detail stays visible.
+    """
+
+    def __init__(self, fft_len: int, rows: int = 128, range_db: float = 60.0,
+                 floor_alpha: float = 0.1):
+        self.image = np.zeros((rows, fft_len), np.uint8)
+        self.range_db = float(range_db)
+        self.floor_alpha = float(floor_alpha)
+        self.floor_db = -20.0
+        self._filled = 0
+
+    def push(self, spectrum: np.ndarray) -> None:
+        """spectrum: (fft_len,) linear magnitudes (one channel)."""
+        db = 20.0 * np.log10(np.maximum(np.asarray(spectrum), 1e-12))
+        target_floor = float(np.percentile(db, 10.0))
+        self.floor_db += self.floor_alpha * (target_floor - self.floor_db)
+        row = np.clip((db - self.floor_db) / self.range_db * 255.0,
+                      0.0, 255.0).astype(np.uint8)
+        self.image = np.roll(self.image, 1, axis=0)
+        self.image[0] = row
+        self._filled = min(self._filled + 1, self.image.shape[0])
