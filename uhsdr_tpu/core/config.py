@@ -32,6 +32,7 @@ class ConfigEntry:
     max: float | None = None
     typ: type = int
     doc: str = ""
+    choices: tuple = ()       # for str entries: CAT enumeration order
 
     def clamp(self, value):
         v = self.typ(value)
@@ -42,6 +43,38 @@ class ConfigEntry:
                 v = min(v, self.typ(self.max))
         return v
 
+    @property
+    def eeprom_id(self) -> int:
+        """Stable 16-bit variable id for the CAT/EEPROM transport (the
+        reference's ui_configuration.h EEPROM id role)."""
+        return 0x100 + REGISTRY.index(self)
+
+    def cat_encode(self, value) -> int:
+        """Encode a config value into the 16-bit CAT wire format:
+        ints pass through, floats are x10 fixed-point, strings are their
+        index in `choices`."""
+        if self.typ is str:
+            try:
+                return self.choices.index(value)
+            except ValueError:
+                return 0
+        if self.typ is float:
+            return int(round(float(value) * 10.0)) & 0xFFFF
+        return int(value) & 0xFFFF
+
+    def cat_decode(self, raw: int):
+        if self.typ is str:
+            if 0 <= raw < len(self.choices):
+                return self.choices[raw]
+            return self.default
+        if self.typ is float:
+            if raw >= 0x8000:
+                raw -= 0x10000
+            return raw / 10.0
+        if raw >= 0x8000 and self.min is not None and self.min < 0:
+            raw -= 0x10000
+        return raw
+
 
 # Registry mirroring the DSP-relevant rows of the reference's table
 # (ui_configuration.h EEPROM ids; hardware-only rows like LCD/PA bias have
@@ -50,7 +83,8 @@ REGISTRY: list[ConfigEntry] = [
     ConfigEntry("audio_gain", 16, 0, 30, int, "AF gain"),
     ConfigEntry("rf_gain", 50, 0, 50, int),
     ConfigEntry("agc_mode", "med", typ=str,
-                doc="very_long|long|slow|med|fast|off"),
+                doc="very_long|long|slow|med|fast|off",
+                choices=("very_long", "long", "slow", "med", "fast", "off")),
     ConfigEntry("agc_wdsp_thresh_db", 60.0, 0, 120, float),
     ConfigEntry("agc_wdsp_slope_db", 6.0, 0, 20, float),
     ConfigEntry("agc_wdsp_hang_time_ms", 250, 0, 5000, int),
@@ -61,21 +95,28 @@ REGISTRY: list[ConfigEntry] = [
     ConfigEntry("dsp_notch_enable", 0, 0, 1, int),
     ConfigEntry("iq_freq_mode", 2, 0, 4, int,
                 doc="0=off 1=+6k 2=-6k 3=+12k 4=-12k translate"),
-    ConfigEntry("filter_bw_key", "2P3KHZ", typ=str),
-    ConfigEntry("filter_path_name", "LPF", typ=str),
-    ConfigEntry("dmod_mode", "usb", typ=str,
-                doc="usb|lsb|cw|am|sam|fm"),
+    ConfigEntry("filter_bw_key", "2P3KHZ", typ=str,
+                choices=("300HZ", "500HZ", "1P4KHZ", "1P6KHZ", "1P8KHZ",
+                         "2P1KHZ", "2P3KHZ", "2P5KHZ", "2P7KHZ", "2P9KHZ",
+                         "3P2KHZ", "3P6KHZ", "4P2KHZ", "4P8KHZ", "5P0KHZ",
+                         "6P0KHZ", "7P5KHZ", "10P0KHZ")),
+    ConfigEntry("filter_path_name", "LPF", typ=str,
+                choices=("LPF", "BPF", "HILBERT", "FIR", "IIR")),
+    ConfigEntry("dmod_mode", "usb", typ=str, doc="usb|lsb|cw|am|sam|fm",
+                choices=("usb", "lsb", "cw", "am", "sam", "fm")),
     ConfigEntry("sam_pll_zeta_x100", 60, 10, 100, int),
     ConfigEntry("sam_pll_omega", 200, 50, 1000, int),
     ConfigEntry("sam_fmax", 500, 50, 1000, int),
-    ConfigEntry("sam_sideband", "both", typ=str),
+    ConfigEntry("sam_sideband", "both", typ=str,
+                choices=("both", "usb", "lsb", "stereo")),
     ConfigEntry("fade_leveler", 1, 0, 1, int),
     ConfigEntry("fm_sql_threshold", 0, 0, 24, int),
     ConfigEntry("fm_subaudible_tone_hz", 0.0, 0, 300, float),
     ConfigEntry("fm_dev_5khz", 0, 0, 1, int),
     ConfigEntry("cw_sidetone_freq", 700, 400, 1000, int),
     ConfigEntry("cw_speed_wpm", 20, 5, 48, int),
-    ConfigEntry("cw_keyer_mode", "iambic_b", typ=str),
+    ConfigEntry("cw_keyer_mode", "iambic_b", typ=str,
+                choices=("iambic_a", "iambic_b", "ultimatic", "straight")),
     ConfigEntry("cw_decoder_thresh", 32000, 1000, 1000000, int),
     ConfigEntry("tx_comp_level", 2, -1, 13, int),
     ConfigEntry("tx_postfilt_gain", 4, 1, 25, int),
@@ -93,6 +134,15 @@ REGISTRY: list[ConfigEntry] = [
 ]
 
 _BY_NAME = {e.name: e for e in REGISTRY}
+_BY_ID = {e.eeprom_id: e for e in REGISTRY}
+
+
+def entry_by_id(eeprom_id: int) -> ConfigEntry | None:
+    return _BY_ID.get(eeprom_id)
+
+
+def entry_by_name(name: str) -> ConfigEntry | None:
+    return _BY_NAME.get(name)
 
 
 class Config:
