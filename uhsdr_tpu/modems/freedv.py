@@ -1,17 +1,20 @@
-"""FreeDV digital-voice interface (scaffold).
+"""FreeDV digital-voice mode.
 
 The reference vendors the full Codec2/FreeDV library (~113 kLoC,
 `drivers/freedv/`) and glues it to the chain via sample-rate-converted
 ring buffers processed off the hot path (`freedv_uhsdr.c:166-320`,
 `audio_driver.c:1330-1470`: 48 kHz IQ -> drop-decimate /6 -> 8 kHz modem
-<-> 24-tap polyphase x6 interpolation back).  SURVEY §7 scopes the modem
-core (FDMDV/OFDM/codec2 vocoder) out of the kernels-first milestones; this
-module provides the framework-side contract so a codec2 binding or
-re-implementation drops in:
+<-> 24-tap polyphase x6 interpolation back).  This module provides:
 
-  * the 48k<->8k rate conversion matching the reference glue,
-  * the modem interface (`FreeDvModem`),
-  * a loopback test modem proving the plumbing.
+  * the 48k<->8k rate conversion matching the reference glue
+    (`RateConverter`),
+  * the modem contract (`FreeDvModem`) + a loopback plumbing stub,
+  * `FreeDv1600` — the full digital-voice stack: 1300 bit/s LPC/LSP
+    vocoder (`modems/vocoder.py`), Golay(23,12) FEC over the critical
+    bits (`modems/golay.py`), and the 16-carrier FDMDV DQPSK modem
+    (`modems/fdmdv.py`).  Same frame economy and waveform class as the
+    reference's mode 1600; not bit-interoperable (independent
+    implementation, see the module docstrings).
 """
 from __future__ import annotations
 
@@ -50,6 +53,119 @@ class LoopbackModem:
 
     def mod(self, speech_8k: np.ndarray) -> np.ndarray:
         return speech_8k.astype(np.complex64)
+
+
+class FreeDv1600:
+    """FreeDV 1600 digital voice: 1300 bit/s vocoder + Golay FEC + 16-
+    carrier FDMDV DQPSK.  The full-stack analog of `freedv_comptx` /
+    `freedv_comprx` for mode 1600 (`freedv_api.c:143-146,559,1244`).
+
+    Frame economy (matches the reference's 1600 mode):
+      52 vocoder bits + 11 Golay(23,12) parity bits over the 12
+      perceptually-critical bits (4 voicing + 7 pitch + energy MSB)
+      + 1 varicode text bit = 64 bits / 40 ms = two FDMDV symbols.
+
+    Frame alignment onto the symbol stream is recovered from the FEC
+    itself: both 2-symbol phases are scored by Golay syndrome weight.
+    """
+
+    def __init__(self):
+        from . import fdmdv as fdmdv_mod
+        from . import golay
+        from . import vocoder as vocoder_mod
+        self._fdmdv = fdmdv_mod
+        self._golay = golay
+        self._voc = vocoder_mod
+        self.modulator = fdmdv_mod.FdmdvModulator()
+        self.demodulator = fdmdv_mod.FdmdvDemodulator()
+        self.vocoder = vocoder_mod.Vocoder()
+        self._speech_in = np.zeros(0, np.float32)
+        self._iq_in = np.zeros(0, np.complex64)
+        self._sym_buf: list[np.ndarray] = []
+        self._align = None        # 0 or 1: frame phase in symbols
+        self._align_score = [0, 0]
+        self.text_bits_rx: list[int] = []
+        self.text_bits_tx: list[int] = []
+        self.frames_decoded = 0
+        self.parity_errors = 0
+
+    # --- TX ---
+    def mod(self, speech_8k: np.ndarray) -> np.ndarray:
+        self._speech_in = np.concatenate(
+            [self._speech_in, np.asarray(speech_8k, np.float32)])
+        out = []
+        F = self._voc.FRAME
+        while len(self._speech_in) >= F:
+            frame, self._speech_in = (self._speech_in[:F],
+                                      self._speech_in[F:])
+            cbits = self._voc.encode_frame(frame.astype(np.float64))
+            crit = cbits[:12]                     # voicing+pitch+energy MSB
+            cw = self._golay.encode_bits(crit[None, :])[0]
+            parity = cw[12:]                      # (11,)
+            text = np.array([self.text_bits_tx.pop(0)
+                             if self.text_bits_tx else 0], np.uint8)
+            bits64 = np.concatenate([cbits, parity, text])
+            out.append(self.modulator.modulate_frame(
+                bits64.reshape(2, self._fdmdv.BITS_PER_SYMBOL)))
+        if not out:
+            return np.zeros(0, np.complex64)
+        return np.concatenate(out)
+
+    # --- RX ---
+    def demod(self, iq_8k: np.ndarray) -> np.ndarray:
+        self._iq_in = np.concatenate(
+            [self._iq_in, np.asarray(iq_8k, np.complex64)])
+        M = self._fdmdv.M
+        n_sym = len(self._iq_in) // M
+        if n_sym == 0:
+            return np.zeros(0, np.float32)
+        take, self._iq_in = (self._iq_in[: n_sym * M],
+                             self._iq_in[n_sym * M:])
+        bits, sync = self.demodulator.demod_symbols(take)
+        for row, sy in zip(bits, sync):
+            self._sym_buf.append((row, bool(sy)))
+
+        speech = []
+        while len(self._sym_buf) >= 3:   # keep one spare for realignment
+            # determine/maintain frame alignment via Golay syndrome
+            if self._align is None:
+                if len(self._sym_buf) < 4:
+                    break
+                scores = []
+                for ph in (0, 1):
+                    b64 = np.concatenate([self._sym_buf[ph][0],
+                                          self._sym_buf[ph + 1][0]])
+                    _, ncorr = self._golay.decode_bits(
+                        np.concatenate([b64[:12], b64[52:63]])[None, :])
+                    scores.append(int(ncorr[0]))
+                self._align = int(np.argmin(scores))
+                if self._align:
+                    self._sym_buf.pop(0)
+            (b0, s0), (b1, s1) = self._sym_buf[0], self._sym_buf[1]
+            b64 = np.concatenate([b0, b1])
+            frame_synced = s0 and s1
+            del self._sym_buf[:2]
+            if not frame_synced:
+                # modem not locked: emit silence (squelch, the glue's
+                # analog of freedv squelch at low sync/SNR)
+                speech.append(np.zeros(self._voc.FRAME, np.float32))
+                continue
+            cbits = b64[:52].copy()
+            recv_cw = np.concatenate([b64[:12], b64[52:63]])
+            data, ncorr = self._golay.decode_bits(recv_cw[None, :])
+            self.parity_errors += int(ncorr[0])
+            cbits[:12] = data[0]                  # FEC-corrected
+            self.text_bits_rx.append(int(b64[63]))
+            frame = self._voc.decode_frame_bits(cbits)
+            speech.append(self.vocoder.synth.synthesize(frame))
+            self.frames_decoded += 1
+        if not speech:
+            return np.zeros(0, np.float32)
+        return np.concatenate(speech).astype(np.float32)
+
+    @property
+    def snr_db(self) -> float:
+        return self.demodulator.snr_est
 
 
 class RateConverter:
