@@ -34,7 +34,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from uhsdr_tpu.chain import rx
 
-    channels = int(os.environ.get("BENCH_CHANNELS", "128"))
+    channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 

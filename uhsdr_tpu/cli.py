@@ -101,6 +101,30 @@ def cmd_tx(args) -> int:
         env = cw_text.text_to_keying(args.text or "CQ TEST", args.wpm, fs)
         audio = env
         cfg = tx.TxConfig(mode="cw", translate_hz=args.translate)
+    elif args.mode == "rtty":
+        # Baudot AFSK at 48k, sent through the USB voice chain
+        # (TxProcessor_Rtty routes modem tones the same way, :811)
+        import jax
+        from .modems import rtty, rtty_text
+        rp = rtty.make_params(fs=float(fs), baud=45.45, shift=170.0)
+        codes = rtty_text.encode(args.text or "CQ CQ DE UHSDR")
+        bits = rtty_text.codes_to_bits(codes, int(round(fs / 45.45)))
+        tone, _ = rtty.modulate(rp, jnp.zeros((), jnp.uint32),
+                                jnp.asarray(bits))
+        audio = 0.5 * np.asarray(tone, np.float32)
+        cfg = tx.TxConfig(mode="usb", translate_hz=args.translate,
+                          compressor=False)
+    elif args.mode == "psk":
+        from .modems import psk, psk_text
+        pp = psk.make_params(fs=float(fs), speed=31)
+        bits = psk_text.encode_bits(args.text or "cq cq de uhsdr")
+        rate = int(round(fs / 31.25))
+        signs, envl = psk_text.bits_to_waveform_params(bits, rate)
+        tone, _ = psk.modulate(pp, jnp.zeros((), jnp.uint32),
+                               jnp.asarray(signs), jnp.asarray(envl))
+        audio = 0.5 * np.asarray(tone, np.float32)
+        cfg = tx.TxConfig(mode="usb", translate_hz=args.translate,
+                          compressor=False)
     else:
         if args.audio_in:
             import wave
@@ -160,7 +184,8 @@ def main(argv=None) -> int:
     txp = sub.add_parser("tx", help="modulate to an IQ capture")
     txp.add_argument("--out", required=True)
     txp.add_argument("--mode", default="usb",
-                     choices=["usb", "lsb", "am", "fm", "cw"])
+                     choices=["usb", "lsb", "am", "fm", "cw", "rtty",
+                              "psk"])
     txp.add_argument("--text", default="")
     txp.add_argument("--wpm", type=float, default=20.0)
     txp.add_argument("--audio-in", default="")

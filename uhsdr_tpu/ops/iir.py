@@ -22,14 +22,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _affine_compose(e1, e2):
-    """Compose affine maps elementwise-batched: e = (A (...,2,2), b (...,2)).
+def _affine_compose2(e1, e2):
+    """Compose batched 2x2 affine maps held COMPONENT-WISE: each element
+    is its own (..., T) array, scanned along the last axis.
+
+    LAYOUT NOTE (TPU): carrying the map as stacked (..., T, 2, 2) /
+    (..., T, 2) tensors puts the tiny 2x2 in the trailing (tiled) dims —
+    XLA pads each (2,2) to a full tile, a measured 64x HBM blowup that
+    OOMs at 512ch x 16k on v5e (8 GB temp per pad).  Component arrays
+    keep (channels, T) in the trailing dims and tile densely.
     e2 AFTER e1 (associative_scan passes (earlier, later))."""
-    A1, b1 = e1
-    A2, b2 = e2
-    A = A2 @ A1
-    b = (A2 @ b1[..., None])[..., 0] + b2
-    return A, b
+    a11, a12, a21, a22, c1, c2 = e1
+    d11, d12, d21, d22, e1_, e2_ = e2
+    r11 = d11 * a11 + d12 * a21
+    r12 = d11 * a12 + d12 * a22
+    r21 = d21 * a11 + d22 * a21
+    r22 = d21 * a12 + d22 * a22
+    rb1 = d11 * c1 + d12 * c2 + e1_
+    rb2 = d21 * c1 + d22 * c2 + e2_
+    return r11, r12, r21, r22, rb1, rb2
 
 
 def biquad_block(coeffs: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
@@ -41,30 +52,29 @@ def biquad_block(coeffs: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
     Returns (y (..., T), new_state (..., 2)).
     """
     b0, b1, b2, a1, a2 = [coeffs[..., i] for i in range(5)]
-    T = x.shape[-1]
     # DF2T: y = b0 x + s1;  s1' = b1 x - a1 y + s2;  s2' = b2 x - a2 y
     # State transition (s = [s1, s2]):
     #   s1' = -a1 s1 + s2 + (b1 - a1 b0) x
     #   s2' = -a2 s1      + (b2 - a2 b0) x
-    zeros = jnp.zeros_like(jnp.broadcast_to(a1, x.shape[:-1]))
-    ones = zeros + 1.0
-    A = jnp.stack([
-        jnp.stack([jnp.broadcast_to(-a1, zeros.shape), ones], axis=-1),
-        jnp.stack([jnp.broadcast_to(-a2, zeros.shape), zeros], axis=-1),
-    ], axis=-2)                                   # (..., 2, 2)
+    a11 = jnp.broadcast_to(jnp.asarray(-a1, x.dtype)[..., None], x.shape)
+    a12 = jnp.ones_like(x)
+    a21 = jnp.broadcast_to(jnp.asarray(-a2, x.dtype)[..., None], x.shape)
+    a22 = jnp.zeros_like(x)
     g1 = b1 - a1 * b0
     g2 = b2 - a2 * b0
-    bvec = jnp.stack([g1[..., None] * x, g2[..., None] * x], axis=-1)  # (..., T, 2)
-    At = jnp.broadcast_to(A[..., None, :, :], x.shape + (2, 2))
-    # scan over time axis (-3 for A, -2 for b)
-    As, bs = jax.lax.associative_scan(_affine_compose, (At, bvec), axis=-3)
+    c1 = g1[..., None] * x
+    c2 = g2[..., None] * x
+    A11, A12, A21, A22, B1, B2 = jax.lax.associative_scan(
+        _affine_compose2, (a11, a12, a21, a22, c1, c2), axis=-1)
     # s[n] = As[n] s_init + bs[n]
-    s_all = (As @ state[..., None, :, None])[..., 0] + bs   # (..., T, 2)
-    s_prev = jnp.concatenate(
-        [jnp.broadcast_to(state[..., None, :], x.shape[:-1] + (1, 2)),
-         s_all[..., :-1, :]], axis=-2)
-    y = b0[..., None] * x + s_prev[..., 0]
-    return y, s_all[..., -1, :]
+    s1_0 = state[..., 0:1]
+    s2_0 = state[..., 1:2]
+    s1 = A11 * s1_0 + A12 * s2_0 + B1      # (..., T)
+    s1_prev = jnp.concatenate([s1_0, s1[..., :-1]], axis=-1)
+    y = b0[..., None] * x + s1_prev
+    s2_last = (A21[..., -1] * state[..., 0] + A22[..., -1] * state[..., 1]
+               + B2[..., -1])
+    return y, jnp.stack([s1[..., -1], s2_last], axis=-1)
 
 
 def biquad_cascade_block(sos: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
