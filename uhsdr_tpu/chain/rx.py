@@ -36,6 +36,7 @@ from ..nr import blanker as nb_mod
 from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
 from ..ops import design, fir, iir, iqcorr, lms, nco
+from ..pallas import fir as pallas_fir
 from . import eq as eq_mod
 from . import filterpaths
 
@@ -69,6 +70,7 @@ class RxConfig:
     fade_leveler: bool = True
     cw_offset_hz: float = 700.0    # CW sidetone / passband center
     iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
+    front_impl: str = "auto"       # auto | xla | pallas front FIR backend
     eq: eq_mod.EqSettings = eq_mod.EqSettings()   # tone controls
 
     @property
@@ -250,8 +252,21 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         return audio, new_state, taps_out
 
     # --- analytic bandpass + decimate ---
-    zf, front_carry = fir.fir_decimate_block(front_fir,
-                                             state.front_carry, z, cfg.decim)
+    # Pallas MXU kernel, opt-in (front_impl="pallas"): measured 2.2x over
+    # the XLA FFT/dense paths on v5e standalone, but embedding it in the
+    # full chain blows up the remote AOT compile on the axon tunnel
+    # (>20 min vs ~3 min), so "auto" currently resolves to the XLA path.
+    use_pallas = cfg.front_impl == "pallas"
+    if use_pallas:
+        tile_c = 128 if z.shape[0] % 128 == 0 else 8
+        zf, front_carry = pallas_fir.fir_decimate_pallas(
+            np.asarray(params.front_fir_re)
+            + 1j * np.asarray(params.front_fir_im),
+            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=512)
+    else:
+        zf, front_carry = fir.fir_decimate_block(front_fir,
+                                                 state.front_carry, z,
+                                                 cfg.decim)
 
     # --- demodulation at decimated rate ---
     fade_state = state.fade

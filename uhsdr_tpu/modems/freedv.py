@@ -168,6 +168,80 @@ class FreeDv1600:
         return self.demodulator.snr_est
 
 
+class FreeDv700D:
+    """FreeDV 700D-class digital voice: 700 bit/s vocoder frames + LDPC
+    (224,112) + pilot-aided coherent OFDM.  The analog of the reference's
+    mode 700D (`freedv_api.c` + `drivers/freedv/ofdm.c` +
+    `mpdecode_core.c`), same subsystem composition, independent
+    implementation (see modems/ofdm.py, modems/ldpc.py docstrings).
+
+    Frame economy: one OFDM frame (160 ms, 238 bit slots) carries one
+    LDPC codeword (224 bits = 112 data = 4 x 28-bit vocoder frames) +
+    14 spare bits; speech in and modem out run at exactly 1280 samples
+    per frame each way.
+    """
+
+    def __init__(self):
+        from . import ldpc
+        from . import ofdm as ofdm_mod
+        from . import vocoder as vocoder_mod
+        self._ldpc = ldpc
+        self._ofdm = ofdm_mod
+        self._voc = vocoder_mod
+        self.modulator = ofdm_mod.OfdmModulator()
+        self.demodulator = ofdm_mod.OfdmDemodulator()
+        self.synth = vocoder_mod.Synthesizer()
+        self._speech_in = np.zeros(0, np.float32)
+        self.frames_decoded = 0
+        self.fec_failures = 0
+        self.snr_db = 0.0
+
+    def mod(self, speech_8k: np.ndarray) -> np.ndarray:
+        self._speech_in = np.concatenate(
+            [self._speech_in, np.asarray(speech_8k, np.float32)])
+        F = self._voc.FRAME
+        out = []
+        while len(self._speech_in) >= 4 * F:
+            chunk, self._speech_in = (self._speech_in[: 4 * F],
+                                      self._speech_in[4 * F:])
+            data = np.concatenate([
+                self._voc.encode_frame_700(
+                    chunk[i * F:(i + 1) * F].astype(np.float64))
+                for i in range(4)])                        # (112,)
+            cw = self._ldpc.encode(data)                   # (224,)
+            bits = np.concatenate(
+                [cw, np.zeros(self._ofdm.BITS_PER_FRAME - cw.size,
+                              np.uint8)])
+            out.append(self.modulator.modulate_frame(bits))
+        if not out:
+            return np.zeros(0, np.complex64)
+        return np.concatenate(out)
+
+    def demod(self, iq_8k: np.ndarray) -> np.ndarray:
+        frames, snrs = self.demodulator.demod(iq_8k)
+        speech = []
+        for k, fbits in enumerate(frames):
+            llr = (1.0 - 2.0 * fbits[:self._ldpc.N].astype(float)) * 4.0
+            data, ok = self._ldpc.decode(llr)
+            if len(snrs):
+                self.snr_db = 0.8 * self.snr_db + 0.2 * float(snrs[k])
+            if not ok:
+                # FEC did not converge: random energy bits decode as loud
+                # noise — squelch the frame (the reference mutes on sync/
+                # SNR loss too)
+                self.fec_failures += 1
+                speech.append(np.zeros(4 * self._voc.FRAME, np.float32))
+                continue
+            for i in range(4):
+                fr = self._voc.decode_frame_700_bits(
+                    data[i * 28:(i + 1) * 28])
+                speech.append(self.synth.synthesize(fr))
+            self.frames_decoded += 1
+        if not speech:
+            return np.zeros(0, np.float32)
+        return np.concatenate(speech).astype(np.float32)
+
+
 class RateConverter:
     """48k <-> 8k conversion for the modem path.
 

@@ -231,6 +231,70 @@ def decode_frame_bits(bits: np.ndarray) -> VocoderFrame:
     return VocoderFrame(voicing=voicing, pitch_lag=lag, energy=rms, lsp=lsp)
 
 
+# ---------------------------------------------------------------------------
+# 700 bit/s frame variant (for the FreeDV 700D-class mode)
+# ---------------------------------------------------------------------------
+
+LSP_BITS_700 = (3, 3, 2, 2, 2, 2, 1, 1, 1, 0)    # 17 bits; line 10 fixed
+PITCH_BITS_700 = 6
+ENERGY_BITS_700 = 4
+BITS_PER_FRAME_700 = 1 + PITCH_BITS_700 + ENERGY_BITS_700 + sum(LSP_BITS_700)
+assert BITS_PER_FRAME_700 == 28   # 28 bits / 40 ms = 700 bit/s
+
+
+def encode_frame_700(x: np.ndarray) -> np.ndarray:
+    """x: (320,) -> (28,) bits (Codec2-700C economy: whole-frame voicing,
+    coarser pitch/energy/LSP quantizers)."""
+    assert x.shape == (FRAME,)
+    a, _ = _autocorr_lpc(x)
+    lsp = lpc_to_lsp(a)
+    lag, periodicity = _estimate_pitch(x)
+    rms = np.sqrt(np.mean(x ** 2)) + 1e-9
+
+    bits = [1 if (periodicity > 0.35 and rms > 1e-4 * 32768) else 0]
+    log_max = np.log2(PITCH_MAX / PITCH_MIN)
+    pidx = _quant(np.log2(max(lag, PITCH_MIN) / PITCH_MIN), 0.0, log_max,
+                  PITCH_BITS_700)
+    bits += [int(b) for b in format(pidx, f"0{PITCH_BITS_700}b")]
+    eidx = _quant(np.log10(rms), -1.0, 4.5, ENERGY_BITS_700)
+    bits += [int(b) for b in format(eidx, f"0{ENERGY_BITS_700}b")]
+    for i, nb in enumerate(LSP_BITS_700):
+        if nb == 0:
+            continue
+        li = _quant(lsp[i], _LSP_LO[i], _LSP_HI[i], nb)
+        bits += [int(b) for b in format(li, f"0{nb}b")]
+    out = np.array(bits, np.uint8)
+    assert out.size == BITS_PER_FRAME_700
+    return out
+
+
+def decode_frame_700_bits(bits: np.ndarray) -> VocoderFrame:
+    bits = np.asarray(bits).astype(int)
+    pos = 0
+    v = bool(bits[pos]); pos += 1
+    voicing = np.full(4, v, bool)
+    pidx = int("".join(map(str, bits[pos: pos + PITCH_BITS_700])), 2)
+    pos += PITCH_BITS_700
+    log_max = np.log2(PITCH_MAX / PITCH_MIN)
+    lag = int(round(PITCH_MIN * 2 ** _dequant(pidx, 0.0, log_max,
+                                              PITCH_BITS_700)))
+    eidx = int("".join(map(str, bits[pos: pos + ENERGY_BITS_700])), 2)
+    pos += ENERGY_BITS_700
+    rms = 10.0 ** _dequant(eidx, -1.0, 4.5, ENERGY_BITS_700)
+    lsp = np.zeros(ORDER)
+    for i, nb in enumerate(LSP_BITS_700):
+        if nb == 0:
+            lsp[i] = 0.5 * (_LSP_LO[i] + _LSP_HI[i])
+            continue
+        li = int("".join(map(str, bits[pos: pos + nb])), 2)
+        pos += nb
+        lsp[i] = _dequant(li, _LSP_LO[i], _LSP_HI[i], nb)
+    for i in range(1, ORDER):
+        if lsp[i] <= lsp[i - 1] + 0.01:
+            lsp[i] = lsp[i - 1] + 0.01
+    return VocoderFrame(voicing=voicing, pitch_lag=lag, energy=rms, lsp=lsp)
+
+
 @dataclass
 class Synthesizer:
     """Streaming decoder with LSP interpolation and excitation phase
