@@ -82,3 +82,39 @@ def test_cli_tx_rx_roundtrip(tmp_path):
     spec = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
     pk = np.fft.rfftfreq(len(tail), 1 / 48000)[spec.argmax()]
     assert abs(pk - 700) < 15, pk
+
+
+def test_cli_rtty_text_roundtrip(tmp_path):
+    import os
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    iq = str(tmp_path / "rtty.wav")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "tx", "--out", iq,
+         "--mode", "rtty", "--text", "RYRY DE UHSDR"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "rx", "--input", iq,
+         "--mode", "rtty", "--decode"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    text = json.loads(r2.stdout.strip().splitlines()[-1])["text"]
+    assert "RYRY DE UHSDR" in text, repr(text)
+
+
+def test_cli_psk_text_roundtrip(tmp_path):
+    import os
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    iq = str(tmp_path / "psk.wav")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "tx", "--out", iq,
+         "--mode", "psk", "--text", "psk31 de uhsdr"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "rx", "--input", iq,
+         "--mode", "psk", "--decode"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    text = json.loads(r2.stdout.strip().splitlines()[-1])["text"]
+    assert "psk31 de uhsdr" in text, repr(text)

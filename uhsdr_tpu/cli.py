@@ -38,6 +38,70 @@ def _fetch32(x) -> np.ndarray:
     return np.asarray(jnp.asarray(x, jnp.float32))
 
 
+def _make_text_decoder(mode: str, fs_dec: float):
+    """Digital decoder stack for `rx --decode` (the reference's 12 kHz
+    decoder tap, audio_driver.c:2527-2556).  Returns (push, flush)."""
+    import jax.numpy as jnp
+
+    if mode == "cw":
+        from .modems import cw, cw_text
+        params = cw.make_params(fs=fs_dec, target_freq=700.0)
+        state = cw.init_state((1,))
+        dec = cw_text.CwTextDecoder(fs_dec / params.blocksize)
+
+        # NOTE: the decoders accumulate internally and return the FULL
+        # transcript on every push — take only the final return
+        def push(audio_dec):
+            nonlocal state
+            n = (audio_dec.shape[-1] // params.blocksize) * params.blocksize
+            keying, state = cw.keying_detect(params, state,
+                                             audio_dec[..., :n])
+            import numpy as np
+            dec.push_keying(np.asarray(keying)[0])
+
+        def flush():
+            import numpy as np
+            return dec.push_keying(np.zeros(300, bool))
+        return push, flush
+    if mode == "rtty":
+        from .modems import rtty, rtty_text
+        params = rtty.make_params(fs=fs_dec, baud=45.45, shift=170.0)
+        state = rtty.init_state((1,))
+        dec = rtty_text.BaudotDecoder()
+
+        def push(audio_dec):
+            nonlocal state
+            import numpy as np
+            codes, nb, state = rtty.demodulate(params, state, audio_dec)
+            dec.push_codes(np.asarray(codes)[0])
+
+        def flush():
+            return dec.push_codes([])
+        return push, flush
+    if mode == "psk":
+        from .modems import psk, psk_text
+        params = psk.make_params(fs=fs_dec, speed=31)
+        state = psk.init_state((1,), params)
+        dec = psk_text.VaricodeDecoder()
+        import numpy as np
+        tail = [np.zeros((1, 0), np.float32)]   # bit-period alignment buf
+
+        def push(audio_dec):
+            nonlocal state
+            buf = np.concatenate([tail[0], np.asarray(audio_dec)], axis=-1)
+            n = (buf.shape[-1] // params.rate) * params.rate
+            if n:
+                bits, state = psk.demodulate(params, state,
+                                             jnp.asarray(buf[..., :n]))
+                dec.push_bits(np.asarray(bits)[0])
+            tail[0] = buf[..., n:]
+
+        def flush():
+            return dec.push_bits([])
+        return push, flush
+    raise ValueError(f"no text decoder for mode {mode}")
+
+
 def cmd_rx(args) -> int:
     import jax.numpy as jnp
 
@@ -45,13 +109,19 @@ def cmd_rx(args) -> int:
     from .io import ingest
     from .spectrum import scope
 
-    cfg = rx.RxConfig(mode=args.mode, bw_key=args.bw,
+    # digital text modes ride the SSB chain with the decoder on the
+    # decimated tap
+    chain_mode = {"rtty": "usb", "psk": "usb"}.get(args.mode, args.mode)
+    cfg = rx.RxConfig(mode=chain_mode, bw_key=args.bw,
                       path_name=args.path or None,
                       translate_hz=args.translate,
                       nr_enable=args.nr, notch_enable=args.notch,
                       agc_mode=args.agc, block_len=args.block)
     chain = rx.RxChain(cfg)
     state = chain.init_state((1,))
+    decoder = None
+    if args.decode:
+        decoder = _make_text_decoder(args.mode, cfg.fs_dec)
     sc_params = scope.make_params(translate_hz=args.translate,
                                   f_lo=cfg.path.audio_band[0],
                                   f_hi=cfg.path.audio_band[1],
@@ -70,6 +140,8 @@ def cmd_rx(args) -> int:
                                        q=jnp.asarray(q_p[None]))
             sc_out, sc_state = scope.process(sc_params, sc_state,
                                              taps["spectrum_iq"])
+            if decoder is not None and "audio_dec" in taps:
+                decoder[0](taps["audio_dec"])
             out.append(_fetch32(audio)[0])
             nblocks += 1
             if args.max_blocks and nblocks >= args.max_blocks:
@@ -85,6 +157,8 @@ def cmd_rx(args) -> int:
         "snap_freq_hz": float(_fetch32(sc_out["snap_freq"])[0])
         if nblocks else None,
     }
+    if decoder is not None:
+        metrics["text"] = decoder[1]()
     print(json.dumps(metrics))
     return 0
 
@@ -170,7 +244,10 @@ def main(argv=None) -> int:
     rxp.add_argument("--input", required=True)
     rxp.add_argument("--out", default="")
     rxp.add_argument("--mode", default="usb",
-                     choices=["usb", "lsb", "cw", "am", "sam", "fm"])
+                     choices=["usb", "lsb", "cw", "am", "sam", "fm",
+                              "rtty", "psk"])
+    rxp.add_argument("--decode", action="store_true",
+                     help="run the digital text decoder (cw/rtty/psk)")
     rxp.add_argument("--bw", default="2P3KHZ")
     rxp.add_argument("--path", default="")
     rxp.add_argument("--translate", type=float, default=6000.0)
