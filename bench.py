@@ -9,6 +9,7 @@ the STM32 ISR chain).  vs_baseline = our Msamples/s / 0.048.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -34,7 +35,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from uhsdr_tpu.chain import rx
 
-    channels = int(os.environ.get("BENCH_CHANNELS", "2048"))
+    channels = int(os.environ.get("BENCH_CHANNELS", "4096"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
@@ -43,7 +44,9 @@ def main() -> None:
     params = rx.make_params(cfg)
     state = rx.init_state(cfg, params, (channels,))
 
-    @jax.jit
+    # donate the state buffers: the chain threads ~state-sized pytrees
+    # every step, donation halves their HBM footprint
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, i_plane, q_plane):
         iq = jax.lax.complex(i_plane, q_plane)
         audio, new_state, _ = rx.process_block(cfg, params, state, iq)

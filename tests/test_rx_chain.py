@@ -181,3 +181,28 @@ def test_batched_channels_match_single():
     for c in range(4):
         # AGC output scale is ~4096, allow f32 rounding noise
         np.testing.assert_allclose(y4[c], y1[0], atol=5e-2, rtol=1e-3)
+
+
+def test_rx_chain_96khz_iq_rate():
+    """BASELINE config 1: the chain at 96 kHz IQ (decim scales to keep
+    the decimated audio rate)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from uhsdr_tpu.chain import rx as rx_mod
+    fs = 96000.0
+    cfg = rx_mod.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                          iq_rate=fs, block_len=8192)
+    assert cfg.decim == 8 and cfg.fs_dec == 12000.0
+    chain = rx_mod.RxChain(cfg)
+    state = chain.init_state((1,))
+    n = 8192 * 8
+    t = np.arange(n) / fs
+    iq = (0.5 * np.exp(2j * np.pi * 6700.0 * t)).astype(np.complex64)
+    outs = []
+    for k in range(0, n, 8192):
+        y, state, _ = chain(state, iq[None, k:k + 8192])
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=-1)[0][n // 2:]
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    pk = np.fft.rfftfreq(len(y), 1 / fs)[spec.argmax()]
+    assert abs(pk - 700.0) < 10.0, pk

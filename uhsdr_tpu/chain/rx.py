@@ -71,6 +71,9 @@ class RxConfig:
     cw_offset_hz: float = 700.0    # CW sidetone / passband center
     iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
     front_impl: str = "auto"       # auto | xla | pallas front FIR backend
+    iq_rate: float = IQ_RATE       # 48 kHz (reference) or 96 kHz (BASELINE
+                                   # config 1 captures); decim keeps the
+                                   # same decimated AUDIO rate per path
     eq: eq_mod.EqSettings = eq_mod.EqSettings()   # tone controls
 
     @property
@@ -79,11 +82,13 @@ class RxConfig:
 
     @property
     def decim(self) -> int:
-        return self.path.decim
+        # scale the path's 48k-based decimation so the decimated audio
+        # rate is rate-independent (96 kHz IQ -> /8 instead of /4)
+        return int(self.path.decim * self.iq_rate / IQ_RATE)
 
     @property
     def fs_dec(self) -> float:
-        return IQ_RATE / self.decim
+        return self.iq_rate / self.decim
 
 
 class RxParams(NamedTuple):
@@ -135,30 +140,30 @@ def make_params(cfg: RxConfig) -> RxParams:
     taps = RX_TAPS_HI if cfg.high_taps else RX_TAPS_LO
     lo, hi = path.audio_band
     if cfg.mode == "usb":
-        h = design.complex_bandpass_fir(taps, max(lo, 50.0), hi, IQ_RATE)
+        h = design.complex_bandpass_fir(taps, max(lo, 50.0), hi, cfg.iq_rate)
     elif cfg.mode in ("lsb", "cw"):
         # CW: reference picks sideband by CW mode; default LSB-like USB
         # handling is applied by caller flipping translate; use USB band for
         # cw (sidetone offset band), LSB mirror for lsb.
         if cfg.mode == "lsb":
-            h = design.complex_bandpass_fir(taps, -hi, -max(lo, 50.0), IQ_RATE)
+            h = design.complex_bandpass_fir(taps, -hi, -max(lo, 50.0), cfg.iq_rate)
         else:
-            h = design.complex_bandpass_fir(taps, max(lo, 50.0), hi, IQ_RATE)
+            h = design.complex_bandpass_fir(taps, max(lo, 50.0), hi, cfg.iq_rate)
     elif cfg.mode in ("am", "sam"):
         # symmetric IQ lowpass, cutoff = the AM coefficient-set class the
         # reference selects for this bandwidth (audio_filter.c:704-880)
         cut = min(max(hi, 2300.0), 10000.0)
-        h = design.complex_bandpass_fir(taps, -cut, cut, IQ_RATE)
+        h = design.complex_bandpass_fir(taps, -cut, cut, cfg.iq_rate)
     elif cfg.mode == "fm":
         cut = path.width / 2 if path.width >= 5000 else 5000.0
-        h = design.complex_bandpass_fir(taps, -cut, cut, IQ_RATE)
+        h = design.complex_bandpass_fir(taps, -cut, cut, cfg.iq_rate)
     else:
         raise ValueError(cfg.mode)
 
     fs_dec = cfg.fs_dec
     audio_sos = design.audio_bandpass_sos(lo if lo > 60 else 0.0,
                                           min(hi, 0.45 * fs_dec), fs_dec)
-    interp_fir = design.interpolation_fir(16 * cfg.decim, cfg.decim, IQ_RATE)
+    interp_fir = design.interpolation_fir(16 * cfg.decim, cfg.decim, cfg.iq_rate)
 
     nr_params = None
     if cfg.nr_enable:
@@ -166,12 +171,12 @@ def make_params(cfg: RxConfig) -> RxParams:
                                        alpha=0.799 + cfg.nr_strength / 1000.0)
     fm_params = None
     if cfg.mode == "fm":
-        fm_params = fm_mod.make_params(IQ_RATE, cfg.sql_threshold,
+        fm_params = fm_mod.make_params(cfg.iq_rate, cfg.sql_threshold,
                                        cfg.subtone_hz)
     notch_params = lms.notch_params() if cfg.notch_enable else None
 
     return RxParams(
-        nco_delta=nco.freq_to_delta(-cfg.translate_hz, IQ_RATE),
+        nco_delta=nco.freq_to_delta(-cfg.translate_hz, cfg.iq_rate),
         front_fir_re=np.ascontiguousarray(h.real.astype(np.float32)),
         front_fir_im=np.ascontiguousarray(h.imag.astype(np.float32)),
         audio_sos=audio_sos.astype(np.float32),
@@ -188,7 +193,7 @@ def make_params(cfg: RxConfig) -> RxParams:
         iq_gain=1.0,
         iq_phase=0.0,
         eq1_sos=eq_mod.rx_biquad1_sos(cfg.eq, fs_dec),
-        eq2_sos=eq_mod.rx_biquad2_sos(cfg.eq, IQ_RATE),
+        eq2_sos=eq_mod.rx_biquad2_sos(cfg.eq, cfg.iq_rate),
     )
 
 

@@ -195,3 +195,16 @@ class WaterfallImage:
         self.image = np.roll(self.image, 1, axis=0)
         self.image[0] = row
         self._filled = min(self._filled + 1, self.image.shape[0])
+
+
+# S-meter: dBm -> S units (the reference's FFT/dBm-based S-meter path,
+# `ui_driver.c:241-275` S_Meter_Cal_dbm: S1 = -121 dBm, 6 dB per S-unit
+# to S9 = -73 dBm, then 5 dB per displayed "+dB over S9" step)
+def dbm_to_s_units(dbm) -> "jnp.ndarray":
+    """Returns fractional S-units (1.0 = S1 ... 9.0 = S9; above S9 each
+    +5 dB adds 1.0, i.e. 10.0 = S9+5, 11.0 = S9+10 ...)."""
+    dbm = jnp.asarray(dbm)
+    below = 9.0 + (dbm - (-73.0)) / 6.0          # 6 dB per S-unit
+    above = 9.0 + (dbm - (-73.0)) / 5.0          # 5 dB per +step
+    s = jnp.where(dbm <= -73.0, below, above)
+    return jnp.clip(s, 0.0, 9.0 + 15.0)
