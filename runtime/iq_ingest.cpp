@@ -196,3 +196,60 @@ void uhsdr_ingest_close(void* handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fleet ingest: N capture files -> one batched (channels, block) pair of
+// f32 planes per pop.  Each channel runs its own producer thread (the
+// multi-receiver analog of per-radio DMA streams); `fleet_next` gathers
+// one block from every channel into caller-provided (n*block) buffers.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Fleet {
+    std::vector<void*> channels;
+    long block_samples = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* uhsdr_fleet_open(const char** paths, long n_channels,
+                       long block_samples, long ring_blocks, int loop) {
+    Fleet* fl = new Fleet();
+    fl->block_samples = block_samples;
+    for (long c = 0; c < n_channels; ++c) {
+        void* h = uhsdr_ingest_open(paths[c], block_samples, ring_blocks,
+                                    loop);
+        if (!h) {
+            for (void* hh : fl->channels) uhsdr_ingest_close(hh);
+            delete fl;
+            return nullptr;
+        }
+        fl->channels.push_back(h);
+    }
+    return fl;
+}
+
+// i_out/q_out: (n_channels * block_samples) floats, channel-major.
+// Returns the MINIMUM valid sample count across channels (0 = any ended).
+long uhsdr_fleet_next(void* handle, float* i_out, float* q_out) {
+    Fleet* fl = (Fleet*)handle;
+    long min_valid = fl->block_samples;
+    for (size_t c = 0; c < fl->channels.size(); ++c) {
+        long n = uhsdr_ingest_next(fl->channels[c],
+                                   i_out + c * fl->block_samples,
+                                   q_out + c * fl->block_samples);
+        if (n < min_valid) min_valid = n;
+    }
+    return min_valid;
+}
+
+void uhsdr_fleet_close(void* handle) {
+    Fleet* fl = (Fleet*)handle;
+    for (void* h : fl->channels) uhsdr_ingest_close(h);
+    delete fl;
+}
+
+}  // extern "C"

@@ -59,3 +59,31 @@ def test_native_ingest_raw(tmp_path):
     z = np.concatenate([b1[0] + 1j * b1[1], b2[0] + 1j * b2[1],
                         b3[0] + 1j * b3[1]])
     np.testing.assert_allclose(z.real, iq.real, atol=2e-4)
+
+
+def test_fleet_ingest_batches_channels(tmp_path):
+    import numpy as np
+    from uhsdr_tpu.io import ingest
+    fs = 48000
+    paths = []
+    for c in range(3):
+        t = np.arange(8192) / fs
+        iq = (0.3 * np.exp(2j * np.pi * (500 + 200 * c) * t)).astype(
+            np.complex64)
+        p = str(tmp_path / f"ch{c}.wav")
+        ingest.write_iq_wav(p, iq)
+        paths.append(p)
+    with ingest.FleetIngest(paths, 4096) as fl:
+        blk = fl.next_block()
+        assert blk is not None
+        i_p, q_p = blk
+        assert i_p.shape == (3, 4096) and q_p.shape == (3, 4096)
+        # each channel carries its own tone
+        for c in range(3):
+            z = i_p[c] + 1j * q_p[c]
+            spec = np.abs(np.fft.fft(z))
+            pk = np.fft.fftfreq(4096, 1 / fs)[spec.argmax()]
+            assert abs(pk - (500 + 200 * c)) < 15, (c, pk)
+        blk2 = fl.next_block()
+        assert blk2 is not None
+        assert fl.next_block() is None

@@ -34,6 +34,15 @@ def _load_lib():
                                       ctypes.POINTER(ctypes.c_float),
                                       ctypes.POINTER(ctypes.c_float)]
     lib.uhsdr_ingest_close.argtypes = [ctypes.c_void_p]
+    lib.uhsdr_fleet_open.restype = ctypes.c_void_p
+    lib.uhsdr_fleet_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                     ctypes.c_long, ctypes.c_long,
+                                     ctypes.c_long, ctypes.c_int]
+    lib.uhsdr_fleet_next.restype = ctypes.c_long
+    lib.uhsdr_fleet_next.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.POINTER(ctypes.c_float)]
+    lib.uhsdr_fleet_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -132,3 +141,58 @@ def write_audio_wav(path: str, audio: np.ndarray, fs: int = 48000,
         w.setsampwidth(2)
         w.setframerate(fs)
         w.writeframes((a * 32767).astype(np.int16).tobytes())
+
+
+class FleetIngest:
+    """Batched multi-channel IQ source: N capture files -> (C, block)
+    f32 planes per pop (the native runtime gathers one block from every
+    channel's producer thread).  Falls back to per-file Python readers
+    when the native library is absent."""
+
+    def __init__(self, paths, block_samples: int, ring_blocks: int = 4,
+                 loop: bool = False):
+        self.paths = list(paths)
+        self.block = int(block_samples)
+        self.n = len(self.paths)
+        self._handle = None
+        self._fallback = None
+        if _LIB is not None and hasattr(_LIB, "uhsdr_fleet_open"):
+            arr = (ctypes.c_char_p * self.n)(
+                *[p.encode() for p in self.paths])
+            self._handle = _LIB.uhsdr_fleet_open(arr, self.n, self.block,
+                                                 ring_blocks, int(loop))
+        if self._handle is None:
+            self._fallback = [IqIngest(p, block_samples, ring_blocks,
+                                       loop) for p in self.paths]
+
+    def next_block(self):
+        """-> (i (C, block), q (C, block)) or None at end of any file."""
+        if self._handle is not None:
+            i_out = np.empty((self.n, self.block), np.float32)
+            q_out = np.empty((self.n, self.block), np.float32)
+            got = _LIB.uhsdr_fleet_next(
+                self._handle,
+                i_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                q_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if got == 0:
+                return None
+            return i_out, q_out
+        outs = [src.next_block() for src in self._fallback]
+        if any(o is None for o in outs):
+            return None
+        return (np.stack([o[0] for o in outs]),
+                np.stack([o[1] for o in outs]))
+
+    def close(self):
+        if self._handle is not None:
+            _LIB.uhsdr_fleet_close(self._handle)
+            self._handle = None
+        if self._fallback:
+            for s in self._fallback:
+                s.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

@@ -204,3 +204,25 @@ def cw_carrier(envelope: jnp.ndarray, phase0: jnp.ndarray,
                                                       phase0.shape),
                              envelope.shape[-1])
     return envelope * osc, phase
+
+
+# --- FM tone burst (repeater access) ---------------------------------------
+# Reference: `tx_processor.c:519,561-563` adds a NON-pre-emphasized burst
+# tone at ~2/3 system modulation while active (suppressing the subaudible
+# tone); frequencies 1750 / 2135 Hz (`audio_management.c:328`).
+FM_TONE_BURST_FREQS = (0.0, 1750.0, 2135.0)
+FM_TONE_BURST_SCALE = np.float32(1.0 / 4266.0)   # of FM_MOD_SCALING units
+
+
+def fm_tone_burst(phase0: jnp.ndarray, mode: int, n: int,
+                  fs: float = IQ_RATE):
+    """Generate `n` samples of the tone burst for `mode` (0=off, 1=1750,
+    2=2135 Hz).  Returns (audio_addend, new_phase); add the addend to the
+    FM modulator's post-pre-emphasis audio while the burst is keyed."""
+    freq = FM_TONE_BURST_FREQS[mode]
+    if freq == 0.0:
+        return jnp.zeros(phase0.shape + (n,), jnp.float32), phase0
+    delta = nco.freq_to_delta(freq, fs)
+    tone, new_phase = nco.tone(phase0,
+                               jnp.broadcast_to(delta, phase0.shape), n)
+    return tone * FM_TONE_BURST_SCALE * 4266.0, new_phase
