@@ -35,9 +35,12 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from uhsdr_tpu.chain import rx
 
-    channels = int(os.environ.get("BENCH_CHANNELS", "4096"))
+    # 8192 ch x 16k fills the chip without OOM (16k ch OOMs on v5e-1);
+    # larger batches amortize the AGC scan latency, measured 660+ Gs/s
+    # here vs 460 at 4096 ch
+    channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
 
     cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
                       translate_hz=6000.0, block_len=block)

@@ -99,7 +99,14 @@ def init_state(cfg: TxConfig, params: TxParams, batch_shape) -> TxState:
 def process_block(cfg: TxConfig, params: TxParams, state: TxState,
                   audio: jnp.ndarray):
     """audio: (..., T) f32 (for CW: keying envelope in [0,1]).
-    Returns (iq (..., T) complex64, new_state)."""
+    Returns (iq (..., T) complex64, new_state, taps).
+
+    ``taps`` carries the monitor streams the reference exports over USB
+    audio in its four TX stream modes (`tx_processor.c:1031-1066`):
+    "source" = raw input audio, "processed" = post-filter/compressor
+    audio (the sidetone-fill source), plus the IQ output itself (the
+    digital-IQ stream mode)."""
+    taps = {"source": audio}
     sos_state = state.voice_sos_state
     alc_state = state.alc
     if cfg.mode != "cw":
@@ -108,6 +115,7 @@ def process_block(cfg: TxConfig, params: TxParams, state: TxState,
                 jnp.asarray(params.voice_sos), sos_state, audio)
         if params.alc is not None:
             audio, alc_state = alc_mod.run(params.alc, alc_state, audio)
+    taps["processed"] = audio
 
     cw_phase = state.cw_phase
     if cfg.mode in ("usb", "lsb"):
@@ -128,7 +136,7 @@ def process_block(cfg: TxConfig, params: TxParams, state: TxState,
     iq = jax.lax.complex(i_out, q_out)
 
     return iq, TxState(voice_sos_state=sos_state, alc=alc_state,
-                       mod=mod_state, cw_phase=cw_phase)
+                       mod=mod_state, cw_phase=cw_phase), taps
 
 
 class TxChain:
@@ -139,7 +147,8 @@ class TxChain:
         self.params = make_params(cfg)
 
         def _run(state, audio):
-            iq, new_state = process_block(self.cfg, self.params, state, audio)
+            iq, new_state, _ = process_block(self.cfg, self.params, state,
+                                             audio)
             return jnp.real(iq), jnp.imag(iq), new_state
 
         self._jit = jax.jit(_run)

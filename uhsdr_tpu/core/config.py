@@ -96,10 +96,13 @@ REGISTRY: list[ConfigEntry] = [
     ConfigEntry("iq_freq_mode", 2, 0, 4, int,
                 doc="0=off 1=+6k 2=-6k 3=+12k 4=-12k translate"),
     ConfigEntry("filter_bw_key", "2P3KHZ", typ=str,
+                doc="all 31 bandwidth IDs (FilterInfo, audio_filter.c:47-80)",
                 choices=("300HZ", "500HZ", "1P4KHZ", "1P6KHZ", "1P8KHZ",
                          "2P1KHZ", "2P3KHZ", "2P5KHZ", "2P7KHZ", "2P9KHZ",
-                         "3P2KHZ", "3P6KHZ", "4P2KHZ", "4P8KHZ", "5P0KHZ",
-                         "6P0KHZ", "7P5KHZ", "10P0KHZ")),
+                         "3P2KHZ", "3P4KHZ", "3P6KHZ", "3P8KHZ", "4P0KHZ",
+                         "4P2KHZ", "4P4KHZ", "4P6KHZ", "4P8KHZ", "5P0KHZ",
+                         "5P5KHZ", "6P0KHZ", "6P5KHZ", "7P0KHZ", "7P5KHZ",
+                         "8P0KHZ", "8P5KHZ", "9P0KHZ", "9P5KHZ", "10P0KHZ")),
     ConfigEntry("filter_path_name", "LPF", typ=str,
                 choices=("LPF", "BPF", "HILBERT", "FIR", "IIR")),
     ConfigEntry("dmod_mode", "usb", typ=str, doc="usb|lsb|cw|am|sam|fm",

@@ -129,15 +129,15 @@ def _musical_noise_smooth(params: NrParams, hk: jnp.ndarray, X: jnp.ndarray):
     return jnp.where(band & (nn_half[..., None] > 0), hk_avg, hk)
 
 
-def _frame_step(params: NrParams, carry, frame):
-    """One 256-pt frame: returns (carry', weighted time frame)."""
+def _frame_step(params: NrParams, carry, X):
+    """One frame of the noise-estimate / speech-presence recurrence.
+
+    Purely elementwise on (..., nb) — the FFTs and the musical-noise
+    smoothing are hoisted out of the scan (smoothing does not feed the
+    carry), so the sequential part is as thin as possible.
+    Returns (carry', (hk pre-smoothing, booting flag))."""
     xt, pslp, hk_old, init_count, nest_acc = carry
-    win = jnp.asarray(fftutil.sqrt_hann(FFT_L))
-    fw = frame * win
-    # real frames -> rfft (the axon TPU backend lacks complex-input FFT)
-    F = jnp.fft.rfft(fw, axis=-1)                 # (..., FFT_L//2+1)
     nb = FFT_L // 2
-    X = jnp.abs(F[..., :nb]) ** 2
 
     # bootstrap noise estimate over first INIT_FRAMES frames
     booting = init_count < INIT_FRAMES
@@ -162,15 +162,8 @@ def _frame_step(params: NrParams, carry, frame):
     band = (idx >= params.vad_low) & (idx < params.vad_high)
     hk = jnp.where(band, hk_band, 1.0)
     hk_old = jnp.where(band, snr_post * hk * hk, hk_old)
-    hk = _musical_noise_smooth(params, hk, X)
-    hk = jnp.where(booting[..., None], 1.0, hk)
-
-    # spectral weighting (rfft half-spectrum; Nyquist bin untouched like the
-    # reference, which never mirrors bin N/2), then IFFT + window
-    gains = jnp.concatenate([hk, jnp.ones_like(hk[..., :1])], axis=-1)
-    y = jnp.fft.irfft(F * gains, n=FFT_L, axis=-1) * win
     init_count = init_count + 1
-    return (xt, pslp, hk_old, init_count, nest_acc), y
+    return (xt, pslp, hk_old, init_count, nest_acc), (hk, booting)
 
 
 def process_block(params: NrParams, state: NrState, x: jnp.ndarray):
@@ -180,13 +173,32 @@ def process_block(params: NrParams, state: NrState, x: jnp.ndarray):
     assert T % HOP == 0, T
     xfull = jnp.concatenate([state.last_half, x], axis=-1)
     frames = fftutil.frame_overlap(xfull, FFT_L, HOP)     # (..., F, 256)
-    frames_t = jnp.moveaxis(frames, -2, 0)
+    nb = FFT_L // 2
+    win = jnp.asarray(fftutil.sqrt_hann(FFT_L))
+
+    # ALL frame FFTs batched up front (real frames -> rfft; the axon TPU
+    # backend lacks complex-input FFT) — only the elementwise noise
+    # recurrence runs in the scan
+    F = jnp.fft.rfft(frames * win, axis=-1)               # (..., F, 129)
+    X = jnp.abs(F[..., :nb]) ** 2                         # (..., F, nb)
+    X_t = jnp.moveaxis(X, -2, 0)                          # (F, ..., nb)
 
     carry0 = (state.xt, state.pslp, state.hk_old,
               state.init_count, state.nest_acc)
-    carry, ys = jax.lax.scan(lambda c, f: _frame_step(params, c, f),
-                             carry0, frames_t)
-    ys = jnp.moveaxis(ys, 0, -2)                          # (..., F, 256)
+    carry, (hk_t, boot_t) = jax.lax.scan(
+        lambda c, xf: _frame_step(params, c, xf), carry0, X_t)
+    hk = jnp.moveaxis(hk_t, 0, -2)                        # (..., F, nb)
+    booting = jnp.moveaxis(boot_t, 0, -1)                 # (..., F)
+
+    # musical-noise smoothing + bootstrap bypass, batched over frames
+    hk = _musical_noise_smooth(params, hk, X)
+    hk = jnp.where(booting[..., None], 1.0, hk)
+
+    # spectral weighting (rfft half-spectrum; Nyquist bin untouched like the
+    # reference, which never mirrors bin N/2), then IFFT + window — all
+    # frames batched
+    gains = jnp.concatenate([hk, jnp.ones_like(hk[..., :1])], axis=-1)
+    ys = jnp.fft.irfft(F * gains, n=FFT_L, axis=-1) * win  # (..., F, 256)
 
     ola = fftutil.overlap_add(ys, HOP)                    # (..., T + HOP)
     y = ola[..., :T].at[..., :HOP].add(state.ola_tail)
