@@ -1,0 +1,76 @@
+"""Mixed-mode fleet benchmark — BASELINE config 5 ("10k mixed-mode
+channels sharded"): one chip runs a heterogeneous fleet of SSB/CW/AM/SAM/FM
+channels grouped per chain config (`parallel/fleet.py`), all groups
+dispatched back-to-back so XLA pipelines them on-device.
+
+Prints one JSON line with the aggregate rate.  Usage:
+    python bench_fleet.py [TOTAL_CHANNELS] [BLOCK]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from uhsdr_tpu.chain import rx
+    from uhsdr_tpu.parallel import fleet
+
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
+    block = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    steps = int(os.environ.get("BENCH_STEPS", "6"))
+
+    configs = [
+        rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                    translate_hz=6000.0, block_len=block),
+        rx.RxConfig(mode="lsb", bw_key="2P7KHZ", path_name="LPF",
+                    translate_hz=6000.0, block_len=block),
+        rx.RxConfig(mode="cw", bw_key="500HZ", path_name="750Hz",
+                    translate_hz=6000.0, block_len=block),
+        rx.RxConfig(mode="am", bw_key="5P0KHZ", path_name="AM/SAM",
+                    translate_hz=6000.0, block_len=block),
+        rx.RxConfig(mode="sam", bw_key="5P0KHZ", path_name="AM/SAM",
+                    translate_hz=6000.0, block_len=block),
+        rx.RxConfig(mode="fm", bw_key="5P0KHZ", path_name="FM",
+                    translate_hz=6000.0, block_len=block),
+    ]
+    per = total // len(configs)
+    assignments = sum(([k] * per for k in range(len(configs))), [])
+    fl = fleet.ChannelFleet(configs, assignments)
+
+    rng = np.random.default_rng(0)
+    planes = []
+    for g in fl.groups:
+        n = g.channel_idx.size
+        planes.append((
+            jax.device_put(rng.standard_normal((n, block)).astype(np.float32) * 0.1),
+            jax.device_put(rng.standard_normal((n, block)).astype(np.float32) * 0.1),
+        ))
+
+    outs = fl.process_block_device(planes)          # compile + warm
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        outs = fl.process_block_device(planes)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    n_ch = per * len(configs)
+    msamps = n_ch * block * steps / dt / 1e6
+    print(json.dumps({
+        "metric": f"mixed-mode fleet ({n_ch} ch: usb/lsb/cw/am/sam/fm)",
+        "value": round(msamps, 1),
+        "unit": "Msamples/s/chip",
+        "groups": fl.group_sizes,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -238,6 +238,16 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         q_ = jnp.imag(iq) + i_ * params.iq_phase
     z = jax.lax.complex(i_, q_)
 
+    # ADC clip / signal-level detect (audio_driver.c:2660-2685: ads.adc_clip,
+    # adc_half_clip, adc_quarter_clip feed the RF-gain auto-adjust); input
+    # full scale here is 1.0 instead of the codec's int16 counts
+    peak = jnp.maximum(jnp.max(jnp.abs(i_), axis=-1),
+                       jnp.max(jnp.abs(q_), axis=-1))
+    taps_out["adc_peak"] = peak
+    taps_out["adc_clip"] = peak > 0.985
+    taps_out["adc_half_clip"] = peak > 0.5
+    taps_out["adc_quarter_clip"] = peak > 0.25
+
     taps_out["spectrum_iq"] = z    # pre-translate tap for the scope display
 
     # --- frequency translation ---

@@ -63,6 +63,21 @@ class ChannelFleet:
             result[idx] = np.asarray(audio)
         return result
 
+    def process_block_device(self, planes: list[tuple]):
+        """Device-resident step: planes[k] = (i_plane, q_plane) jax arrays
+        for group k (each (group_size, T) f32, already on device).
+
+        Returns the per-group audio arrays WITHOUT fetching to host — the
+        production serving path, where decoded outputs (text, S-meter,
+        squelch flags) are reduced on-device and only scalars leave the
+        chip.  Groups are dispatched back-to-back so XLA pipelines them.
+        """
+        outs = []
+        for g, (gi, gq) in zip(self.groups, planes):
+            audio, g.state, _ = g.chain(g.state, i=gi, q=gq)
+            outs.append(audio)
+        return outs
+
     @property
     def group_sizes(self) -> dict[str, int]:
         return {f"{g.cfg.mode}/{g.cfg.bw_key}": g.channel_idx.size
