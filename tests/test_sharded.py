@@ -62,6 +62,64 @@ def test_sharded_rx_matches_single_device(mesh42):
     assert snr > 40, snr
 
 
+@pytest.mark.parametrize("mode,bw,path,nr", [
+    ("fm", "5P0KHZ", "FM", False),       # full-rate branch, no decimation
+    ("sam", "5P0KHZ", "AM/SAM", False),  # PLL scan through the shared post
+    ("usb", "2P3KHZ", "LPF", True),      # spectral NR in the sharded post
+])
+def test_sharded_rx_full_featured(mesh42, mode, bw, path, nr):
+    """The sharded pipeline shares chain.rx.demod_and_post, so every mode
+    and post-chain feature must run sharded and match single-device."""
+    fs = 48000
+    T = 4096
+    C = 8
+    t = np.arange(2 * T) / fs
+    rng = np.random.default_rng(1)
+    if mode == "fm":
+        base = 0.5 * np.exp(2j * np.pi * 6000 * t
+                            + 1j * 3.0 * np.sin(2 * np.pi * 700 * t))
+    else:
+        base = 0.5 * np.exp(2j * np.pi * 6000 * t) * \
+            (1.0 + 0.5 * np.sin(2 * np.pi * 700 * t))
+    z = (base + 0.001 * (rng.standard_normal(len(t))
+                         + 1j * rng.standard_normal(len(t)))
+         ).astype(np.complex64)
+
+    cfg = rx.RxConfig(mode=mode, bw_key=bw, path_name=path,
+                      translate_hz=6000.0, block_len=T, nr_enable=nr)
+
+    chain = rx.RxChain(cfg)
+    st = chain.init_state((C,))
+    ref_out = []
+    for k in range(2):
+        blk = np.broadcast_to(z[k * T:(k + 1) * T], (C, T))
+        y, st, _ = chain(st, blk)
+        ref_out.append(np.asarray(y))
+    ref = np.concatenate(ref_out, axis=-1)
+
+    step, init_state = rx_sharded.make_sharded_rx(cfg, mesh42)
+    state = init_state(C)
+    grid = mesh_mod.grid_sharding(mesh42)
+    outs = []
+    for k in range(2):
+        blk = np.ascontiguousarray(
+            np.broadcast_to(z[k * T:(k + 1) * T], (C, T)))
+        i_p = jax.device_put(blk.real.astype(np.float32), grid)
+        q_p = jax.device_put(blk.imag.astype(np.float32), grid)
+        audio, state = step(state, i_p, q_p)
+        outs.append(np.asarray(audio))
+    got = np.concatenate(outs, axis=-1)
+
+    assert got.shape == ref.shape
+    err = got - ref
+    snr = 10 * np.log10((ref ** 2).mean() / max((err ** 2).mean(), 1e-20))
+    # FM's differential atan2 discriminator amplifies the f32 rounding
+    # differences between the sharded and single-device front-end FFT
+    # sizes, so its agreement floor is lower
+    floor = 30 if mode == "fm" else 40
+    assert snr > floor, (mode, snr)
+
+
 def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -261,10 +261,9 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     # --- FM branch: full-rate demod, no decimation path ---
     if cfg.mode == "fm":
         zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
-        audio, fm_state = fm_mod.demod(params.fm, state.fm, zf)
-        new_state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
-                                   front_carry=front_carry, fm=fm_state)
-        return audio, new_state, taps_out
+        state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
+                               front_carry=front_carry)
+        return demod_and_post(cfg, params, state, zf, taps_out)
 
     # --- analytic bandpass + decimate ---
     # Pallas MXU kernel, opt-in (front_impl="pallas"): measured 2.2x over
@@ -282,6 +281,27 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         zf, front_carry = fir.fir_decimate_block(front_fir,
                                                  state.front_carry, z,
                                                  cfg.decim)
+
+    state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
+                           front_carry=front_carry)
+    return demod_and_post(cfg, params, state, zf, taps_out)
+
+
+def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
+                   zf: jnp.ndarray, taps_out: dict | None = None):
+    """Demodulation + decimated-domain post-processing, shared between the
+    single-chip chain and the sharded pipeline (`parallel.rx_sharded`,
+    which computes the front end under `shard_map` with halo exchange and
+    hands the decimated analytic signal here).  The front-end fields of
+    ``state`` (iqcorr/nco_phase/front_carry) must already be updated by the
+    caller.  Returns (audio48, new_state, taps)."""
+    if taps_out is None:
+        taps_out = {}
+
+    # --- FM: full-rate discriminator, no decimated post chain ---
+    if cfg.mode == "fm":
+        audio, fm_state = fm_mod.demod(params.fm, state.fm, zf)
+        return audio, state._replace(fm=fm_state), taps_out
 
     # --- demodulation at decimated rate ---
     fade_state = state.fade
@@ -332,11 +352,9 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     audio48, eq2_state = iir.biquad_cascade_block(
         jnp.asarray(params.eq2_sos), state.eq2, audio48)
 
-    new_state = RxState(
-        iqcorr=iqc_state, nco_phase=nco_phase, front_carry=front_carry,
+    new_state = state._replace(
         audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
-        sam=sam_state, fm=state.fm, nr=nr_state, nb=nb_state,
-        notch=notch_state,
+        sam=sam_state, nr=nr_state, nb=nb_state, notch=notch_state,
         interp_carry=interp_carry, eq1=eq1_state, eq2=eq2_state)
     return audio48, new_state, taps_out
 

@@ -27,11 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..chain import rx as rx_chain
-from ..demod import am as am_mod
-from ..demod import sam as sam_mod
-from ..demod import ssb as ssb_mod
-from ..ops import agc as agc_mod
-from ..ops import fir, iir, nco
+from ..ops import fir, nco
 from . import mesh as mesh_mod
 
 P = jax.sharding.PartitionSpec
@@ -82,15 +78,25 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh):
     Returns (step, init_state_fn) where
       step(state, i_plane, q_plane) -> (audio, new_state)
     with i/q (C, T) f32 sharded (dp, sp); audio (C, T) f32.
+
+    The state is the FULL `chain.rx.RxState`, and everything after the
+    halo-exchanged front end runs through `chain.rx.demod_and_post` — the
+    sharded pipeline supports every mode and post-chain feature (SAM/FM,
+    NR, blanker, notch, EQ) the single-chip chain does, channel-parallel
+    over the whole device set.
     """
+    assert not cfg.iq_auto_correction, (
+        "the Moseley-Slump estimator is a sequential recurrence over "
+        "sub-blocks and cannot be time-sharded; apply manual iq_gain/"
+        "iq_phase calibration in sharded mode")
     params = rx_chain.make_params(cfg)
-    n_dp = mesh.shape["dp"]
     n_sp = mesh.shape["sp"]
     taps = params.front_fir_re.shape[-1]
     chan_shard = mesh_mod.channel_sharding(mesh)
     grid_shard = mesh_mod.grid_sharding(mesh)
+    all_chan = jax.sharding.NamedSharding(mesh, P(("dp", "sp"), None))
 
-    def step(state, i_plane, q_plane):
+    def step(state: rx_chain.RxState, i_plane, q_plane):
         C, T = i_plane.shape
         t_local = T // n_sp
         front = jax.shard_map(
@@ -101,53 +107,25 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh):
             out_specs=(P("dp", "sp"), P("dp", None, None)),
             check_vma=False,
         )
-        zf, _ = front(state["nco_phase"], state["front_carry"],
-                      i_plane, q_plane)
+        zf, _ = front(state.nco_phase, state.front_carry, i_plane, q_plane)
         # next-block carry: global post-NCO input tail == mix of raw tail
         # with the *final* phase ramp — recompute cheaply outside:
         delta = jnp.asarray(params.nco_delta)
         tail_ph = nco.phase_ramp(
-            state["nco_phase"] + delta * jnp.uint32(T - (taps - 1)),
+            state.nco_phase + delta * jnp.uint32(T - (taps - 1)),
             delta, taps - 1)
         z_tail = (jax.lax.complex(i_plane[..., -(taps - 1):],
                                   q_plane[..., -(taps - 1):])
                   * jnp.exp(jax.lax.complex(jnp.zeros_like(tail_ph), tail_ph)))
         new_carry = jnp.stack([jnp.real(z_tail), jnp.imag(z_tail)], axis=-2)
-        new_phase = state["nco_phase"] + delta * jnp.uint32(T)
+        new_phase = state.nco_phase + delta * jnp.uint32(T)
 
         # ---- reshard: channels over the whole device set ----
-        zf = jax.lax.with_sharding_constraint(
-            zf, jax.sharding.NamedSharding(mesh, P(("dp", "sp"), None)))
+        zf = jax.lax.with_sharding_constraint(zf, all_chan)
 
-        # ---- demod + post at decimated rate (channel-parallel) ----
-        if cfg.mode in ("usb", "lsb", "cw"):
-            audio = ssb_mod.demod(zf)
-            fade_state = state["fade"]
-            sam_state = state["sam"]
-        elif cfg.mode == "am":
-            audio, fade_state = am_mod.demod(zf, params.fade, state["fade"],
-                                             cfg.fade_leveler)
-            sam_state = state["sam"]
-        elif cfg.mode == "sam":
-            audio, _, sam_state = sam_mod.demod(params.sam, state["sam"], zf,
-                                                sideband=cfg.sam_sideband,
-                                                fade_leveler_on=cfg.fade_leveler)
-            fade_state = state["fade"]
-        else:
-            raise ValueError(f"sharded pipeline: unsupported mode {cfg.mode}")
-
-        audio, sos_state = iir.biquad_cascade_block(
-            jnp.asarray(params.audio_sos), state["audio_sos_state"], audio)
-        audio, agc_state = agc_mod.run(params.agc, state["agc"], audio)
-        audio48, interp_carry = fir.fir_interpolate_block(
-            jnp.asarray(params.interp_fir), state["interp_carry"], audio,
-            cfg.decim)
-
-        new_state = dict(state)
-        new_state.update(nco_phase=new_phase, front_carry=new_carry,
-                         audio_sos_state=sos_state, agc=agc_state,
-                         fade=fade_state, sam=sam_state,
-                         interp_carry=interp_carry)
+        # ---- demod + post (channel-parallel, shared with chain.rx) ----
+        state = state._replace(nco_phase=new_phase, front_carry=new_carry)
+        audio48, new_state, _ = rx_chain.demod_and_post(cfg, params, state, zf)
         return audio48, new_state
 
     jit_step = jax.jit(
@@ -157,19 +135,11 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh):
     )
 
     def init_state(n_channels: int):
-        bs = (n_channels,)
-        state = dict(
-            nco_phase=jnp.zeros(bs, jnp.uint32),
-            front_carry=jnp.zeros(bs + (2, taps - 1), jnp.float32),
-            audio_sos_state=jnp.zeros((params.audio_sos.shape[0],) + bs + (2,),
-                                      jnp.float32),
-            agc=agc_mod.init_state(bs, params.agc),
-            fade=am_mod.fade_leveler_init(bs),
-            sam=sam_mod.init_state(bs),
-            interp_carry=jnp.zeros(
-                bs + (-(-params.interp_fir.shape[-1] // cfg.decim) - 1,),
-                jnp.float32),
-        )
+        state = rx_chain.init_state(cfg, params, (n_channels,))
+        # the sharded front end carries the FIR history as a stacked
+        # (C, 2, taps-1) re/im f32 pair instead of complex64
+        state = state._replace(front_carry=jnp.zeros(
+            (n_channels, 2, taps - 1), jnp.float32))
 
         # shard each state leaf on its channel axis (the first axis whose
         # size equals n_channels); leaves without one stay replicated
