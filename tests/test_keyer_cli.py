@@ -118,3 +118,30 @@ def test_cli_psk_text_roundtrip(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     text = json.loads(r2.stdout.strip().splitlines()[-1])["text"]
     assert "psk31 de uhsdr" in text, repr(text)
+
+
+def test_cli_config_save_show(tmp_path):
+    """`config` subcommand = the uhsdr_tool.py role (L11 host tools)."""
+    import os
+    path = str(tmp_path / "cfg.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "config", "save",
+         "--file", path, "--set", "cw_speed_wpm=25",
+         "--set", "agc_mode=fast"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert json.loads(out.stdout)["entries"] >= 30
+
+    out = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "config", "show",
+         "--file", path],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    vals = json.loads(out.stdout)
+    assert vals["cw_speed_wpm"] == 25
+    assert vals["agc_mode"] == "fast"
+    # clamping semantics survive the round trip
+    from uhsdr_tpu.core import config as config_mod
+    cfg = config_mod.Config.load(path)
+    cfg.set("cw_speed_wpm", 999)
+    assert cfg.get("cw_speed_wpm") == 48      # max per registry

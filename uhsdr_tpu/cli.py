@@ -236,6 +236,43 @@ def cmd_conformance(args) -> int:
     return rc
 
 
+def cmd_config(args) -> int:
+    """Config inspection, persistence and remote backup/restore — the
+    `support/python/uhsdr_tool.py` role (EEPROM backup over CAT)."""
+    from .core import config as config_mod
+
+    if args.action == "show":
+        if args.file and os.path.exists(args.file):
+            cfg = config_mod.Config.load(args.file)
+        else:
+            cfg = config_mod.Config()
+        print(json.dumps(cfg.to_dict(), indent=2, sort_keys=True))
+        return 0
+    if args.action == "save":
+        cfg = config_mod.Config()
+        for kv in args.set or []:
+            k, v = kv.split("=", 1)
+            entry = config_mod.entry_by_name(k)
+            if entry is None:
+                print(f"unknown config entry: {k}", file=sys.stderr)
+                return 1
+            cfg.set(k, entry.typ(v) if entry.typ is not str else v)
+        cfg.save(args.file)
+        print(json.dumps({"saved": args.file,
+                          "entries": len(cfg.to_dict())}))
+        return 0
+    # remote backup/restore over the CAT TCP transport
+    from .control import cat as cat_mod
+    client = cat_mod.CatClient(host=args.host, port=args.port)
+    if args.action == "backup":
+        values = client.backup_config(args.file)
+        print(json.dumps({"backed_up": args.file, "entries": len(values)}))
+    else:
+        client.restore_config(args.file)
+        print(json.dumps({"restored": args.file}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="uhsdr_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -271,6 +308,15 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("conformance", help="run conformance checks")
     cp.set_defaults(fn=cmd_conformance)
+
+    cfp = sub.add_parser("config", help="config show/save + CAT backup/restore")
+    cfp.add_argument("action", choices=["show", "save", "backup", "restore"])
+    cfp.add_argument("--file", default="uhsdr_config.json")
+    cfp.add_argument("--set", action="append", metavar="KEY=VALUE",
+                     help="override entries when saving")
+    cfp.add_argument("--host", default="127.0.0.1")
+    cfp.add_argument("--port", type=int, default=7310)
+    cfp.set_defaults(fn=cmd_config)
 
     args = p.parse_args(argv)
     _apply_platform_env()
