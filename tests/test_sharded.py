@@ -130,3 +130,41 @@ def test_entry_contract():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_sharded_tx_matches_single_device(mesh42):
+    """Channel-sharded TX (parallel/tx_sharded) equals the single-device
+    chain bit-for-bit structure-wise (same code, sharded layout)."""
+    from uhsdr_tpu.chain import tx
+    from uhsdr_tpu.parallel import tx_sharded
+
+    fs = 48000
+    T = 4096
+    C = 8
+    t = np.arange(2 * T) / fs
+    audio_full = (0.4 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+
+    cfg = tx.TxConfig(mode="usb", translate_hz=6000.0, block_len=T)
+
+    chain = tx.TxChain(cfg)
+    st = chain.init_state((C,))
+    ref = []
+    for k in range(2):
+        blk = np.broadcast_to(audio_full[k * T:(k + 1) * T], (C, T))
+        i_p, q_p, st = chain(st, jnp.asarray(blk))
+        ref.append(np.asarray(i_p) + 1j * np.asarray(q_p))
+    ref = np.concatenate(ref, axis=-1)
+
+    step, init_state = tx_sharded.make_sharded_tx(cfg, mesh42)
+    state = init_state(C)
+    chan_t = jax.sharding.NamedSharding(
+        mesh42, jax.sharding.PartitionSpec(("dp", "sp"), None))
+    got = []
+    for k in range(2):
+        blk = np.ascontiguousarray(
+            np.broadcast_to(audio_full[k * T:(k + 1) * T], (C, T)))
+        i_p, q_p, state = step(state, jax.device_put(blk, chan_t))
+        got.append(np.asarray(i_p) + 1j * np.asarray(q_p))
+    got = np.concatenate(got, axis=-1)
+
+    np.testing.assert_allclose(got, ref, atol=1e-5)
