@@ -132,3 +132,61 @@ def test_radio_control_plane():
         and actions[-1] == "unmute_audio"
     assert not radio.mode_applicable("fm", 14e6)
     assert radio.mode_applicable("fm", 29.6e6)
+
+
+def test_snap_tuner_retunes_offset_carrier():
+    """SNAP loop: scope carrier estimate -> SnapTuner -> dial correction
+    (UiSpectrum_CalculateSnap + auto-retune, ui_spectrum.c:1876-1989)."""
+    import jax.numpy as jnp
+    from uhsdr_tpu.spectrum import scope
+    from uhsdr_tpu.control.radio import SnapTuner
+
+    fs = 48000.0
+    offset = 35.0                     # carrier sits 35 Hz off the dial
+    # SNAP is gated to carrier modes (cw/am/sam/bpsk) in the
+    # reference; AM searches a symmetric band around the dial
+    params = scope.make_params(fft_len=256, translate_hz=0.0,
+                               mode="am")
+    st = scope.init_state((), params)
+    tuner = SnapTuner(meas_needed=6)
+
+    t = np.arange(int(3 * fs)) / fs
+    z = (0.7 * np.exp(2j * np.pi * offset * t)).astype(np.complex64)
+
+    # closed loop: each correction retunes the (simulated) dial, like the
+    # reference's iterative VFO adjustment
+    dial = 0.0
+    B = 4096
+    fired = 0
+    for k in range(len(z) // B):
+        tb = t[k * B:(k + 1) * B]
+        blk = jnp.asarray(z[k * B:(k + 1) * B]
+                          * np.exp(-2j * np.pi * dial * tb))
+        out, st = scope.process(params, st, blk)
+        got = tuner.update(float(out["snap_freq"]), active=True)
+        if got is not None:
+            dial += got
+            fired += 1
+            # the reference flushes its spectrum averages after a retune;
+            # stale smoothed estimates would otherwise double-correct
+            st = scope.init_state((), params)
+    assert fired >= 1, "tuner never fired"
+    assert abs(dial - offset) < 2.0, dial
+
+
+def test_snap_tuner_gating_and_consistency():
+    from uhsdr_tpu.control.radio import SnapTuner
+    tuner = SnapTuner(meas_needed=3)
+    # inactive: never fires
+    for _ in range(10):
+        assert tuner.update(50.0, active=False) is None
+    # inconsistent estimates reset the count
+    assert tuner.update(50.0) is None
+    assert tuner.update(-40.0) is None   # jump > consistency window
+    assert tuner.update(-41.0) is None
+    got = tuner.update(-42.0)
+    assert got is not None and abs(got - (-41.0)) < 1.5
+    # dead zone: sub-Hz corrections suppressed
+    for v in (0.2, 0.3, 0.25):
+        got = tuner.update(v)
+    assert got is None

@@ -118,3 +118,47 @@ def switch_txrx(state: TrxState, to_tx: bool,
         new = TrxState(mode="rx", muted=False)
     actions.append("unmute_audio")
     return new, actions
+
+
+@dataclass
+class SnapTuner:
+    """SNAP auto-retune state machine — `UiSpectrum_CalculateSnap`
+    (`ui_spectrum.c:1876-1989`): the scope supplies a Jacobsen-Kootsookos
+    carrier-offset estimate (already 0.2/0.8 low-pass smoothed per block);
+    this machine requires several consecutive *consistent* measurements
+    before correcting the dial (reference: 6 measurements when manually
+    triggered, 10 in continuous/auto mode), and is gated by signal
+    activity (the reference uses the CW decoder's `ads.CW_signal` flag or
+    AM/SAM/BPSK mode).
+    """
+    meas_needed: int = 6          # 6 manual / 10 continuous
+    consistency_hz: float = 10.0  # measurements must agree this closely
+    min_offset_hz: float = 1.0    # dead zone: don't chase sub-Hz noise
+    count: int = 0
+    acc: float = 0.0
+    last: float = 0.0
+
+    def reset(self) -> None:
+        self.count = 0
+        self.acc = 0.0
+
+    def update(self, snap_offset_hz: float, active: bool = True):
+        """Feed one per-block estimate.  Returns the dial correction (Hz)
+        once `meas_needed` consecutive consistent measurements accumulate,
+        else None."""
+        if not active:
+            self.reset()
+            return None
+        est = float(snap_offset_hz)
+        if self.count > 0 and abs(est - self.last) > self.consistency_hz:
+            self.reset()
+        self.last = est
+        self.count += 1
+        self.acc += est
+        if self.count < self.meas_needed:
+            return None
+        correction = self.acc / self.count
+        self.reset()
+        if abs(correction) < self.min_offset_hz:
+            return None
+        return correction
