@@ -44,24 +44,28 @@ def _make_text_decoder(mode: str, fs_dec: float):
     import jax.numpy as jnp
 
     if mode == "cw":
+        import numpy as np
         from .modems import cw, cw_text
-        params = cw.make_params(fs=fs_dec, target_freq=700.0)
+        params = cw.make_params(fs=fs_dec, target_freq=700.0, atc=True)
         state = cw.init_state((1,))
         dec = cw_text.CwTextDecoder(fs_dec / params.blocksize)
+        tail = [np.zeros((1, 0), np.float32)]   # blocksize remainder carry
 
         # NOTE: the decoders accumulate internally and return the FULL
         # transcript on every push — take only the final return
         def push(audio_dec):
             nonlocal state
-            n = (audio_dec.shape[-1] // params.blocksize) * params.blocksize
-            keying, state = cw.keying_detect(params, state,
-                                             audio_dec[..., :n])
-            import numpy as np
-            dec.push_keying(np.asarray(keying)[0])
+            buf = np.concatenate([tail[0], np.asarray(audio_dec)], axis=-1)
+            n = (buf.shape[-1] // params.blocksize) * params.blocksize
+            if n:
+                keying, state = cw.keying_detect(params, state,
+                                                 jnp.asarray(buf[..., :n]))
+                dec.push_keying(np.asarray(keying)[0])
+            tail[0] = buf[..., n:]
 
         def flush():
-            import numpy as np
-            return dec.push_keying(np.zeros(300, bool))
+            # long enough to trip the 10*dash_avg key-up timeout
+            return dec.push_keying(np.zeros(2000, bool))
         return push, flush
     if mode == "rtty":
         from .modems import rtty, rtty_text

@@ -47,7 +47,14 @@ class CwTextDecoder:
     """Streaming Morse decoder for one channel of keying booleans at the
     decode-block cadence (fs/blocksize Hz)."""
 
-    def __init__(self, block_rate_hz: float, nominal_wpm: float = 25.0):
+    def __init__(self, block_rate_hz: float,
+                 nominal_wpm: float | None = 25.0):
+        """nominal_wpm seeds the Guenther timing averages (the operator's
+        configured keyer speed, like the reference's menu CW speed); the
+        decoder then starts classifying immediately and the adaptive
+        equations track the actual speed.  Pass None to instead acquire
+        timing from scratch over the first events (the reference's
+        98-event InitializationFunc behavior, cw_decoder.c:409-489)."""
         self.block_rate = block_rate_hz
         self.nominal_wpm = nominal_wpm
         self.reset()
@@ -56,18 +63,21 @@ class CwTextDecoder:
         self.prevstate = False
         self.timer = 0
         self.events = []            # (state, duration) pending
-        # Seed the Guenther averages from a nominal speed so the
-        # dot-vs-dash classifier is not degenerate before acquisition
-        # (pulse_avg==0 classifies every mark as dash); the adaptive
-        # equations then converge to the actual speed.
-        dot0 = self.block_rate * 1.2 / self.nominal_wpm
+        # Seed the Guenther averages so the dot-vs-dash classifier is not
+        # degenerate before acquisition (pulse_avg==0 classifies every
+        # mark as dash); the adaptive equations converge to the actual
+        # speed either way.
+        dot0 = self.block_rate * 1.2 / (self.nominal_wpm or 25.0)
         self.pulse_avg = (dot0 / 4 + 3 * dot0) / 2.0
         self.dot_avg = dot0
         self.dash_avg = 3 * dot0
         self.symspace_avg = dot0
         self.cwspace_avg = 3 * dot0
         self.w_space = 0.0
-        self.initialized = False
+        # seeded: decode from the first event (acquisition would otherwise
+        # consume the first ~2 characters and can split a character when
+        # it flips to initialized mid-stream)
+        self.initialized = self.nominal_wpm is not None
         self.init_processed = 0
         self.dash_flag = False
         self.wspace_flag = False
