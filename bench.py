@@ -6,6 +6,17 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): the reference firmware sustains 0.048 complex
 Msamples/s per chip (48 kHz x 1 channel, the hard real-time contract of
 the STM32 ISR chain).  vs_baseline = our Msamples/s / 0.048.
+
+MEASUREMENT HONESTY (axon relay): `jax.block_until_ready` is NOT an
+execution barrier on the axon backend — dispatches are acknowledged
+before the chip runs them, so loop-and-block timing measures dispatch
+rate (we observed 2500x inflation).  The ONLY reliable barrier is a
+device->host fetch of a value data-dependent on the result.  Two rules:
+  * all chain state must be created INSIDE jit — eagerly creating any
+    non-f32 array (complex64/uint32 zeros) permanently breaks every
+    subsequent fetch in the process (relay bug);
+  * each timed iteration ends with a fetch of a small f32 reduction of
+    the final state/audio, which transitively forces every step.
 """
 from __future__ import annotations
 
@@ -35,25 +46,28 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from uhsdr_tpu.chain import rx
 
-    # 8192 ch x 16k fills the chip without OOM (16k ch OOMs on v5e-1);
-    # larger batches amortize the AGC scan latency, measured 660+ Gs/s
-    # here vs 460 at 4096 ch
     channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
-    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
 
     cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
                       translate_hz=6000.0, block_len=block)
     params = rx.make_params(cfg)
-    state = rx.init_state(cfg, params, (channels,))
 
-    # donate the state buffers: the chain threads ~state-sized pytrees
-    # every step, donation halves their HBM footprint
+    # state created INSIDE jit (anchored on a dummy f32 arg): eager
+    # complex64/uint32 creation would poison all later fetches
+    anchor = jax.device_put(np.zeros((), np.float32))
+    mkstate = jax.jit(lambda d: rx.init_state(cfg, params, (channels,)))
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, i_plane, q_plane):
         iq = jax.lax.complex(i_plane, q_plane)
         audio, new_state, _ = rx.process_block(cfg, params, state, iq)
         return audio, new_state
+
+    # true barrier: small f32 reduction of the final audio, fetched
+    probe = jax.jit(lambda a: jnp.mean(jnp.abs(a)) * jnp.ones((4,),
+                                                              jnp.float32))
 
     rng = np.random.default_rng(0)
     i_np = rng.standard_normal((channels, block)).astype(np.float32) * 0.1
@@ -61,20 +75,22 @@ def main() -> None:
     i_plane = jax.device_put(i_np)
     q_plane = jax.device_put(q_np)
 
-    # warmup / compile
+    # warmup / compile (incl. the probe fetch path)
+    state = mkstate(anchor)
     audio, state = step(state, i_plane, q_plane)
-    jax.block_until_ready(audio)
+    np.asarray(probe(audio))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         audio, state = step(state, i_plane, q_plane)
-    jax.block_until_ready(audio)
+    checksum = float(np.asarray(probe(audio))[0])   # forces all steps
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     msamps = channels * block * steps / dt / 1e6
     print(json.dumps({
         "metric": "IQ Msamples/s/chip, full SSB RX chain "
-                  f"({channels} ch x {block} blk)",
+                  f"({channels} ch x {block} blk, barrier-verified)",
         "value": round(msamps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msamps / REF_MSAMPLES_PER_CHIP, 1),

@@ -54,12 +54,20 @@ def main() -> None:
             jax.device_put(rng.standard_normal((n, block)).astype(np.float32) * 0.1),
         ))
 
+    # BARRIER-VERIFIED (see bench.py): block_until_ready is not a real
+    # barrier on axon; fetch a small reduction of every group's output
+    import jax.numpy as jnp
+    probe = jax.jit(lambda a: jnp.mean(jnp.abs(a)) * jnp.ones((4,),
+                                                              jnp.float32))
+
     outs = fl.process_block_device(planes)          # compile + warm
-    jax.block_until_ready(outs)
+    for o in outs:
+        np.asarray(probe(o))
     t0 = time.perf_counter()
     for _ in range(steps):
         outs = fl.process_block_device(planes)
-    jax.block_until_ready(outs)
+    for o in outs:
+        assert np.isfinite(np.asarray(probe(o))[0])
     dt = time.perf_counter() - t0
 
     n_ch = per * len(configs)

@@ -37,6 +37,7 @@ from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
 from ..ops import design, fir, iir, iqcorr, lms, nco
 from ..pallas import fir as pallas_fir
+from ..pallas import iir as pallas_iir
 from . import eq as eq_mod
 from . import filterpaths
 
@@ -71,6 +72,7 @@ class RxConfig:
     cw_offset_hz: float = 700.0    # CW sidetone / passband center
     iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
     front_impl: str = "auto"       # auto | xla | pallas front FIR backend
+    iir_impl: str = "auto"         # auto | scan | pallas biquad backend
     iq_rate: float = IQ_RATE       # 48 kHz (reference) or 96 kHz (BASELINE
                                    # config 1 captures); decim keeps the
                                    # same decimated AUDIO rate per path
@@ -221,6 +223,24 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
     )
 
 
+def _biquad_cascade(cfg: RxConfig, sos, state, x):
+    """Biquad cascade dispatch: the Pallas single-HBM-pass kernel
+    (`pallas.iir`) when the shape tiles cleanly, the XLA dilated affine
+    scan otherwise.  "auto" resolves to Pallas off-CPU: measured 2.07x on
+    the whole SSB chain (357 -> 173 ms/block at 8192ch x 16k on v5e) AND
+    5x faster AOT compile; on CPU the interpreter would crawl, so auto
+    stays with the scan there (tests, dryrun)."""
+    use_pallas = cfg.iir_impl == "pallas" or (
+        cfg.iir_impl == "auto" and jax.default_backend() != "cpu")
+    if use_pallas and x.ndim == 2:
+        C, T = x.shape
+        t_tile = min(2048, T)
+        if (T % t_tile == 0 and (t_tile & (t_tile - 1)) == 0
+                and C % min(128, C) == 0):
+            return pallas_iir.biquad_cascade_pallas(np.asarray(sos), state, x)
+    return iir.biquad_cascade_block(sos, state, x)
+
+
 def process_block(cfg: RxConfig, params: RxParams, state: RxState,
                   iq: jnp.ndarray):
     """iq: (..., block_len) complex64 @48k.  Returns (audio48k, new_state, taps_dict)."""
@@ -323,8 +343,8 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     if params.notch is not None:
         audio, notch_state = lms.run(params.notch, state.notch, audio)
 
-    audio, sos_state = iir.biquad_cascade_block(params.audio_sos,
-                                                state.audio_sos_state, audio)
+    audio, sos_state = _biquad_cascade(cfg, params.audio_sos,
+                                       state.audio_sos_state, audio)
 
     # scale into the AGC's expected input range (reference feeds ADC-scaled
     # samples, max_input 4096)
@@ -341,16 +361,15 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
         audio, nr_state = nr_mod.process_block(params.nr, state.nr, audio)
 
     # --- EQ biquad1 (notch/peak/bass, audio_driver.c:2527) ---
-    audio, eq1_state = iir.biquad_cascade_block(
-        jnp.asarray(params.eq1_sos), state.eq1, audio)
+    audio, eq1_state = _biquad_cascade(cfg, params.eq1_sos, state.eq1, audio)
 
     taps_out["audio_dec"] = audio   # decimated-rate tap (modem decoders)
 
     # --- interpolation back to 48 kHz + treble shelf (biquad2) ---
     audio48, interp_carry = fir.fir_interpolate_block(
         params.interp_fir, state.interp_carry, audio, cfg.decim)
-    audio48, eq2_state = iir.biquad_cascade_block(
-        jnp.asarray(params.eq2_sos), state.eq2, audio48)
+    audio48, eq2_state = _biquad_cascade(cfg, params.eq2_sos, state.eq2,
+                                         audio48)
 
     new_state = state._replace(
         audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
@@ -379,7 +398,12 @@ class RxChain:
         self._jit = jax.jit(_run)
 
     def init_state(self, batch_shape=()) -> RxState:
-        return init_state(self.cfg, self.params, batch_shape)
+        # created INSIDE jit: eagerly creating complex64/uint32 arrays
+        # permanently breaks device->host fetches on the axon relay
+        # (ARCHITECTURE.md "axon dtype constraints")
+        anchor = jnp.zeros((), jnp.float32)
+        return jax.jit(
+            lambda d: init_state(self.cfg, self.params, batch_shape))(anchor)
 
     def __call__(self, state: RxState, iq=None, i=None, q=None):
         if iq is not None:

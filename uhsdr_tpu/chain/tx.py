@@ -154,7 +154,10 @@ class TxChain:
         self._jit = jax.jit(_run)
 
     def init_state(self, batch_shape=()) -> TxState:
-        return init_state(self.cfg, self.params, batch_shape)
+        # inside jit — see RxChain.init_state (axon fetch-poisoning)
+        anchor = jnp.zeros((), jnp.float32)
+        return jax.jit(
+            lambda d: init_state(self.cfg, self.params, batch_shape))(anchor)
 
     def __call__(self, state: TxState, audio):
         return self._jit(state, audio)

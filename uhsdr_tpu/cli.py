@@ -5,8 +5,10 @@ CAT client + config tool play this role for the firmware).
 
 Usage:
   python -m uhsdr_tpu.cli rx --input cap.wav --mode usb --bw 2P3KHZ \
-      --out audio.wav [--nr] [--notch] [--snap]
+      --out audio.wav [--nr] [--notch] [--decode]
+      # always reports dBm + SNAP carrier estimate in the JSON metrics
   python -m uhsdr_tpu.cli tx --text "CQ CQ" --mode cw --out iq.wav
+  python -m uhsdr_tpu.cli config show|save|backup|restore
   python -m uhsdr_tpu.cli conformance
 """
 from __future__ import annotations

@@ -44,23 +44,79 @@ def init_carry(batch_shape: tuple[int, ...], num_taps: int, dtype) -> jnp.ndarra
     return jnp.zeros(batch_shape + (num_taps - 1,), dtype=dtype)
 
 
+def _conv_full_halfspec(xw: jnp.ndarray, h: jnp.ndarray,
+                        nfft: int) -> jnp.ndarray:
+    """Circular convolution of xw (..., nfft) with h (taps,) entirely in
+    rfft HALF-SPECTRUM form.
+
+    The axon TPU backend has no complex-input FFT; the generic
+    `fftutil.cfft` composition pays for hermitian extension + rolls +
+    full-N complex intermediates.  Complex⊛complex only needs the four
+    real convolutions  p = a⊛hr − b⊛hi,  q = a⊛hi + b⊛hr, each of which
+    lives in (nfft/2+1)-bin half-spectra — half the multiply traffic and
+    zero reassembly."""
+    cx = jnp.iscomplexobj(xw)
+    ch = jnp.iscomplexobj(h)
+    if not cx and not ch:
+        X = jnp.fft.rfft(xw.astype(jnp.float32), n=nfft, axis=-1)
+        H = jnp.fft.rfft(h.astype(jnp.float32), n=nfft)
+        return jnp.fft.irfft(X * H, n=nfft, axis=-1)
+    if cx:
+        A = jnp.fft.rfft(jnp.real(xw), n=nfft, axis=-1)
+        B = jnp.fft.rfft(jnp.imag(xw), n=nfft, axis=-1)
+    else:
+        A = jnp.fft.rfft(xw.astype(jnp.float32), n=nfft, axis=-1)
+        B = None
+    if ch:
+        Hr = jnp.fft.rfft(jnp.real(h), n=nfft)
+        Hi = jnp.fft.rfft(jnp.imag(h), n=nfft)
+    else:
+        Hr = jnp.fft.rfft(h.astype(jnp.float32), n=nfft)
+        Hi = None
+    if B is None:           # real x, complex h
+        p = jnp.fft.irfft(A * Hr, n=nfft, axis=-1)
+        q = jnp.fft.irfft(A * Hi, n=nfft, axis=-1)
+    elif Hi is None:        # complex x, real h
+        p = jnp.fft.irfft(A * Hr, n=nfft, axis=-1)
+        q = jnp.fft.irfft(B * Hr, n=nfft, axis=-1)
+    else:                   # complex ⊛ complex
+        p = jnp.fft.irfft(A * Hr - B * Hi, n=nfft, axis=-1)
+        q = jnp.fft.irfft(A * Hi + B * Hr, n=nfft, axis=-1)
+    return jax.lax.complex(p, q)
+
+
+# FFT size cap for overlap-save chunking: one huge FFT (next_pow2 of the
+# whole block, e.g. 32k) is slower on TPU than a batch of ~2k-point FFTs
+# (N log N work AND VMEM locality) — measured ~2x on the 199-tap front
+# filter at 8192 ch x 16k.
+_OS_NFFT_CAP = 2048
+
+
 def _conv_valid_fft(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """'Valid' convolution of xfull (..., L) with h (taps,) via FFT overlap-save,
-    keeping the last n_out outputs (those with full history)."""
+    """'Valid' convolution of xfull (..., L) with h (taps,) via FFT
+    overlap-save (chunked), keeping the last n_out outputs (those with
+    full history)."""
     taps = h.shape[-1]
     L = xfull.shape[-1]
-    nfft = _next_pow2(L)
-    cplx = jnp.iscomplexobj(xfull) or jnp.iscomplexobj(h)
-    if cplx:
-        X = fftutil.cfft(xfull, nfft)
-        H = fftutil.cfft(h, nfft)
-        y = fftutil.icfft(X * H)
-    else:
-        X = jnp.fft.rfft(xfull.astype(jnp.float32), n=nfft, axis=-1)
-        H = jnp.fft.rfft(h.astype(jnp.float32), n=nfft)
-        y = jnp.fft.irfft(X * H, n=nfft, axis=-1)
-    # valid region: indices taps-1 .. taps-1+n_out-1
-    return y[..., taps - 1: taps - 1 + n_out]
+    nfft_one = _next_pow2(L)
+    nfft = min(nfft_one, max(_OS_NFFT_CAP, 2 * _next_pow2(taps)))
+    if nfft >= nfft_one:
+        y = _conv_full_halfspec(xfull, h, nfft_one)
+        return y[..., taps - 1: taps - 1 + n_out]
+    # chunked overlap-save: window c starts at input position c*hop and
+    # yields valid outputs c*hop + [0, hop); windows overlap by taps-1
+    hop = nfft - (taps - 1)
+    nchunks = -(-n_out // hop)
+    need = (nchunks - 1) * hop + nfft
+    if need > L:
+        pad = [(0, 0)] * (xfull.ndim - 1) + [(0, need - L)]
+        xfull = jnp.pad(xfull, pad)
+    idx = jnp.arange(nchunks)[:, None] * hop + jnp.arange(nfft)[None, :]
+    windows = xfull[..., idx]                      # (..., nchunks, nfft)
+    yw = _conv_full_halfspec(windows, h, nfft)
+    yv = yw[..., taps - 1:]                        # (..., nchunks, hop)
+    y = yv.reshape(yv.shape[:-2] + (nchunks * hop,))
+    return y[..., :n_out]
 
 
 def _conv_valid_dense(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int,
