@@ -156,7 +156,10 @@ def all_paths() -> tuple[FilterPath, ...]:
 def paths_for_mode(mode: str) -> list[FilterPath]:
     mask = {"cw": ModeMask.CW, "usb": ModeMask.SSB, "lsb": ModeMask.SSB,
             "am": ModeMask.AM, "sam": ModeMask.SAM, "fm": ModeMask.FM,
-            "digi": ModeMask.SSB}[mode]
+            "digi": ModeMask.SSB,
+            # two-channel audio modes (USE_TWO_CHANNEL_AUDIO): SSBSTEREO
+            # rides the SSB paths, IQ passthrough the symmetric AM paths
+            "ssbstereo": ModeMask.SSB, "iq": ModeMask.AM}[mode]
     return [p for p in all_paths() if p.modes & mask]
 
 

@@ -53,6 +53,8 @@ class RxConfig:
     """Static per-chain configuration (one compiled chain per config;
     channels sharing a config are batched)."""
     mode: str = "usb"              # usb | lsb | cw | am | sam | fm
+                                   # | iq | ssbstereo (two-channel audio,
+                                   # audio_driver.c:2618,2770-2777)
     bw_key: str = "2P3KHZ"
     path_name: str | None = None   # sub-path; None = first applicable
     translate_hz: float = 6000.0   # reference: ±6k/±12k (audio_driver.c:445)
@@ -81,6 +83,16 @@ class RxConfig:
     @property
     def path(self) -> filterpaths.FilterPath:
         return filterpaths.find_path(self.mode, self.bw_key, self.path_name)
+
+    @property
+    def n_audio(self) -> int:
+        """1 (mono) or 2: IQ-as-stereo, LSB/USB stereo, SAM stereo —
+        the reference's USE_TWO_CHANNEL_AUDIO modes (audio_driver.c:2618)."""
+        if self.mode in ("iq", "ssbstereo"):
+            return 2
+        if self.mode == "sam" and self.sam_sideband == "stereo":
+            return 2
+        return 1
 
     @property
     def decim(self) -> int:
@@ -151,11 +163,18 @@ def make_params(cfg: RxConfig) -> RxParams:
             h = design.complex_bandpass_fir(taps, -hi, -max(lo, 50.0), cfg.iq_rate)
         else:
             h = design.complex_bandpass_fir(taps, max(lo, 50.0), hi, cfg.iq_rate)
-    elif cfg.mode in ("am", "sam"):
+    elif cfg.mode in ("am", "sam", "iq"):
         # symmetric IQ lowpass, cutoff = the AM coefficient-set class the
-        # reference selects for this bandwidth (audio_filter.c:704-880)
+        # reference selects for this bandwidth (audio_filter.c:704-880);
+        # DEMOD_IQ passes the (filtered) I/Q planes straight to L/R
         cut = min(max(hi, 2300.0), 10000.0)
         h = design.complex_bandpass_fir(taps, -cut, cut, cfg.iq_rate)
+    elif cfg.mode == "ssbstereo":
+        # DEMOD_SSBSTEREO (audio_driver.c:2774-2777): USB and LSB demodulated
+        # simultaneously to the two audio channels — a (2, taps) filter pair
+        h_u = design.complex_bandpass_fir(taps, max(lo, 50.0), hi, cfg.iq_rate)
+        h_l = design.complex_bandpass_fir(taps, -hi, -max(lo, 50.0), cfg.iq_rate)
+        h = np.stack([h_u, h_l])
     elif cfg.mode == "fm":
         cut = path.width / 2 if path.width >= 5000 else 5000.0
         h = design.complex_bandpass_fir(taps, -cut, cut, cfg.iq_rate)
@@ -202,24 +221,30 @@ def make_params(cfg: RxConfig) -> RxParams:
 def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
     bs = tuple(batch_shape)
     taps = params.front_fir_re.shape[-1]
+    # two-channel audio modes: the demodulated-audio post chain runs per
+    # audio channel — its state carries an extra (2,) axis (the reference's
+    # NUM_AUDIO_CHANNELS loops); the front end stays per RF channel except
+    # ssbstereo, which filters with a (2, taps) USB/LSB pair
+    bs_post = bs + ((cfg.n_audio,) if cfg.n_audio > 1 else ())
+    bs_front = bs + ((2,) if cfg.mode == "ssbstereo" else ())
     return RxState(
         iqcorr=iqcorr.init_state(bs) if cfg.iq_auto_correction else None,
         nco_phase=jnp.zeros(bs, jnp.uint32),
-        front_carry=fir.init_carry(bs, taps, jnp.complex64),
-        audio_sos_state=jnp.zeros((params.audio_sos.shape[0],) + bs + (2,),
+        front_carry=fir.init_carry(bs_front, taps, jnp.complex64),
+        audio_sos_state=jnp.zeros((params.audio_sos.shape[0],) + bs_post + (2,),
                                   jnp.float32),
-        agc=agc_mod.init_state(bs, params.agc),
-        fade=am_mod.fade_leveler_init(bs),
-        sam=sam_mod.init_state(bs),
+        agc=agc_mod.init_state(bs_post, params.agc),
+        fade=am_mod.fade_leveler_init(bs_post),
+        sam=sam_mod.init_state(bs, n_audio=cfg.n_audio),
         fm=fm_mod.init_state(bs, params.fm) if params.fm is not None else None,
-        nr=nr_mod.init_state(bs) if params.nr is not None else None,
-        nb=nb_mod.init_state(bs) if params.nb is not None else None,
-        notch=lms.init_state(bs, params.notch) if params.notch is not None else None,
+        nr=nr_mod.init_state(bs_post) if params.nr is not None else None,
+        nb=nb_mod.init_state(bs_post) if params.nb is not None else None,
+        notch=lms.init_state(bs_post, params.notch) if params.notch is not None else None,
         interp_carry=jnp.zeros(
-            bs + (-(-params.interp_fir.shape[-1] // cfg.decim) - 1,),
+            bs_post + (-(-params.interp_fir.shape[-1] // cfg.decim) - 1,),
             jnp.float32),
-        eq1=jnp.zeros((params.eq1_sos.shape[0],) + bs + (2,), jnp.float32),
-        eq2=jnp.zeros((params.eq2_sos.shape[0],) + bs + (2,), jnp.float32),
+        eq1=jnp.zeros((params.eq1_sos.shape[0],) + bs_post + (2,), jnp.float32),
+        eq2=jnp.zeros((params.eq2_sos.shape[0],) + bs_post + (2,), jnp.float32),
     )
 
 
@@ -290,7 +315,11 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     # the XLA FFT/dense paths on v5e standalone, but embedding it in the
     # full chain blows up the remote AOT compile on the axon tunnel
     # (>20 min vs ~3 min), so "auto" currently resolves to the XLA path.
-    use_pallas = cfg.front_impl == "pallas"
+    use_pallas = cfg.front_impl == "pallas" and cfg.mode != "ssbstereo"
+    if cfg.mode == "ssbstereo":
+        # duplicate the RF stream across the (2,) stereo axis; the (2, taps)
+        # USB/LSB filter pair then demodulates both sidebands in one pass
+        z = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (2, z.shape[-1]))
     if use_pallas:
         tile_c = 128 if z.shape[0] % 128 == 0 else 8
         zf, front_carry = pallas_fir.fir_decimate_pallas(
@@ -328,6 +357,14 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     sam_state = state.sam
     if cfg.mode in ("usb", "lsb", "cw"):
         audio = ssb_mod.demod(zf)
+    elif cfg.mode == "ssbstereo":
+        # zf is (..., 2, T) from the USB/LSB filter pair; taking the real
+        # part of each analytic signal IS the two demodulated sidebands
+        # (DEMOD_SSBSTEREO, audio_driver.c:2774-2777): ch0=USB, ch1=LSB
+        audio = ssb_mod.demod(zf)
+    elif cfg.mode == "iq":
+        # DEMOD_IQ (audio_driver.c:2770-2773): filtered I/Q straight to L/R
+        audio = jnp.stack([jnp.real(zf), jnp.imag(zf)], axis=-2)
     elif cfg.mode == "am":
         audio, fade_state = am_mod.demod(zf, params.fade, state.fade,
                                          cfg.fade_leveler)

@@ -117,10 +117,13 @@ def cmd_rx(args) -> int:
 
     # digital text modes ride the SSB chain with the decoder on the
     # decimated tap
-    chain_mode = {"rtty": "usb", "psk": "usb"}.get(args.mode, args.mode)
+    chain_mode = {"rtty": "usb", "psk": "usb",
+                  "samstereo": "sam"}.get(args.mode, args.mode)
     cfg = rx.RxConfig(mode=chain_mode, bw_key=args.bw,
                       path_name=args.path or None,
                       translate_hz=args.translate,
+                      sam_sideband="stereo" if args.mode == "samstereo"
+                      else "both",
                       nr_enable=args.nr, notch_enable=args.notch,
                       agc_mode=args.agc, block_len=args.block)
     chain = rx.RxChain(cfg)
@@ -128,10 +131,12 @@ def cmd_rx(args) -> int:
     decoder = None
     if args.decode:
         decoder = _make_text_decoder(args.mode, cfg.fs_dec)
+    scope_mode = {"samstereo": "sam", "iq": "sam",
+                  "ssbstereo": "usb"}.get(args.mode, args.mode)
     sc_params = scope.make_params(translate_hz=args.translate,
                                   f_lo=cfg.path.audio_band[0],
                                   f_hi=cfg.path.audio_band[1],
-                                  mode=args.mode)
+                                  mode=scope_mode)
     sc_state = scope.init_state((1,), sc_params)
 
     out = []
@@ -152,7 +157,8 @@ def cmd_rx(args) -> int:
             nblocks += 1
             if args.max_blocks and nblocks >= args.max_blocks:
                 break
-    audio = np.concatenate(out) if out else np.zeros(0, np.float32)
+    audio = (np.concatenate(out, axis=-1) if out
+             else np.zeros(0, np.float32))
     if args.out:
         ingest.write_audio_wav(args.out, audio)
     metrics = {
@@ -288,7 +294,7 @@ def main(argv=None) -> int:
     rxp.add_argument("--out", default="")
     rxp.add_argument("--mode", default="usb",
                      choices=["usb", "lsb", "cw", "am", "sam", "fm",
-                              "rtty", "psk"])
+                              "rtty", "psk", "iq", "ssbstereo", "samstereo"])
     rxp.add_argument("--decode", action="store_true",
                      help="run the digital text decoder (cw/rtty/psk)")
     rxp.add_argument("--bw", default="2P3KHZ")

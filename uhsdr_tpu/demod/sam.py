@@ -77,13 +77,17 @@ class SamState(NamedTuple):
     fade: am.FadeLevelerState
 
 
-def init_state(batch_shape) -> SamState:
+def init_state(batch_shape, n_audio: int = 1) -> SamState:
+    """n_audio=2 for SAM_SIDEBAND_STEREO (two-channel audio out,
+    `audio_driver.c:2092-2095`): the fade leveler then runs per audio
+    channel (NUM_AUDIO_CHANNELS loop, `audio_driver.c:2108`)."""
     z = jnp.zeros(batch_shape, jnp.float32)
+    fade_shape = tuple(batch_shape) + ((n_audio,) if n_audio > 1 else ())
     return SamState(
         phs=z, fil_out=z, omega2=z,
         ap_state=jnp.zeros((4, N_STAGES) + tuple(batch_shape) + (2,), jnp.float32),
         ds=jnp.zeros(tuple(batch_shape) + (2,), jnp.float32),
-        fade=am.fade_leveler_init(batch_shape),
+        fade=am.fade_leveler_init(fade_shape),
     )
 
 
@@ -138,7 +142,11 @@ def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
           sideband: str = "usb", fade_leveler_on: bool = True):
     """iq (..., T) complex64 at decimated rate -> (audio, carrier_offset_hz*2pi/fs, new_state).
 
-    sideband: 'usb' | 'lsb' | 'both' (both = plain product detector).
+    sideband: 'usb' | 'lsb' | 'both' | 'stereo' (both = plain product
+    detector; stereo = two-channel audio (..., 2, T), channel 0 = LSB,
+    channel 1 = USB, matching SAM_SIDEBAND_STEREO
+    `audio_driver.c:2092-2095` — state must be built with
+    ``init_state(bs, n_audio=2)``).
     """
     phases, omegas, phs_f, fil_f, om_f = _pll_scan(params, state, iq)
     osc = jnp.exp(jax.lax.complex(jnp.zeros_like(phases), -phases))
@@ -167,15 +175,21 @@ def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
         ap_state = jnp.stack([sa, sb, sc, sd], axis=0)
         ds_new = jnp.stack([ai[..., -1], bq[..., -1]], axis=-1)
         ai_ps, bi_ps, bq_ps, aq_ps = a_out, b_out, c_out, d_out
+        usb_a = (ai_ps - bi_ps) + (aq_ps + bq_ps)
+        lsb_a = (ai_ps + bi_ps) - (aq_ps - bq_ps)
         if sideband == "usb":
-            audio = (ai_ps - bi_ps) + (aq_ps + bq_ps)
-        else:  # lsb
-            audio = (ai_ps + bi_ps) - (aq_ps - bq_ps)
+            audio = usb_a
+        elif sideband == "lsb":
+            audio = lsb_a
+        else:  # stereo: LSB-left / USB-right (audio_driver.c:2092-2095)
+            audio = jnp.stack([lsb_a, usb_a], axis=-2)
 
     fade_state = state.fade
     if fade_leveler_on:
+        corr_b = (jnp.broadcast_to(corr_re[..., None, :], audio.shape)
+                  if audio.ndim == corr_re.ndim + 1 else corr_re)
         audio, fade_state = am.fade_leveler(params.fade, fade_state,
-                                            audio, corr_re)
+                                            audio, corr_b)
 
     new_state = SamState(phs=phs_f, fil_out=fil_f, omega2=om_f,
                          ap_state=ap_state, ds=ds_new, fade=fade_state)

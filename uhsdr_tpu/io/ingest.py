@@ -133,11 +133,16 @@ def write_iq_wav(path: str, iq: np.ndarray, fs: int = 48000) -> None:
 
 def write_audio_wav(path: str, audio: np.ndarray, fs: int = 48000,
                     norm: bool = True) -> None:
+    """Mono (T,) or stereo (2, T) audio -> 16-bit WAV (stereo for the
+    two-channel demod modes: DEMOD_IQ/SSBSTEREO/SAM-stereo)."""
     a = np.asarray(audio, np.float64)
     if norm and np.max(np.abs(a)) > 0:
         a = a / np.max(np.abs(a)) * 0.9
+    nch = 1 if a.ndim == 1 else a.shape[0]
+    if a.ndim > 1:
+        a = a.T.reshape(-1)  # interleave L/R
     with wave.open(path, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(nch)
         w.setsampwidth(2)
         w.setframerate(fs)
         w.writeframes((a * 32767).astype(np.int16).tobytes())

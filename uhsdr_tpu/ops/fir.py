@@ -93,9 +93,12 @@ _OS_NFFT_CAP = 2048
 
 
 def _conv_valid_fft(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """'Valid' convolution of xfull (..., L) with h (taps,) via FFT
-    overlap-save (chunked), keeping the last n_out outputs (those with
-    full history)."""
+    """'Valid' convolution of xfull (..., L) with h via FFT overlap-save
+    (chunked), keeping the last n_out outputs (those with full history).
+
+    h may be (taps,) or batched (..., taps) broadcastable against xfull's
+    leading dims (e.g. a (2, taps) stereo USB/LSB filter pair against
+    (..., 2, L) input)."""
     taps = h.shape[-1]
     L = xfull.shape[-1]
     nfft_one = _next_pow2(L)
@@ -113,7 +116,9 @@ def _conv_valid_fft(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int) -> jnp.ndarr
         xfull = jnp.pad(xfull, pad)
     idx = jnp.arange(nchunks)[:, None] * hop + jnp.arange(nfft)[None, :]
     windows = xfull[..., idx]                      # (..., nchunks, nfft)
-    yw = _conv_full_halfspec(windows, h, nfft)
+    # batched h: insert a chunk axis so H broadcasts as (..., 1, bins)
+    h_b = h[..., None, :] if h.ndim > 1 else h
+    yw = _conv_full_halfspec(windows, h_b, nfft)
     yv = yw[..., taps - 1:]                        # (..., nchunks, hop)
     y = yv.reshape(yv.shape[:-2] + (nchunks * hop,))
     return y[..., :n_out]
@@ -129,14 +134,18 @@ def _conv_valid_dense(xfull: jnp.ndarray, h: jnp.ndarray, n_out: int,
     # frames[m, k] = xfull[m*stride + k], k in [0, taps)
     idx = (jnp.arange(n_out) * stride)[:, None] + jnp.arange(taps)[None, :]
     frames = xfull[..., idx]                       # (..., n_out, taps)
-    hrev = h[::-1]
+    hrev = h[..., ::-1]
+    if h.ndim > 1:                                 # batched filters
+        dot = lambda f, w: jnp.einsum("...nt,...t->...n", f, w)
+    else:
+        dot = lambda f, w: f @ w
     if jnp.iscomplexobj(frames) or jnp.iscomplexobj(hrev):
         fr, fi = jnp.real(frames), jnp.imag(frames)
         hr, hi = jnp.real(hrev).astype(jnp.float32), jnp.imag(hrev).astype(jnp.float32)
-        yr = fr @ hr - fi @ hi
-        yi = fr @ hi + fi @ hr
+        yr = dot(fr, hr) - dot(fi, hi)
+        yi = dot(fr, hi) + dot(fi, hr)
         return jax.lax.complex(yr, yi)
-    return frames @ hrev.astype(frames.dtype)
+    return dot(frames, hrev.astype(frames.dtype))
 
 
 def fir_block(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
