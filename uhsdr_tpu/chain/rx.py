@@ -266,9 +266,30 @@ def _biquad_cascade(cfg: RxConfig, sos, state, x):
     return iir.biquad_cascade_block(sos, state, x)
 
 
+def _tune_offset_delta(offset_hz, fs: float) -> jnp.ndarray:
+    """Traced f32 tune offset (Hz) -> uint32 NCO delta, computed in-graph.
+
+    Split into two 16-bit halves so each f32->uint32 conversion stays well
+    below 2^24 (exact in f32); the recombined uint32 wraps correctly when
+    added to the compile-time translate delta.  Resolution ~3 uHz.
+    """
+    frac = jnp.mod(-offset_hz / np.float32(fs), 1.0)
+    hi = jnp.floor(frac * 65536.0)
+    lo = jnp.floor((frac * 65536.0 - hi) * 65536.0)
+    return (hi.astype(jnp.uint32) * jnp.uint32(65536)
+            + lo.astype(jnp.uint32))
+
+
 def process_block(cfg: RxConfig, params: RxParams, state: RxState,
-                  iq: jnp.ndarray):
-    """iq: (..., block_len) complex64 @48k.  Returns (audio48k, new_state, taps_dict)."""
+                  iq: jnp.ndarray, tune_offset_hz=None):
+    """iq: (..., block_len) complex64 @48k.  Returns (audio48k, new_state, taps_dict).
+
+    tune_offset_hz: optional TRACED f32 scalar — an extra frequency shift
+    added to the compile-time translate NCO.  This is the live-retune path
+    (the reference's LO step, `RadioManagement_ChangeFrequency`
+    `radio_management.c:679`): dial changes re-run the same compiled chain
+    with a new scalar instead of recompiling, emulating the LO move as a
+    baseband shift of the capture."""
     taps_out = {}
     front_fir = jax.lax.complex(jnp.asarray(params.front_fir_re),
                                 jnp.asarray(params.front_fir_im))
@@ -296,9 +317,12 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     taps_out["spectrum_iq"] = z    # pre-translate tap for the scope display
 
     # --- frequency translation ---
-    if cfg.translate_hz != 0.0:
+    if cfg.translate_hz != 0.0 or tune_offset_hz is not None:
+        delta = jnp.asarray(params.nco_delta)
+        if tune_offset_hz is not None:
+            delta = delta + _tune_offset_delta(tune_offset_hz, cfg.iq_rate)
         z, nco_phase = nco.mix(z, state.nco_phase,
-                               jnp.broadcast_to(params.nco_delta,
+                               jnp.broadcast_to(delta,
                                                 state.nco_phase.shape))
     else:
         nco_phase = state.nco_phase
@@ -434,6 +458,15 @@ class RxChain:
 
         self._jit = jax.jit(_run)
 
+        def _run_tuned(state, i_plane, q_plane, tune_offset_hz):
+            iq = jax.lax.complex(i_plane, q_plane)
+            return process_block(self.cfg, self.params, state, iq,
+                                 tune_offset_hz=tune_offset_hz)
+
+        # live-retune variant: the dial offset is a traced f32 scalar, so
+        # every dial position reuses ONE compiled executable
+        self._jit_tuned = jax.jit(_run_tuned)
+
     def init_state(self, batch_shape=()) -> RxState:
         # created INSIDE jit: eagerly creating complex64/uint32 arrays
         # permanently breaks device->host fetches on the axon relay
@@ -442,7 +475,8 @@ class RxChain:
         return jax.jit(
             lambda d: init_state(self.cfg, self.params, batch_shape))(anchor)
 
-    def __call__(self, state: RxState, iq=None, i=None, q=None):
+    def __call__(self, state: RxState, iq=None, i=None, q=None,
+                 tune_offset_hz=None):
         if iq is not None:
             if np.iscomplexobj(iq):
                 i = jnp.asarray(np.ascontiguousarray(np.real(iq), np.float32)) \
@@ -451,4 +485,7 @@ class RxChain:
                     if isinstance(iq, np.ndarray) else jnp.imag(iq)
             else:
                 raise ValueError("pass complex iq or i=/q= f32 planes")
+        if tune_offset_hz is not None:
+            return self._jit_tuned(state, i, q,
+                                   jnp.float32(tune_offset_hz))
         return self._jit(state, i, q)

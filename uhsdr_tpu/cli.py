@@ -285,6 +285,47 @@ def cmd_config(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the live radio (`control/server.py`): stream an IQ capture
+    through the RX chain forever under CAT control — the `mchfMain`
+    main-loop role (`src/uhsdr_main.c:388-494`)."""
+    import time as time_mod
+
+    from .control import server as server_mod
+
+    cfg = server_mod.ServeConfig(
+        iq_path=args.input, center_hz=args.center, block_len=args.block,
+        mode=args.mode, bw_key=args.bw, translate_hz=args.translate,
+        agc_mode=args.agc, dial_hz=args.dial, loop=not args.no_loop,
+        realtime=args.realtime)
+    radio, catsrv = server_mod.serve(cfg, host=args.host, port=args.port)
+    print(json.dumps({"cat_port": catsrv.port, "center_hz": args.center,
+                      "dial_hz": radio.dial_hz, "mode": radio.mode}),
+          flush=True)
+    try:
+        while not radio._stop.is_set():
+            time_mod.sleep(args.status_every)
+            print(json.dumps({
+                "blocks": radio.blocks_processed,
+                "tx_blocks": radio.tx_blocks_processed,
+                "dial_hz": radio.dial_hz, "mode": radio.mode,
+                "ptt": radio.ptt, "s_meter": round(radio.s_meter, 2),
+                "dbm": round(radio.dbm, 1),
+                "snap_hz": round(radio.snap_freq_hz, 1),
+                "fwd_pwr_w": round(radio.fwd_pwr, 2)}), flush=True)
+            if args.max_blocks and radio.blocks_processed >= args.max_blocks:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        radio.stop()
+        catsrv.stop()
+    if radio.error:
+        print(json.dumps({"error": radio.error}), file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="uhsdr_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -320,6 +361,29 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("conformance", help="run conformance checks")
     cp.set_defaults(fn=cmd_conformance)
+
+    sv = sub.add_parser("serve", help="live CAT-controlled radio on an "
+                        "IQ capture (main-loop role)")
+    sv.add_argument("--input", required=True, help="IQ capture (wav/raw)")
+    sv.add_argument("--center", type=float, default=14_001_000.0,
+                    help="RF frequency of the capture center, Hz")
+    sv.add_argument("--dial", type=int, default=0,
+                    help="initial dial frequency (0 = capture center)")
+    sv.add_argument("--mode", default="usb",
+                    choices=["usb", "lsb", "cw", "am", "sam", "fm"])
+    sv.add_argument("--bw", default="2P3KHZ")
+    sv.add_argument("--translate", type=float, default=6000.0)
+    sv.add_argument("--agc", default="med")
+    sv.add_argument("--block", type=int, default=4096)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7310)
+    sv.add_argument("--no-loop", action="store_true",
+                    help="stop at capture end instead of wrapping")
+    sv.add_argument("--realtime", action="store_true",
+                    help="pace blocks at the sample rate")
+    sv.add_argument("--status-every", type=float, default=2.0)
+    sv.add_argument("--max-blocks", type=int, default=0)
+    sv.set_defaults(fn=cmd_serve)
 
     cfp = sub.add_parser("config", help="config show/save + CAT backup/restore")
     cfp.add_argument("action", choices=["show", "save", "backup", "restore"])
