@@ -138,3 +138,19 @@ def test_goertzel_tone_power():
     p_off = goertzel.tone_power(jnp.asarray(x), 1900, fs)
     np.testing.assert_allclose(np.asarray(p_on)[0], 0.49, rtol=0.05)
     assert np.asarray(p_off)[0] < 0.001
+
+
+def test_osc_block_factored_matches_direct():
+    # the coarse x fine factorization must equal the direct per-sample
+    # evaluation to f32 rounding for non-power-of-2-friendly deltas too
+    rng = np.random.default_rng(3)
+    for n in (512, 2048, 16384, 1000):   # 1000 forces small-R fallback
+        phase0 = jnp.asarray(rng.integers(0, 2**32, size=(4,),
+                                          dtype=np.uint32))
+        delta = jnp.asarray(rng.integers(0, 2**32, size=(4,),
+                                         dtype=np.uint32))
+        osc = np.asarray(nco.osc_block(phase0, delta, n))
+        ph = np.asarray(nco.phase_ramp(phase0, delta, n), np.float64)
+        ref = np.exp(1j * ph)
+        assert np.max(np.abs(osc - ref)) < 2e-5, n
+        assert np.max(np.abs(np.abs(osc) - 1.0)) < 1e-5

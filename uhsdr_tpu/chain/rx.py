@@ -335,11 +335,16 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         return demod_and_post(cfg, params, state, zf, taps_out)
 
     # --- analytic bandpass + decimate ---
-    # Pallas MXU kernel, opt-in (front_impl="pallas"): measured 2.2x over
-    # the XLA FFT/dense paths on v5e standalone, but embedding it in the
-    # full chain blows up the remote AOT compile on the axon tunnel
-    # (>20 min vs ~3 min), so "auto" currently resolves to the XLA path.
-    use_pallas = cfg.front_impl == "pallas" and cfg.mode != "ssbstereo"
+    # Pallas MXU kernel: "auto" resolves to it off-CPU when the shape
+    # tiles (C % 8, T_out % 512) — measured 1.72x on the WHOLE chain
+    # (777 -> 1340 Msamples/s at 8192ch x 16k on v5e; the front FIR is
+    # ~85% of chain time on the XLA FFT path).  The earlier remote-AOT
+    # compile blowup no longer reproduces (41 s cold, in-session).
+    use_pallas = cfg.front_impl != "xla" and cfg.mode != "ssbstereo"
+    if use_pallas and cfg.front_impl == "auto":
+        use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
+                      and z.shape[0] % 8 == 0
+                      and (z.shape[-1] // cfg.decim) % 512 == 0)
     if cfg.mode == "ssbstereo":
         # duplicate the RF stream across the (2,) stereo axis; the (2, taps)
         # USB/LSB filter pair then demodulates both sidebands in one pass

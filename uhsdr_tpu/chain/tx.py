@@ -96,6 +96,20 @@ def init_state(cfg: TxConfig, params: TxParams, batch_shape) -> TxState:
     )
 
 
+def _voice_sos(sos, state, x):
+    """Voice-bandpass biquad dispatch: the Pallas single-HBM-pass kernel
+    off-CPU when the (C, T) shape tiles (same rule as the RX chain's
+    `_biquad_cascade`), XLA dilated affine scan otherwise."""
+    if jax.default_backend() != "cpu" and x.ndim == 2:
+        C, T = x.shape
+        t_tile = min(2048, T)
+        if (T % t_tile == 0 and (t_tile & (t_tile - 1)) == 0
+                and C % min(128, C) == 0):
+            from ..pallas import iir as pallas_iir
+            return pallas_iir.biquad_cascade_pallas(np.asarray(sos), state, x)
+    return iir.biquad_cascade_block(jnp.asarray(sos), state, x)
+
+
 def process_block(cfg: TxConfig, params: TxParams, state: TxState,
                   audio: jnp.ndarray):
     """audio: (..., T) f32 (for CW: keying envelope in [0,1]).
@@ -111,8 +125,7 @@ def process_block(cfg: TxConfig, params: TxParams, state: TxState,
     alc_state = state.alc
     if cfg.mode != "cw":
         if params.voice_sos is not None:
-            audio, sos_state = iir.biquad_cascade_block(
-                jnp.asarray(params.voice_sos), sos_state, audio)
+            audio, sos_state = _voice_sos(params.voice_sos, sos_state, audio)
         if params.alc is not None:
             audio, alc_state = alc_mod.run(params.alc, alc_state, audio)
     taps["processed"] = audio

@@ -73,10 +73,35 @@ def ssb_init(batch_shape) -> SsbModState:
                        phase=jnp.zeros(bs, jnp.uint32))
 
 
+def _analytic_fir(fir_re, fir_im, carry, audio):
+    """TX Hilbert/analytic FIR dispatch: real audio -> analytic signal.
+
+    Off-CPU, MXU-tiling shapes go through the Pallas FIR kernel (decim=1)
+    — the TX front runs at the FULL 48 kHz rate (no decimation), so it is
+    the dominant TX stage on the XLA FFT path (measured 409 -> see
+    PARITY.md after enabling).  Real input rides the complex kernel with
+    a zero imaginary plane; the carried history stays real f32.
+    """
+    use_pallas = (jax.default_backend() != "cpu" and audio.ndim == 2
+                  and audio.shape[0] % 8 == 0
+                  and audio.shape[-1] % 512 == 0)
+    if use_pallas:
+        from ..pallas import fir as pallas_fir
+        h_np = np.asarray(fir_re) + 1j * np.asarray(fir_im)
+        zeros = jnp.zeros_like(audio)
+        xc = jax.lax.complex(audio, zeros)
+        cc = jax.lax.complex(carry, jnp.zeros_like(carry))
+        tile_c = 128 if audio.shape[0] % 128 == 0 else 8
+        z, carry_c = pallas_fir.fir_decimate_pallas(
+            h_np, cc, xc, 1, tile_c=tile_c, tile_t=512)
+        return z, jnp.real(carry_c)
+    h = jax.lax.complex(jnp.asarray(fir_re), jnp.asarray(fir_im))
+    return fir.fir_block(h, carry, audio)
+
+
 def ssb_modulate(params: SsbModParams, state: SsbModState, audio: jnp.ndarray):
     """audio (..., T) f32 -> (iq (..., T) complex64, new_state)."""
-    h = jax.lax.complex(jnp.asarray(params.fir_re), jnp.asarray(params.fir_im))
-    z, carry = fir.fir_block(h, state.carry, audio)
+    z, carry = _analytic_fir(params.fir_re, params.fir_im, state.carry, audio)
     if params.lsb:
         z = jnp.conj(z)
     z, phase = nco.mix(z, state.phase,
@@ -108,8 +133,7 @@ def am_init(batch_shape) -> SsbModState:
 
 
 def am_modulate(params: AmModParams, state: SsbModState, audio: jnp.ndarray):
-    h = jax.lax.complex(jnp.asarray(params.fir_re), jnp.asarray(params.fir_im))
-    z, carry = fir.fir_block(h, state.carry, audio)
+    z, carry = _analytic_fir(params.fir_re, params.fir_im, state.carry, audio)
     i_f, q_f = jnp.real(z), jnp.imag(z)
     s = (i_f - q_f) + 2.0 * params.carrier_level
     iq = jax.lax.complex(s, -s)
