@@ -277,17 +277,44 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
         new_volts = jnp.maximum(new_volts, params.min_volts)
         return (new_volts, new_save, new_hang, new_decay, new_state), new_volts
 
-    seq = (jnp.moveaxis(ring_max, -1, 0),
-           jnp.moveaxis(fba, -1, 0),
-           jnp.moveaxis(hba, -1, 0))
-    carry0 = (state.volts, state.save_volts, state.hang_counter,
-              state.decay_type, state.state)
-    # NOTE: no `unroll` here — unrolling this body makes XLA:CPU compile
-    # time explode (>2 min for unroll=8, measured); XLA already keeps the
-    # rolled loop body fused and the scan is latency- not overhead-bound.
-    (volts_f, save_f, hang_f, decay_f, st_f), volts_seq = jax.lax.scan(
-        step, carry0, seq)
-    volts_t = jnp.moveaxis(volts_seq, 0, -1)
+    # Pallas VMEM kernel off-CPU when the channel count tiles as
+    # (8 sublanes x 128 lanes): the XLA scan pays per-step overhead that
+    # made this the most expensive chain stage (34.6 ms in-chain at
+    # 8192ch x 16k — see pallas/agc.py)
+    T_steps = ring_max.shape[-1]
+    use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
+                  and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
+    if use_pallas:
+        from ..pallas import agc as pallas_agc
+        pp = dict(attack_mult=float(params.attack_mult),
+                  fast_decay_mult=float(params.fast_decay_mult),
+                  decay_mult=float(params.decay_mult),
+                  hang_decay_mult=float(params.hang_decay_mult),
+                  pop_ratio=float(params.pop_ratio),
+                  hang_level=float(params.hang_level),
+                  hang_time=float(hang_time),
+                  hang_enable=bool(params.hang_enable),
+                  min_volts=float(params.min_volts))
+        carry = jnp.stack([state.volts, state.save_volts,
+                           state.hang_counter, state.decay_type,
+                           state.state], axis=0)
+        volts_t, carry_out = pallas_agc.agc_scan_pallas(
+            pp, carry, ring_max, fba, hba)
+        volts_f, save_f, hang_f, decay_f, st_f = (
+            carry_out[0], carry_out[1], carry_out[2], carry_out[3],
+            carry_out[4])
+    else:
+        seq = (jnp.moveaxis(ring_max, -1, 0),
+               jnp.moveaxis(fba, -1, 0),
+               jnp.moveaxis(hba, -1, 0))
+        carry0 = (state.volts, state.save_volts, state.hang_counter,
+                  state.decay_type, state.state)
+        # NOTE: no `unroll` here — unrolling this body makes XLA:CPU
+        # compile time explode (>2 min for unroll=8, measured); XLA keeps
+        # the rolled loop body fused and the scan is latency-bound.
+        (volts_f, save_f, hang_f, decay_f, st_f), volts_seq = jax.lax.scan(
+            step, carry0, seq)
+        volts_t = jnp.moveaxis(volts_seq, 0, -1)
 
     vo = jnp.minimum(jnp.log10(params.inv_max_input * volts_t), 0.0)
     mult = (params.out_target - params.slope_constant * vo) / volts_t

@@ -1,0 +1,174 @@
+"""Pallas TPU kernel: the WDSP AGC 5-state gain machine in VMEM.
+
+The XLA `lax.scan` version (`ops.agc.run`) is the single most expensive
+stage of the RX chain on TPU (measured 34.6 ms in-chain at 8192ch x 16k —
+~1/3 of total): each of the T_dec scan steps round-trips its tiny carry
+through HBM-visible buffers and pays the scan's per-iteration overhead.
+
+This kernel runs the WHOLE sequential loop on VMEM-resident tiles:
+channels are packed as (8 sublanes x 128 lanes) = 1024 per tile, so every
+step of the recurrence is a handful of full-width VPU ops; the five state
+vectors live in registers across the `fori_loop`, and a scratch buffer
+carries them across the sequential time-tile sweep (same pattern as
+`pallas.iir`).  Inputs (look-ahead ring max + the two back-averages) are
+precomputed by XLA — they are parallel ops (dilated max, affine scans)
+that XLA already does well; only the irreducibly-sequential state machine
+lives here.
+
+Reference: `AudioAgc_RunAgcWdsp` 5-state machine (`audio_agc.c:436-551`);
+math identical to `ops.agc.run`'s scan body (masked-arithmetic blend).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(pp, t_tile: int):
+    """pp: dict of python-float params closed over at trace time."""
+    f32 = np.float32
+    attack = f32(pp["attack_mult"])
+    fast_d = f32(pp["fast_decay_mult"])
+    long_d = f32(pp["decay_mult"])
+    hang_d = f32(pp["hang_decay_mult"])
+    pop_ratio = f32(pp["pop_ratio"])
+    hang_level = f32(pp["hang_level"])
+    hang_time = f32(pp["hang_time"])
+    hang_en = f32(1.0 if pp["hang_enable"] else 0.0)
+    min_volts = f32(pp["min_volts"])
+    one = f32(1.0)
+
+    def kernel(rm_ref, fb_ref, hb_ref, st_ref, y_ref, stout_ref, scratch):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _init():
+            scratch[:] = st_ref[:]
+
+        def step(t, carry):
+            volts, save, hang, decay, st = carry
+            rm = rm_ref[t]
+            fb = fb_ref[t]
+            hb = hb_ref[t]
+            hang = jnp.maximum(hang - one, f32(0.0))
+
+            attack_v = volts + (rm - volts) * attack
+            fast_v = volts + (rm - volts) * fast_d
+            long_v = volts + (rm - volts) * long_d
+            hangd_v = volts + (rm - volts) * hang_d
+
+            att = (rm >= volts).astype(jnp.float32)
+            natt = one - att
+            is0 = (st < f32(0.5)).astype(jnp.float32)
+            is1 = ((st > f32(0.5)) & (st < f32(1.5))).astype(jnp.float32)
+            is2 = ((st > f32(1.5)) & (st < f32(2.5))).astype(jnp.float32)
+            is3 = ((st > f32(2.5)) & (st < f32(3.5))).astype(jnp.float32)
+            is4 = (st > f32(3.5)).astype(jnp.float32)
+
+            ht = hang_en * (hb > hang_level).astype(jnp.float32)
+            s0_fast = (volts > pop_ratio * fb).astype(jnp.float32)
+            s1_fastc = (volts > save).astype(jnp.float32)
+            hc_wait = (hang > f32(0.5)).astype(jnp.float32)
+            hc_zero = one - hc_wait
+            dt1 = decay
+            dt0 = one - dt1
+
+            m0a = is0 * att
+            m0f = is0 * natt * s0_fast
+            m0h = is0 * natt * (one - s0_fast) * ht
+            m0l = is0 * natt * (one - s0_fast) * (one - ht)
+            m1a = is1 * att
+            m1f = is1 * natt * s1_fastc
+            m1w = is1 * natt * (one - s1_fastc) * hc_wait
+            m1l = is1 * natt * (one - s1_fastc) * hc_zero * dt0
+            m1h = is1 * natt * (one - s1_fastc) * hc_zero * dt1
+            m2a = is2 * att
+            m2d = is2 * natt * hc_zero
+            m2s = is2 * natt * hc_wait
+            m3a = is3 * att
+            m3d = is3 * natt
+            m4a = is4 * att
+            m4d = is4 * natt
+
+            new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
+                         + (m0f + m1f) * fast_v
+                         + (m0l + m1l + m3d) * long_v
+                         + (m1h + m2d + m4d) * hangd_v
+                         + (m0h + m1w + m2s) * volts)
+            new_st = ((m0f + m1f) * f32(1.0) + (m0h + m1w + m2s) * f32(2.0)
+                      + (m0l + m1l + m3d) * f32(3.0)
+                      + (m1h + m2d + m4d) * f32(4.0))
+            save_upd = m2a + m3a + m4a
+            new_save = save_upd * volts + (one - save_upd) * save
+            new_hang = m0h * hang_time + (one - m0h) * hang
+            new_decay = m0h * one + (one - (m0h + m0l)) * decay
+
+            new_volts = jnp.maximum(new_volts, min_volts)
+            y_ref[t] = new_volts
+            return (new_volts, new_save, new_hang, new_decay, new_st)
+
+        # NOTE: an 8x partial unroll of this loop measured identical
+        # whole-chain time (88.7 vs 88.8 ms) — the cost is the sequential
+        # dependency chain of the recurrence itself, not loop overhead
+        sc = scratch[:]                      # (5, 8, 128)
+        carry0 = (sc[0], sc[1], sc[2], sc[3], sc[4])
+        carry = jax.lax.fori_loop(0, t_tile, step, carry0)
+        new_sc = jnp.stack(carry, axis=0)
+        scratch[:] = new_sc
+        stout_ref[:] = new_sc
+
+    return kernel
+
+
+def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
+                    fb: jnp.ndarray, hb: jnp.ndarray,
+                    t_tile: int = 256):
+    """Run the 5-state AGC machine.  carry: (5, C); rm/fb/hb: (C, T) f32.
+    Returns (volts (C, T), new_carry (5, C)).
+    Requires C % 1024 == 0 (8 sublanes x 128 lanes) and T % t_tile == 0.
+
+    t_tile=256 keeps the 3 input + 1 output (t_tile, 8, 128) f32 blocks
+    with double buffering inside the 16 MB VMEM budget (512 OOMs by 100K).
+    """
+    C, T = rm.shape
+    assert C % 1024 == 0, C
+    assert T % t_tile == 0, (T, t_tile)
+    n_c = C // 1024
+    n_t = T // t_tile
+
+    def pack(a):   # (C, T) -> (T, 8*n_c, 128): row r covers ch [128r,128r+128)
+        return jnp.swapaxes(a, 0, 1).reshape(T, 8 * n_c, 128)
+
+    rm3, fb3, hb3 = pack(rm), pack(fb), pack(hb)
+    st3 = carry.reshape(5, 8 * n_c, 128)
+
+    kernel = _make_kernel(pp, t_tile)
+    y3, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_c, n_t),
+        in_specs=[
+            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((5, 8, 128), lambda ci, ti: (0, ci, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((5, 8, 128), lambda ci, ti: (0, ci, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 8 * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((5, 8 * n_c, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((5, 8, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=(jax.default_backend() == "cpu"),
+    )(rm3, fb3, hb3, st3)
+    volts = jnp.swapaxes(y3.reshape(T, C), 0, 1)
+    return volts, st_out.reshape(5, C)
