@@ -297,7 +297,7 @@ def cmd_serve(args) -> int:
         iq_path=args.input, center_hz=args.center, block_len=args.block,
         mode=args.mode, bw_key=args.bw, translate_hz=args.translate,
         agc_mode=args.agc, dial_hz=args.dial, loop=not args.no_loop,
-        realtime=args.realtime)
+        realtime=args.realtime, audio_out=args.audio_out)
     radio, catsrv = server_mod.serve(cfg, host=args.host, port=args.port)
     print(json.dumps({"cat_port": catsrv.port, "center_hz": args.center,
                       "dial_hz": radio.dial_hz, "mode": radio.mode}),
@@ -377,6 +377,9 @@ def main(argv=None) -> int:
     sv.add_argument("--block", type=int, default=4096)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=7310)
+    sv.add_argument("--audio-out", default="",
+                    help="stream demod audio to this WAV via the native "
+                    "sink (runtime/audio_sink.cpp)")
     sv.add_argument("--no-loop", action="store_true",
                     help="stop at capture end instead of wrapping")
     sv.add_argument("--realtime", action="store_true",

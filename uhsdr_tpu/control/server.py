@@ -63,6 +63,9 @@ class ServeConfig:
     realtime: bool = False            # pace blocks at fs (else flat out)
     audio_keep_blocks: int = 64       # rolling demod-audio buffer
     tx_keep_blocks: int = 64
+    audio_out: str = ""               # WAV path -> native AudioSink
+                                      # (runtime/audio_sink.cpp, the
+                                      # codec-DAC transport role)
     tx_power_level: str = "full"      # PA level policy (meter.PA_LEVELS_MW)
     cw_wpm: float = 20.0
     # software dBm calibration (the reference's "dBm calibrate" config,
@@ -174,11 +177,15 @@ class RadioServer(cat_mod.Radio):
     def _pump(self):
         import jax.numpy as jnp
         c = self.serve_cfg
+        sink = None
         try:
             chain, state, sc_params, sc_state = self._build_rx()
             tx_chain = tx_state = None
             power_mw, _ = meter.resolve_power_level(
                 c.tx_power_level, self.mode)
+            if c.audio_out:
+                sink = ingest.AudioSink(c.audio_out, fs=int(c.fs),
+                                        block_samples=c.block_len)
             with ingest.IqIngest(c.iq_path, c.block_len,
                                  loop=c.loop) as src:
                 while not self._stop.is_set():
@@ -223,8 +230,10 @@ class RadioServer(cat_mod.Radio):
                             tune_offset_hz=offset)
                         sc_out, sc_state = scope.process(
                             sc_params, sc_state, taps["spectrum_iq"])
-                        self.audio_blocks.append(
-                            np.asarray(audio, np.float32)[0])
+                        audio_np = np.asarray(audio, np.float32)[0]
+                        self.audio_blocks.append(audio_np)
+                        if sink is not None:
+                            sink.push(audio_np)
                         self.dbm = float(np.asarray(sc_out["dbm"])[0])
                         self.s_meter = float(np.asarray(
                             scope.dbm_to_s_units(sc_out["dbm"]))[0])
@@ -239,6 +248,10 @@ class RadioServer(cat_mod.Radio):
         except Exception as e:  # pragma: no cover - surfaced to callers
             self.error = f"{type(e).__name__}: {e}"
         finally:
+            if sink is not None:
+                self.audio_frames_written = sink.written
+                self.audio_blocks_dropped = sink.dropped
+                sink.close()
             self._stop.set()
 
     # ---- lifecycle --------------------------------------------------------

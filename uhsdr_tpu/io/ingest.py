@@ -46,7 +46,29 @@ def _load_lib():
     return lib
 
 
+def _load_sink_lib():
+    path = os.path.join(os.path.dirname(_LIB_PATH), "libuhsdr_sink.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.uhsdr_sink_open.restype = ctypes.c_void_p
+    lib.uhsdr_sink_open.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                    ctypes.c_int, ctypes.c_long,
+                                    ctypes.c_long]
+    lib.uhsdr_sink_push.restype = ctypes.c_int
+    lib.uhsdr_sink_push.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_long]
+    lib.uhsdr_sink_dropped.restype = ctypes.c_long
+    lib.uhsdr_sink_dropped.argtypes = [ctypes.c_void_p]
+    lib.uhsdr_sink_written.restype = ctypes.c_long
+    lib.uhsdr_sink_written.argtypes = [ctypes.c_void_p]
+    lib.uhsdr_sink_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
 _LIB = _load_lib()
+_SINK_LIB = _load_sink_lib()
 
 
 class IqIngest:
@@ -195,6 +217,83 @@ class FleetIngest:
         if self._fallback:
             for s in self._fallback:
                 s.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class AudioSink:
+    """Streaming audio output — the codec-DAC / USB-audio-OUT transport
+    (`uhsdr_hw_i2s.c` TX double buffer, `usbd_audio_if.c`).
+
+    The DSP loop pushes float32 blocks and never blocks on disk I/O or
+    the f32->int16 conversion (native writer thread,
+    `runtime/audio_sink.cpp`); overflow drops whole blocks and counts
+    them (the reference's TX-underrun-counter role).  Falls back to a
+    synchronous pure-Python WAV writer when the native library is not
+    built.
+    """
+
+    def __init__(self, path: str, fs: int = 48000, channels: int = 1,
+                 block_samples: int = 8192, ring_blocks: int = 8):
+        self.channels = channels
+        self.block = block_samples
+        self._native = None
+        self._wave = None
+        if _SINK_LIB is not None:
+            h = _SINK_LIB.uhsdr_sink_open(path.encode(), fs, channels,
+                                          block_samples, ring_blocks)
+            if h:
+                self._native = h
+        if self._native is None:
+            self._wave = wave.open(path, "wb")
+            self._wave.setnchannels(channels)
+            self._wave.setsampwidth(2)
+            self._wave.setframerate(fs)
+            self._py_written = 0
+
+    def push(self, audio: np.ndarray) -> bool:
+        """audio: (T,) mono or (channels, T) f32 in [-1, 1].
+        Returns False if the block was dropped (ring overflow)."""
+        a = np.asarray(audio, np.float32)
+        if a.ndim == 2:            # (ch, T) -> interleaved (T*ch,)
+            a = np.ascontiguousarray(a.T).reshape(-1)
+            n = audio.shape[-1]
+        else:
+            n = a.size
+        if self._native is not None:
+            ok = _SINK_LIB.uhsdr_sink_push(
+                self._native, a.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)), n)
+            return bool(ok)
+        pcm = np.clip(a * 32767.0, -32768, 32767).astype(np.int16)
+        self._wave.writeframes(pcm.tobytes())
+        self._py_written += n
+        return True
+
+    @property
+    def dropped(self) -> int:
+        if self._native is not None:
+            return int(_SINK_LIB.uhsdr_sink_dropped(self._native))
+        return 0
+
+    @property
+    def written(self) -> int:
+        """Frames flushed to disk so far."""
+        if self._native is not None:
+            return int(_SINK_LIB.uhsdr_sink_written(self._native))
+        return self._py_written
+
+    def close(self) -> None:
+        if self._native is not None:
+            _SINK_LIB.uhsdr_sink_close(self._native)
+            self._native = None
+        elif self._wave is not None:
+            self._wave.close()
+            self._wave = None
 
     def __enter__(self):
         return self
