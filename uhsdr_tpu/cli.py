@@ -244,7 +244,8 @@ def cmd_conformance(args) -> int:
     import subprocess
     rc = subprocess.call([sys.executable, "-m", "pytest",
                           "tests/test_rx_chain.py", "tests/test_tx_chain.py",
-                          "tests/test_demod.py", "-q", "--no-header"])
+                          "tests/test_demod.py", "tests/test_stereo.py",
+                          "tests/test_agc.py", "-q", "--no-header"])
     return rc
 
 
@@ -297,7 +298,8 @@ def cmd_serve(args) -> int:
         iq_path=args.input, center_hz=args.center, block_len=args.block,
         mode=args.mode, bw_key=args.bw, translate_hz=args.translate,
         agc_mode=args.agc, dial_hz=args.dial, loop=not args.no_loop,
-        realtime=args.realtime, audio_out=args.audio_out)
+        realtime=args.realtime, audio_out=args.audio_out,
+        nr_enable=args.nr, notch_enable=args.notch)
     radio, catsrv = server_mod.serve(cfg, host=args.host, port=args.port)
     print(json.dumps({"cat_port": catsrv.port, "center_hz": args.center,
                       "dial_hz": radio.dial_hz, "mode": radio.mode}),
@@ -374,6 +376,8 @@ def main(argv=None) -> int:
     sv.add_argument("--bw", default="2P3KHZ")
     sv.add_argument("--translate", type=float, default=6000.0)
     sv.add_argument("--agc", default="med")
+    sv.add_argument("--nr", action="store_true")
+    sv.add_argument("--notch", action="store_true")
     sv.add_argument("--block", type=int, default=4096)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=7310)

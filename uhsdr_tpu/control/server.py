@@ -58,6 +58,8 @@ class ServeConfig:
     bw_key: str = "2P3KHZ"
     translate_hz: float = 6000.0
     agc_mode: str = "med"
+    nr_enable: bool = False           # spectral NR in the live chain
+    notch_enable: bool = False        # LMS auto-notch
     dial_hz: int = 0                  # 0 -> capture center
     loop: bool = True                 # wrap the capture (continuous RX)
     realtime: bool = False            # pace blocks at fs (else flat out)
@@ -130,7 +132,9 @@ class RadioServer(cat_mod.Radio):
             bw = self._bw_key
         cfg = rx.RxConfig(mode=chain_mode, bw_key=bw,
                           translate_hz=c.translate_hz,
-                          agc_mode=c.agc_mode, block_len=c.block_len)
+                          agc_mode=c.agc_mode, block_len=c.block_len,
+                          nr_enable=c.nr_enable,
+                          notch_enable=c.notch_enable)
         chain = rx.RxChain(cfg)
         state = chain.init_state((1,))
         sc_params = scope.make_params(translate_hz=c.translate_hz,
