@@ -344,17 +344,18 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     if use_pallas and cfg.front_impl == "auto":
         use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
                       and z.shape[0] % 8 == 0
-                      and (z.shape[-1] // cfg.decim) % 512 == 0)
+                      and (z.shape[-1] // cfg.decim) % 256 == 0)
     if cfg.mode == "ssbstereo":
         # duplicate the RF stream across the (2,) stereo axis; the (2, taps)
         # USB/LSB filter pair then demodulates both sidebands in one pass
         z = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (2, z.shape[-1]))
     if use_pallas:
-        tile_c = 128 if z.shape[0] % 128 == 0 else 8
+        C = z.shape[0]
+        tile_c = 256 if C % 256 == 0 else (128 if C % 128 == 0 else 8)
         zf, front_carry = pallas_fir.fir_decimate_pallas(
             np.asarray(params.front_fir_re)
             + 1j * np.asarray(params.front_fir_im),
-            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=512)
+            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=256)
     else:
         zf, front_carry = fir.fir_decimate_block(front_fir,
                                                  state.front_carry, z,

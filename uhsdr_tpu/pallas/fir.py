@@ -7,15 +7,20 @@ FFT length rounds 1.25x up to a power of two) or gathers frames then
 matmuls (materializes a taps-times-larger frame tensor in HBM).  This
 kernel:
 
-  * tiles (channels x time) over a grid; each input slab is staged once
-    into VMEM with its `taps-1` halo;
+  * tiles (channels x time) over a grid; each program reads its input
+    block plus a left halo taken from the PREVIOUS grid block via a
+    second, shifted BlockSpec (v1 pre-framed overlapping slabs with an
+    XLA gather — measured 12 ms of a 25 ms kernel at 8192x16k; reading
+    the neighbor block again costs only one extra block fetch);
   * expresses "decimating FIR" as one (TC, K) @ (K, TT) matmul against a
     shifted-diagonal tap matrix — MXU-native, no frame gather in HBM;
   * complex x complex = 4 real matmuls (real split);
-  * streaming carry contract identical to `ops/fir.fir_decimate_block`.
+  * streaming carry contract identical to `ops/fir.fir_decimate_block`:
+    the first grid column takes its halo from the carried block history.
 
 Grid: (C/TC, To/TT) with To = T/decim outputs; each program computes a
-(TC, TT) output tile from a (TC, TT*decim + taps - 1) input slab.
+(TC, TT) output tile from a (TC, pad_left + TT*decim) slab, where
+pad_left = taps-1 rounded up to the 128-lane multiple.
 """
 from __future__ import annotations
 
@@ -28,18 +33,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fir_kernel(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref,
-                *, decim: int, taps: int, tile_t: int):
+def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
+                hr_ref, hi_ref, or_ref, oi_ref, *, pad_left: int):
     """One (TC, tile_t) output tile.
 
-    xr/xi: (TC, tile_t*decim + taps-1) input slab (VMEM)
-    hr/hi: (taps_pad, tile_t) per-output-phase tap matrix — h arranged so
-           out[c, m] = sum_k x[c, m*decim + k] * h[k]; we compute it as
-           a (TC, K) @ (K, tile_t) matmul with a shifted-diagonal tap
-           matrix, K = tile_t*decim + taps-1 (dense but MXU-native).
+    xr/xi: (TC, W) current input block (W = tile_t*decim)
+    pr/pi: (TC, W) previous input block (same array, shifted BlockSpec) —
+           its last `pad_left` columns are this tile's left halo
+    cr/ci: (TC, pad_left) carried history (used by the first time tile)
+    hr/hi: (K, tile_t) shifted-diagonal tap matrix, K = pad_left + W
     """
-    xr = xr_ref[:]
-    xi = xi_ref[:]
+    ti = pl.program_id(1)
+    W = xr_ref.shape[1]
+    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:, W - pad_left:])
+    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:, W - pad_left:])
+    xr = jnp.concatenate([tail_r, xr_ref[:]], axis=1)   # (TC, K)
+    xi = jnp.concatenate([tail_i, xi_ref[:]], axis=1)
     hr = hr_ref[:]
     hi = hi_ref[:]
     rr = jnp.dot(xr, hr, preferred_element_type=jnp.float32)
@@ -51,18 +60,22 @@ def _fir_kernel(xr_ref, xi_ref, hr_ref, hi_ref, or_ref, oi_ref,
 
 
 def _build_tap_matrix(h: np.ndarray, decim: int, tile_t: int,
-                      k_pad: int) -> np.ndarray:
-    """(k_pad, tile_t), logical K = tile_t*decim + taps-1 rows (rest zero):
-    col m holds h reversed at row offset m*decim, so
-    (x_slab @ H)[c, m] = sum_k h[k] * x[c, m*decim + taps-1 - k]
-    (= causal FIR at output phase m, matching fir_decimate_block).
-    k_pad rounds K up to the TPU lane multiple (128); padded rows are
-    zero so clamped/garbage slab columns contribute nothing."""
+                      pad_left: int) -> np.ndarray:
+    """(pad_left + tile_t*decim, tile_t): col m holds h reversed at row
+    offset pad_left + m*decim - (taps-1), so with slab column j mapping to
+    input sample x[tile_start - pad_left + j]:
+      (slab @ H)[c, m] = sum_k h[k] * x[c, tile_start + m*decim - k]
+    (= causal FIR whose newest sample is x[m*decim], matching
+    `fir_decimate_block`'s streaming phase).  Unused rows are zero, so
+    the halo's leading (pad_left - taps + 1) columns contribute nothing.
+    """
     taps = h.shape[-1]
-    H = np.zeros((k_pad, tile_t), h.dtype)
+    K = pad_left + tile_t * decim
+    H = np.zeros((K, tile_t), h.dtype)
     hrev = h[::-1]
     for m in range(tile_t):
-        H[m * decim: m * decim + taps, m] = hrev
+        off = pad_left + m * decim - (taps - 1)
+        H[off: off + taps, m] = hrev
     return H
 
 
@@ -71,45 +84,54 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         interpret: bool = False):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
     kernel.  x: (C, B) complex64; carry: (C, taps-1) complex64.
-    Requires C % tile_c == 0 and (B//decim) % tile_t == 0."""
+    Requires C % tile_c == 0, (B//decim) % tile_t == 0, and
+    tile_t*decim >= pad_left (halo fits in one neighbor block)."""
     taps = h.shape[-1]
     B = x.shape[-1]
-    xfull = jnp.concatenate([carry.astype(x.dtype), x], axis=-1)
     h_np = np.asarray(h)
     C = x.shape[0]
     T_out = B // decim
     n_tt = T_out // tile_t
-    slab_logical = tile_t * decim + taps - 1
-    slab = -(-slab_logical // 128) * 128     # lane-aligned tile width
+    W = tile_t * decim
+    pad_left = -(-(taps - 1) // 128) * 128
+    assert W >= pad_left, (W, pad_left)
     Hr = jnp.asarray(_build_tap_matrix(np.real(h_np).astype(np.float32),
-                                       decim, tile_t, slab))
+                                       decim, tile_t, pad_left))
     Hi = jnp.asarray(_build_tap_matrix(np.imag(h_np).astype(np.float32),
-                                       decim, tile_t, slab))
-    # overlapping slabs: pallas BlockSpec slices are non-overlapping, so
-    # pre-frame the input into per-tile slabs with halo (gather clamps at
-    # the right edge; those columns hit zero tap-matrix rows)
-    starts = np.arange(n_tt) * tile_t * decim
-    idx = starts[:, None] + np.arange(slab)[None, :]       # (n_tt, slab)
-    idx = np.minimum(idx, xfull.shape[-1] - 1)
-    xr_sl = jnp.real(xfull)[:, idx]                        # (C, n_tt, slab)
-    xi_sl = jnp.imag(xfull)[:, idx]
-    # lay tiles side by side so the (i, j) grid block (tile_c, slab)
-    # addresses tile j's slab (BlockSpec slices are non-overlapping)
-    xr2 = xr_sl.reshape(C, n_tt * slab)
-    xi2 = xi_sl.reshape(C, n_tt * slab)
+                                       decim, tile_t, pad_left))
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    # carried history, left-padded to the lane multiple (the pad columns
+    # line up with all-zero tap-matrix rows)
+    czeros = jnp.zeros((C, pad_left - (taps - 1)), jnp.float32)
+    cr = jnp.concatenate([czeros, jnp.real(carry).astype(jnp.float32)],
+                         axis=-1)
+    ci = jnp.concatenate([czeros, jnp.imag(carry).astype(jnp.float32)],
+                         axis=-1)
 
     grid = (C // tile_c, n_tt)
     out_shape = [jax.ShapeDtypeStruct((C, T_out), jnp.float32),
                  jax.ShapeDtypeStruct((C, T_out), jnp.float32)]
-    kernel = functools.partial(_fir_kernel, decim=decim, taps=taps,
-                               tile_t=tile_t)
+    kernel = functools.partial(_fir_kernel, pad_left=pad_left)
+
+    def cur_idx(i, j):
+        return (i, j)
+
+    def prev_idx(i, j):
+        # j-1, clamped: at j==0 the kernel selects the carry instead
+        return (i, jnp.maximum(j - 1, 0))
+
     yr, yi = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_c, slab), lambda i, j: (i, j),
+            pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, W), prev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, W), prev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, slab), lambda i, j: (i, j),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -122,7 +144,10 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         ],
         out_shape=out_shape,
         interpret=interpret,
-    )(xr2, xi2, Hr, Hi)
+    )(xr, xi, xr, xi, cr, ci, Hr, Hi)
     y = jax.lax.complex(yr, yi)
-    new_carry = xfull[..., -(taps - 1):]
+    if B >= taps - 1:
+        new_carry = x[..., -(taps - 1):]
+    else:
+        new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]
     return y, new_carry
