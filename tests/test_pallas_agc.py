@@ -1,18 +1,27 @@
 """Pallas AGC state-machine kernel vs the XLA lax.scan implementation
-(`pallas/agc.py` vs the scan body in `ops/agc.py`)."""
+(`pallas/agc.py` vs the scan body in `ops/agc.py`).  The kernel folds
+the two one-pole back-averages into its sequential loop; the reference
+here computes them with `ops.iir.one_pole_block` exactly as the XLA
+fallback path does."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uhsdr_tpu.ops import agc
+from uhsdr_tpu.ops import agc, iir
 from uhsdr_tpu.pallas import agc as pallas_agc
 
 
-def _scan_reference(params, carry5, rm, fb, hb):
-    """Run ops.agc's scan body directly on precomputed inputs."""
+def _scan_reference(params, carry7, rm, absx):
+    """ops.agc's fallback path on the same inputs/state."""
     f32 = jnp.float32
     hang_en = np.float32(1.0 if params.hang_enable else 0.0)
     hang_time = np.float32(params.hang_time_samples)
+    fba, fba_last = iir.one_pole_block(1.0 - params.fast_backmult,
+                                       params.fast_backmult,
+                                       carry7[5], absx)
+    hba, hba_last = iir.one_pole_block(1.0 - params.hang_backmult,
+                                       params.hang_backmult,
+                                       carry7[6], absx)
 
     def step(carry, inp):
         volts, save_volts, hang_counter, decay_type, st = carry
@@ -67,10 +76,25 @@ def _scan_reference(params, carry5, rm, fb, hb):
         return (new_volts, new_save, new_hang, new_decay,
                 new_state), new_volts
 
-    seq = tuple(jnp.moveaxis(a, -1, 0) for a in (rm, fb, hb))
-    carry0 = tuple(carry5[i] for i in range(5))
+    seq = tuple(jnp.moveaxis(a, -1, 0) for a in (rm, fba, hba))
+    carry0 = tuple(carry7[i] for i in range(5))
     final, volts_seq = jax.lax.scan(step, carry0, seq)
-    return jnp.moveaxis(volts_seq, 0, -1), jnp.stack(final, axis=0)
+    full = final + (fba_last, hba_last)
+    return jnp.moveaxis(volts_seq, 0, -1), jnp.stack(full, axis=0)
+
+
+def _params_dict(params):
+    return dict(attack_mult=float(params.attack_mult),
+                fast_decay_mult=float(params.fast_decay_mult),
+                decay_mult=float(params.decay_mult),
+                hang_decay_mult=float(params.hang_decay_mult),
+                fast_backmult=float(params.fast_backmult),
+                hang_backmult=float(params.hang_backmult),
+                pop_ratio=float(params.pop_ratio),
+                hang_level=float(params.hang_level),
+                hang_time=float(params.hang_time_samples),
+                hang_enable=bool(params.hang_enable),
+                min_volts=float(params.min_volts))
 
 
 def test_agc_kernel_matches_scan():
@@ -82,28 +106,18 @@ def test_agc_kernel_matches_scan():
     env[:, 200:400] *= 20.0
     env[:, 700:] *= 0.01
     rm = jnp.asarray(env)
-    fb = jnp.asarray(env * 0.7)
-    hb = jnp.asarray(env * 0.5)
-    carry = jnp.asarray(rng.uniform(0.1, 2.0, (5, C)).astype(np.float32))
+    ax = jnp.asarray(env * 0.8)
+    carry = jnp.asarray(rng.uniform(0.1, 2.0, (7, C)).astype(np.float32))
     carry = carry.at[4].set(jnp.floor(carry[4] * 2.0))  # state in {0,1,2}
     carry = carry.at[3].set((carry[3] > 1.0).astype(jnp.float32))
 
-    pp = dict(attack_mult=float(params.attack_mult),
-              fast_decay_mult=float(params.fast_decay_mult),
-              decay_mult=float(params.decay_mult),
-              hang_decay_mult=float(params.hang_decay_mult),
-              pop_ratio=float(params.pop_ratio),
-              hang_level=float(params.hang_level),
-              hang_time=float(params.hang_time_samples),
-              hang_enable=bool(params.hang_enable),
-              min_volts=float(params.min_volts))
-    volts_k, carry_k = pallas_agc.agc_scan_pallas(pp, carry, rm, fb, hb,
-                                                  t_tile=512)
-    volts_s, carry_s = _scan_reference(params, carry, rm, fb, hb)
+    volts_k, carry_k = pallas_agc.agc_scan_pallas(
+        _params_dict(params), carry, rm, ax, t_tile=256)
+    volts_s, carry_s = _scan_reference(params, carry, rm, ax)
     np.testing.assert_allclose(np.asarray(volts_k), np.asarray(volts_s),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(carry_k), np.asarray(carry_s),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_agc_run_dispatch_consistency():

@@ -199,14 +199,6 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # ring_max[n]: max over the w samples ahead of position n in xfull
     ring_max = _sliding_max_ahead(abs_full, w)[..., :T]
 
-    # back averages of the *delayed* |x| — linear one-poles
-    fba, fba_last = iir.one_pole_block(1.0 - params.fast_backmult,
-                                       params.fast_backmult,
-                                       state.fast_backaverage, abs_out)
-    hba, hba_last = iir.one_pole_block(1.0 - params.hang_backmult,
-                                       params.hang_backmult,
-                                       state.hang_backaverage, abs_out)
-
     # --- the 5-state gain machine (sequential, tiny state) ---
     # PERF NOTE (axon TPU): a scan carry updated through jnp.where /
     # jnp.select whose branches are constants serializes the loop
@@ -280,7 +272,9 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # Pallas VMEM kernel off-CPU when the channel count tiles as
     # (8 sublanes x 128 lanes): the XLA scan pays per-step overhead that
     # made this the most expensive chain stage (34.6 ms in-chain at
-    # 8192ch x 16k — see pallas/agc.py)
+    # 8192ch x 16k — see pallas/agc.py); the kernel also folds the two
+    # one-pole back-averages into its sequential loop, so the XLA affine
+    # scans for them only run on the fallback path.
     T_steps = ring_max.shape[-1]
     use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
                   and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
@@ -290,6 +284,8 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
                   fast_decay_mult=float(params.fast_decay_mult),
                   decay_mult=float(params.decay_mult),
                   hang_decay_mult=float(params.hang_decay_mult),
+                  fast_backmult=float(params.fast_backmult),
+                  hang_backmult=float(params.hang_backmult),
                   pop_ratio=float(params.pop_ratio),
                   hang_level=float(params.hang_level),
                   hang_time=float(hang_time),
@@ -297,13 +293,21 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
                   min_volts=float(params.min_volts))
         carry = jnp.stack([state.volts, state.save_volts,
                            state.hang_counter, state.decay_type,
-                           state.state], axis=0)
+                           state.state, state.fast_backaverage,
+                           state.hang_backaverage], axis=0)
         volts_t, carry_out = pallas_agc.agc_scan_pallas(
-            pp, carry, ring_max, fba, hba)
-        volts_f, save_f, hang_f, decay_f, st_f = (
+            pp, carry, ring_max, abs_out)
+        volts_f, save_f, hang_f, decay_f, st_f, fba_last, hba_last = (
             carry_out[0], carry_out[1], carry_out[2], carry_out[3],
-            carry_out[4])
+            carry_out[4], carry_out[5], carry_out[6])
     else:
+        # back averages of the *delayed* |x| — linear one-poles
+        fba, fba_last = iir.one_pole_block(1.0 - params.fast_backmult,
+                                           params.fast_backmult,
+                                           state.fast_backaverage, abs_out)
+        hba, hba_last = iir.one_pole_block(1.0 - params.hang_backmult,
+                                           params.hang_backmult,
+                                           state.hang_backaverage, abs_out)
         seq = (jnp.moveaxis(ring_max, -1, 0),
                jnp.moveaxis(fba, -1, 0),
                jnp.moveaxis(hba, -1, 0))

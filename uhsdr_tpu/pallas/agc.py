@@ -7,13 +7,16 @@ through HBM-visible buffers and pays the scan's per-iteration overhead.
 
 This kernel runs the WHOLE sequential loop on VMEM-resident tiles:
 channels are packed as (8 sublanes x 128 lanes) = 1024 per tile, so every
-step of the recurrence is a handful of full-width VPU ops; the five state
+step of the recurrence is a handful of full-width VPU ops; the state
 vectors live in registers across the `fori_loop`, and a scratch buffer
 carries them across the sequential time-tile sweep (same pattern as
-`pallas.iir`).  Inputs (look-ahead ring max + the two back-averages) are
-precomputed by XLA — they are parallel ops (dilated max, affine scans)
-that XLA already does well; only the irreducibly-sequential state machine
-lives here.
+`pallas.iir`).  The two one-pole back-averages (fast + hang,
+`audio_agc.c` backaverage updates) are folded INTO the sequential loop —
+they are one multiply-add each here, whereas as XLA dilated affine scans
+they cost log2(T) full HBM passes plus an extra packed input transpose
+(v1 precomputed them outside; moving them in cut the chain-level AGC
+cost).  Only the look-ahead sliding max stays in XLA (a parallel dilated
+max it does well).
 
 Reference: `AudioAgc_RunAgcWdsp` 5-state machine (`audio_agc.c:436-551`);
 math identical to `ops.agc.run`'s scan body (masked-arithmetic blend).
@@ -28,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+N_CARRY = 7   # volts, save_volts, hang_counter, decay_type, state, fba, hba
+
 
 def _make_kernel(pp, t_tile: int):
     """pp: dict of python-float params closed over at trace time."""
@@ -36,6 +41,8 @@ def _make_kernel(pp, t_tile: int):
     fast_d = f32(pp["fast_decay_mult"])
     long_d = f32(pp["decay_mult"])
     hang_d = f32(pp["hang_decay_mult"])
+    fast_bm = f32(pp["fast_backmult"])
+    hang_bm = f32(pp["hang_backmult"])
     pop_ratio = f32(pp["pop_ratio"])
     hang_level = f32(pp["hang_level"])
     hang_time = f32(pp["hang_time"])
@@ -43,7 +50,7 @@ def _make_kernel(pp, t_tile: int):
     min_volts = f32(pp["min_volts"])
     one = f32(1.0)
 
-    def kernel(rm_ref, fb_ref, hb_ref, st_ref, y_ref, stout_ref, scratch):
+    def kernel(rm_ref, ax_ref, st_ref, y_ref, stout_ref, scratch):
         ti = pl.program_id(1)
 
         @pl.when(ti == 0)
@@ -51,10 +58,13 @@ def _make_kernel(pp, t_tile: int):
             scratch[:] = st_ref[:]
 
         def step(t, carry):
-            volts, save, hang, decay, st = carry
+            volts, save, hang, decay, st, fba, hba = carry
             rm = rm_ref[t]
-            fb = fb_ref[t]
-            hb = hb_ref[t]
+            ax = ax_ref[t]
+            # one-pole back-averages of the delayed |x| (in-loop: one
+            # multiply-add each vs log2(T) HBM passes as an XLA scan)
+            fba = (one - fast_bm) * fba + fast_bm * ax
+            hba = (one - hang_bm) * hba + hang_bm * ax
             hang = jnp.maximum(hang - one, f32(0.0))
 
             attack_v = volts + (rm - volts) * attack
@@ -70,8 +80,8 @@ def _make_kernel(pp, t_tile: int):
             is3 = ((st > f32(2.5)) & (st < f32(3.5))).astype(jnp.float32)
             is4 = (st > f32(3.5)).astype(jnp.float32)
 
-            ht = hang_en * (hb > hang_level).astype(jnp.float32)
-            s0_fast = (volts > pop_ratio * fb).astype(jnp.float32)
+            ht = hang_en * (hba > hang_level).astype(jnp.float32)
+            s0_fast = (volts > pop_ratio * fba).astype(jnp.float32)
             s1_fastc = (volts > save).astype(jnp.float32)
             hc_wait = (hang > f32(0.5)).astype(jnp.float32)
             hc_zero = one - hc_wait
@@ -110,13 +120,14 @@ def _make_kernel(pp, t_tile: int):
 
             new_volts = jnp.maximum(new_volts, min_volts)
             y_ref[t] = new_volts
-            return (new_volts, new_save, new_hang, new_decay, new_st)
+            return (new_volts, new_save, new_hang, new_decay, new_st,
+                    fba, hba)
 
         # NOTE: an 8x partial unroll of this loop measured identical
-        # whole-chain time (88.7 vs 88.8 ms) — the cost is the sequential
-        # dependency chain of the recurrence itself, not loop overhead
-        sc = scratch[:]                      # (5, 8, 128)
-        carry0 = (sc[0], sc[1], sc[2], sc[3], sc[4])
+        # whole-chain time — the cost is the sequential dependency chain
+        # of the recurrence itself, not loop overhead
+        sc = scratch[:]                      # (N_CARRY, 8, 128)
+        carry0 = tuple(sc[i] for i in range(N_CARRY))
         carry = jax.lax.fori_loop(0, t_tile, step, carry0)
         new_sc = jnp.stack(carry, axis=0)
         scratch[:] = new_sc
@@ -126,14 +137,15 @@ def _make_kernel(pp, t_tile: int):
 
 
 def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
-                    fb: jnp.ndarray, hb: jnp.ndarray,
-                    t_tile: int = 256):
-    """Run the 5-state AGC machine.  carry: (5, C); rm/fb/hb: (C, T) f32.
-    Returns (volts (C, T), new_carry (5, C)).
+                    absx: jnp.ndarray, t_tile: int = 256):
+    """Run the AGC machine.  carry: (7, C) — volts, save_volts,
+    hang_counter, decay_type, state, fast_backaverage, hang_backaverage;
+    rm (look-ahead ring max) and absx (delayed |x|): (C, T) f32.
+    Returns (volts (C, T), new_carry (7, C)).
     Requires C % 1024 == 0 (8 sublanes x 128 lanes) and T % t_tile == 0.
 
-    t_tile=256 keeps the 3 input + 1 output (t_tile, 8, 128) f32 blocks
-    with double buffering inside the 16 MB VMEM budget (512 OOMs by 100K).
+    t_tile=256 keeps the input/output (t_tile, 8, 128) f32 blocks with
+    double buffering inside the 16 MB VMEM budget.
     """
     C, T = rm.shape
     assert C % 1024 == 0, C
@@ -144,8 +156,8 @@ def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
     def pack(a):   # (C, T) -> (T, 8*n_c, 128): row r covers ch [128r,128r+128)
         return jnp.swapaxes(a, 0, 1).reshape(T, 8 * n_c, 128)
 
-    rm3, fb3, hb3 = pack(rm), pack(fb), pack(hb)
-    st3 = carry.reshape(5, 8 * n_c, 128)
+    rm3, ax3 = pack(rm), pack(absx)
+    st3 = carry.reshape(N_CARRY, 8 * n_c, 128)
 
     kernel = _make_kernel(pp, t_tile)
     y3, st_out = pl.pallas_call(
@@ -154,21 +166,20 @@ def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
             pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((5, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
         ],
         out_specs=[
             pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((5, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, 8 * n_c, 128), jnp.float32),
-            jax.ShapeDtypeStruct((5, 8 * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N_CARRY, 8 * n_c, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((5, 8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N_CARRY, 8, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=(jax.default_backend() == "cpu"),
-    )(rm3, fb3, hb3, st3)
+    )(rm3, ax3, st3)
     volts = jnp.swapaxes(y3.reshape(T, C), 0, 1)
-    return volts, st_out.reshape(5, C)
+    return volts, st_out.reshape(N_CARRY, C)
