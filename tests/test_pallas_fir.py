@@ -47,3 +47,28 @@ def test_pallas_fir_streaming_carry():
     y_stream = jnp.concatenate([y1, y2], axis=-1)
     np.testing.assert_allclose(np.asarray(y_all), np.asarray(y_stream),
                                atol=1e-4)
+
+
+def test_interp_pallas_matches_ops():
+    # streaming equality with ops.xfir.fir_interpolate_block across blocks
+    from uhsdr_tpu.ops import design
+    I = 4
+    h = design.interpolation_fir(16 * I, I, 48000.0).astype(np.float32)
+    sub_len = -(-len(h) // I)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((8, 1024)).astype(np.float32)
+    c0 = jnp.zeros((8, sub_len - 1), jnp.float32)
+    y1a, c1 = pfir.fir_interpolate_pallas(h, c0, jnp.asarray(x), I,
+                                                tile_c=8, tile_t_in=512,
+                                                interpret=True)
+    y1b, _ = pfir.fir_interpolate_pallas(h, c1, jnp.asarray(x), I,
+                                               tile_c=8, tile_t_in=512,
+                                               interpret=True)
+    y2a, c2 = xfir.fir_interpolate_block(jnp.asarray(h), c0,
+                                        jnp.asarray(x), I)
+    y2b, _ = xfir.fir_interpolate_block(jnp.asarray(h), c2,
+                                       jnp.asarray(x), I)
+    np.testing.assert_allclose(np.asarray(y1a), np.asarray(y2a),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1b), np.asarray(y2b),
+                               rtol=1e-5, atol=1e-5)

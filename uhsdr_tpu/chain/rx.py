@@ -433,8 +433,21 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     taps_out["audio_dec"] = audio   # decimated-rate tap (modem decoders)
 
     # --- interpolation back to 48 kHz + treble shelf (biquad2) ---
-    audio48, interp_carry = fir.fir_interpolate_block(
-        params.interp_fir, state.interp_carry, audio, cfg.decim)
+    # Pallas single-matmul polyphase kernel off-CPU (the XLA path
+    # materializes a sub_len-wide frame tensor; measured 16 ms in-chain
+    # at 8192ch x 16k) — falls back for stereo (3D) / non-tiling shapes
+    use_pallas_interp = (jax.default_backend() != "cpu"
+                         and audio.ndim == 2 and audio.shape[0] % 8 == 0
+                         and audio.shape[-1] % 512 == 0)
+    if use_pallas_interp:
+        C = audio.shape[0]
+        tile_c = 256 if C % 256 == 0 else (128 if C % 128 == 0 else 8)
+        audio48, interp_carry = pallas_fir.fir_interpolate_pallas(
+            params.interp_fir, state.interp_carry, audio, cfg.decim,
+            tile_c=tile_c, tile_t_in=512)
+    else:
+        audio48, interp_carry = fir.fir_interpolate_block(
+            params.interp_fir, state.interp_carry, audio, cfg.decim)
     audio48, eq2_state = _biquad_cascade(cfg, params.eq2_sos, state.eq2,
                                          audio48)
 

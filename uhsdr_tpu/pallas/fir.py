@@ -151,3 +151,86 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     else:
         new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]
     return y, new_carry
+
+
+# ---------------------------------------------------------------------------
+# Polyphase interpolation (real audio): the RX chain's back-to-48k stage.
+# ---------------------------------------------------------------------------
+
+def _interp_kernel(x_ref, p_ref, c_ref, h_ref, o_ref, *, pad_left: int):
+    """One (TC, W_in*interp) output tile from a (TC, pad_left + W_in)
+    low-rate input slab (current block + halo from the previous block /
+    carried history) — a single real MXU matmul."""
+    ti = pl.program_id(1)
+    W = x_ref.shape[1]
+    tail = jnp.where(ti == 0, c_ref[:], p_ref[:, W - pad_left:])
+    x = jnp.concatenate([tail, x_ref[:]], axis=1)       # (TC, K)
+    o_ref[:] = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32)
+
+
+def _build_interp_tap_matrix(h: np.ndarray, interp: int, tile_t_in: int,
+                             pad_left: int) -> np.ndarray:
+    """(pad_left + tile_t_in, tile_t_in*interp): column n = m*interp + p
+    holds the polyphase taps hpoly[k, p] = h[k*interp + p] so that
+      (slab @ H)[c, m*interp + p]
+        = sum_j x[c, tile_start + m + j - (sub_len-1)] * hpoly[sub_len-1-j, p]
+    — identical streaming phase to `ops.fir.fir_interpolate_block`."""
+    taps = h.shape[-1]
+    sub_len = -(-taps // interp)
+    hp = np.zeros((sub_len * interp,), h.dtype)
+    hp[:taps] = h
+    hpoly = hp.reshape(sub_len, interp)
+    K = pad_left + tile_t_in
+    H = np.zeros((K, tile_t_in * interp), h.dtype)
+    for m in range(tile_t_in):
+        for j in range(sub_len):
+            c = pad_left + m + j - (sub_len - 1)
+            if 0 <= c < K:
+                H[c, m * interp: m * interp + interp] = hpoly[sub_len - 1 - j]
+    return H
+
+
+def fir_interpolate_pallas(h: jnp.ndarray, carry: jnp.ndarray,
+                           x: jnp.ndarray, interp: int, tile_c: int = 8,
+                           tile_t_in: int = 512, interpret: bool = False):
+    """Drop-in for `ops.fir.fir_interpolate_block` (real audio).
+    x: (C, B) f32 at the low rate; carry: (C, sub_len-1) f32.
+    Returns (y (C, B*interp), new_carry).  Requires C % tile_c == 0,
+    B % tile_t_in == 0, tile_t_in >= pad_left."""
+    h_np = np.asarray(h, np.float32)
+    taps = h_np.shape[-1]
+    sub_len = -(-taps // interp)
+    C, B = x.shape
+    n_tt = B // tile_t_in
+    pad_left = -(-(sub_len - 1) // 128) * 128
+    assert tile_t_in >= pad_left, (tile_t_in, pad_left)
+    H = jnp.asarray(_build_interp_tap_matrix(h_np, interp, tile_t_in,
+                                             pad_left))
+    czeros = jnp.zeros((C, pad_left - (sub_len - 1)), jnp.float32)
+    c0 = jnp.concatenate([czeros, carry.astype(jnp.float32)], axis=-1)
+
+    y, = pl.pallas_call(
+        functools.partial(_interp_kernel, pad_left=pad_left),
+        grid=(C // tile_c, n_tt),
+        in_specs=[
+            pl.BlockSpec((tile_c, tile_t_in), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, tile_t_in),
+                         lambda i, j: (i, jnp.maximum(j - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_c, tile_t_in * interp), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((C, B * interp), jnp.float32)],
+        interpret=interpret,
+    )(x, x, c0, H)
+    if B >= sub_len - 1:
+        new_carry = x[..., -(sub_len - 1):]
+    else:
+        new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(sub_len - 1):]
+    return y, new_carry
