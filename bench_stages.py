@@ -93,21 +93,21 @@ def main():
             zf, _ = fir.fir_decimate_block(h, carry, z, decim, method=method)
             return jnp.abs(zf)
         return f
-    bench("front_fir_fft", front("fft"), (i_p, q_p))
+    bench("front_fir_fft [XLA baseline; chain uses pallas]", front("fft"), (i_p, q_p))
 
     @jax.jit
     def f_sos(a):
         st = jnp.zeros((params.audio_sos.shape[0], C, 2), jnp.float32)
         y, _ = iir.biquad_cascade_block(jnp.asarray(params.audio_sos), st, a)
         return y
-    bench("audio_sos(dec)", f_sos, (ad,))
+    bench("audio_sos(dec) [XLA baseline; chain uses pallas]", f_sos, (ad,))
 
     @jax.jit
     def f_agc(a):
         y, _ = agc_mod.run(params.agc,
                            agc_mod.init_state((C,), params.agc), a)
         return y
-    bench("agc(dec)", f_agc, (ad,))
+    bench("agc(dec) [full op: XLA sliding-max + pallas machine]", f_agc, (ad,))
 
     @jax.jit
     def f_interp(a):
@@ -116,14 +116,14 @@ def main():
         y, _ = fir.fir_interpolate_block(jnp.asarray(params.interp_fir), c,
                                          a, decim)
         return y
-    bench("interp", f_interp, (ad,))
+    bench("interp [XLA baseline; chain uses pallas]", f_interp, (ad,))
 
     @jax.jit
     def f_eq2(a):
         st = jnp.zeros((params.eq2_sos.shape[0], C, 2), jnp.float32)
         y, _ = iir.biquad_cascade_block(jnp.asarray(params.eq2_sos), st, a)
         return y
-    bench("eq2(48k)", f_eq2, (a48,))
+    bench("eq2(48k) [XLA baseline; chain uses pallas]", f_eq2, (a48,))
 
 
 if __name__ == "__main__":
