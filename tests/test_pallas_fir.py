@@ -49,6 +49,45 @@ def test_pallas_fir_streaming_carry():
                                atol=1e-4)
 
 
+def test_pallas_fir_nco_fused():
+    """Fused NCO+FIR kernel == mix -> fir, including streaming carry
+    continuity (fused carry is raw IQ; unfused carry is mixed IQ)."""
+    from uhsdr_tpu.ops import nco
+    rng = np.random.default_rng(2)
+    C, B, taps, decim = 8, 4096, 199, 4
+    h = (rng.standard_normal(taps) +
+         1j * rng.standard_normal(taps)).astype(np.complex64) * 0.05
+    x = (rng.standard_normal((C, 2 * B)) +
+         1j * rng.standard_normal((C, 2 * B))).astype(np.complex64)
+    delta = nco.freq_to_delta(-6000.0, 48000.0)
+    d_arr = jnp.full((C,), jnp.uint32(delta))
+
+    # reference: mix then unfused kernel, streamed over two blocks
+    ph = jnp.zeros((C,), jnp.uint32)
+    c = jnp.zeros((C, taps - 1), jnp.complex64)
+    ys = []
+    for blk in (x[:, :B], x[:, B:]):
+        zm, ph = nco.mix(jnp.asarray(blk), ph, d_arr)
+        y, c = pfir.fir_decimate_pallas(h, c, zm, decim, tile_c=8,
+                                        tile_t=512, interpret=True)
+        ys.append(y)
+    y_ref = jnp.concatenate(ys, axis=-1)
+
+    # fused: raw IQ in, scalar phase/delta
+    ph0 = jnp.zeros((), jnp.uint32)
+    c = jnp.zeros((C, taps - 1), jnp.complex64)
+    ys = []
+    for blk in (x[:, :B], x[:, B:]):
+        y, c = pfir.fir_decimate_pallas(
+            h, c, jnp.asarray(blk), decim, tile_c=8, tile_t=512,
+            interpret=True, nco=(ph0, jnp.uint32(delta)))
+        ph0 = nco.advance(ph0, jnp.uint32(delta), B)
+        ys.append(y)
+    y_fused = jnp.concatenate(ys, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                               atol=2e-4)
+
+
 def test_interp_pallas_matches_ops():
     # streaming equality with ops.xfir.fir_interpolate_block across blocks
     from uhsdr_tpu.ops import design

@@ -255,6 +255,8 @@ def _biquad_cascade(cfg: RxConfig, sos, state, x):
     the whole SSB chain (357 -> 173 ms/block at 8192ch x 16k on v5e) AND
     5x faster AOT compile; on CPU the interpreter would crawl, so auto
     stays with the scan there (tests, dryrun)."""
+    if sos.shape[0] == 0:          # pruned-empty cascade (neutral EQ)
+        return x, state
     use_pallas = cfg.iir_impl == "pallas" or (
         cfg.iir_impl == "auto" and jax.default_backend() != "cpu")
     if use_pallas and x.ndim == 2:
@@ -317,13 +319,41 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     taps_out["spectrum_iq"] = z    # pre-translate tap for the scope display
 
     # --- frequency translation ---
-    if cfg.translate_hz != 0.0 or tune_offset_hz is not None:
+    translating = cfg.translate_hz != 0.0 or tune_offset_hz is not None
+
+    # Pallas MXU front end: "auto" resolves to it off-CPU when the shape
+    # tiles (C % 8, T_out % 256) — measured 1.72x on the WHOLE chain
+    # (777 -> 1340 Msamples/s at 8192ch x 16k on v5e; the front FIR is
+    # ~85% of chain time on the XLA FFT path).  The earlier remote-AOT
+    # compile blowup no longer reproduces (41 s cold, in-session).
+    use_pallas = (cfg.front_impl != "xla"
+                  and cfg.mode not in ("ssbstereo", "fm"))
+    if use_pallas and cfg.front_impl == "auto":
+        use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
+                      and z.shape[0] % 8 == 0
+                      and (z.shape[-1] // cfg.decim) % 256 == 0)
+
+    delta = None
+    if translating:
         delta = jnp.asarray(params.nco_delta)
         if tune_offset_hz is not None:
             delta = delta + _tune_offset_delta(tune_offset_hz, cfg.iq_rate)
+
+    # When the Pallas front end is active, the NCO mix is FUSED into the
+    # FIR kernel (the slab is rotated in VMEM; the carry holds raw IQ) —
+    # the separate mix stage is a pure HBM round-trip of the full complex
+    # block (~10 ms of a 48 ms chain at 8192ch x 16k).  Phase is uniform
+    # across channels in a chain (all init to 0, same delta), so the
+    # kernel takes it as a scalar.
+    fuse_nco = use_pallas and translating
+    if translating and not fuse_nco:
         z, nco_phase = nco.mix(z, state.nco_phase,
                                jnp.broadcast_to(delta,
                                                 state.nco_phase.shape))
+    elif fuse_nco:
+        nco_phase = nco.advance(
+            state.nco_phase,
+            jnp.broadcast_to(delta, state.nco_phase.shape), z.shape[-1])
     else:
         nco_phase = state.nco_phase
 
@@ -335,16 +365,6 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         return demod_and_post(cfg, params, state, zf, taps_out)
 
     # --- analytic bandpass + decimate ---
-    # Pallas MXU kernel: "auto" resolves to it off-CPU when the shape
-    # tiles (C % 8, T_out % 512) — measured 1.72x on the WHOLE chain
-    # (777 -> 1340 Msamples/s at 8192ch x 16k on v5e; the front FIR is
-    # ~85% of chain time on the XLA FFT path).  The earlier remote-AOT
-    # compile blowup no longer reproduces (41 s cold, in-session).
-    use_pallas = cfg.front_impl != "xla" and cfg.mode != "ssbstereo"
-    if use_pallas and cfg.front_impl == "auto":
-        use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
-                      and z.shape[0] % 8 == 0
-                      and (z.shape[-1] // cfg.decim) % 256 == 0)
     if cfg.mode == "ssbstereo":
         # duplicate the RF stream across the (2,) stereo axis; the (2, taps)
         # USB/LSB filter pair then demodulates both sidebands in one pass
@@ -355,7 +375,8 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         zf, front_carry = pallas_fir.fir_decimate_pallas(
             np.asarray(params.front_fir_re)
             + 1j * np.asarray(params.front_fir_im),
-            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=256)
+            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=256,
+            nco=(state.nco_phase.reshape(-1)[0], delta) if fuse_nco else None)
     else:
         zf, front_carry = fir.fir_decimate_block(front_fir,
                                                  state.front_carry, z,

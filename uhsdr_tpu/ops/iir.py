@@ -86,6 +86,8 @@ def biquad_block(coeffs: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
 def biquad_cascade_block(sos: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
     """Cascade of biquads.  sos: (n_sections, ..., 5); state: (n_sections, ..., 2)."""
     n_sections = sos.shape[0]
+    if n_sections == 0:           # pruned-empty cascade (e.g. neutral EQ)
+        return x, state
 
     def body(carry, sec):
         y = carry
