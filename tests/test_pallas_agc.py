@@ -120,6 +120,40 @@ def test_agc_kernel_matches_scan():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_agc_fused_kernel_matches_run():
+    """The v3 fully-fused kernel (delay/|x|/sliding-max/machine/gain) vs
+    ops.agc.run's XLA fallback path, streamed over two blocks to exercise
+    the delay-line and look-ahead halo continuity."""
+    C, T = 1024, 512
+    rng = np.random.default_rng(7)
+    params = agc.make_params(12000.0, mode="med", hang_enable=True)
+    pp = _params_dict(params)
+    pp.update(out_target=float(params.out_target),
+              slope_constant=float(params.slope_constant),
+              inv_max_input=float(params.inv_max_input))
+    x = rng.standard_normal((C, 2 * T)).astype(np.float32) * 800.0
+    x[:, 300:500] *= 25.0
+    x[:, 800:] *= 0.02
+
+    state = agc.init_state((C,), params)
+    ys_ref = []
+    st = state
+    for blk in (x[:, :T], x[:, T:]):
+        y, st = agc.run(params, st, jnp.asarray(blk))
+        ys_ref.append(np.asarray(y))
+    y_ref = np.concatenate(ys_ref, axis=-1)
+
+    carry = jnp.zeros((7, C), jnp.float32)
+    delay = jnp.zeros((C, params.attack_buffsize), jnp.float32)
+    ys = []
+    for blk in (x[:, :T], x[:, T:]):
+        y, carry, delay = pallas_agc.agc_pallas_fused(
+            pp, carry, delay, jnp.asarray(blk), t_tile=256)
+        ys.append(np.asarray(y))
+    y_fused = np.concatenate(ys, axis=-1)
+    np.testing.assert_allclose(y_fused, y_ref, rtol=1e-4, atol=1e-3)
+
+
 def test_agc_run_dispatch_consistency():
     # ops.agc.run on CPU (scan path) stays the ground truth the chain
     # tests already verify against golden; here just confirm run()

@@ -190,6 +190,44 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
 
     T = x.shape[-1]
     w = params.attack_buffsize
+
+    # --- fully-fused Pallas path (v3): delay line, |x|, look-ahead
+    # sliding max, 5-state machine AND gain application in ONE kernel —
+    # the v2 path's pack transposes, XLA max passes and mult/log10 HBM
+    # passes all disappear (see pallas/agc.py `_make_fused_kernel`).
+    if (jax.default_backend() != "cpu" and x.ndim == 2
+            and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w):
+        from ..pallas import agc as pallas_agc
+        pp = dict(attack_mult=float(params.attack_mult),
+                  fast_decay_mult=float(params.fast_decay_mult),
+                  decay_mult=float(params.decay_mult),
+                  hang_decay_mult=float(params.hang_decay_mult),
+                  fast_backmult=float(params.fast_backmult),
+                  hang_backmult=float(params.hang_backmult),
+                  pop_ratio=float(params.pop_ratio),
+                  hang_level=float(params.hang_level),
+                  hang_time=float(params.hang_time_samples),
+                  hang_enable=bool(params.hang_enable),
+                  min_volts=float(params.min_volts),
+                  out_target=float(params.out_target),
+                  slope_constant=float(params.slope_constant),
+                  inv_max_input=float(params.inv_max_input))
+        carry = jnp.stack([state.volts, state.save_volts,
+                           state.hang_counter, state.decay_type,
+                           state.state, state.fast_backaverage,
+                           state.hang_backaverage], axis=0)
+        y, carry_out, new_delay = pallas_agc.agc_pallas_fused(
+            pp, carry, state.delay, x)
+        dc_state = state.dc
+        if params.remove_dc:
+            y, dc_state = iir.dc_blocker_block(0.9999, dc_state, y)
+        new_state = AgcState(
+            delay=new_delay, volts=carry_out[0], save_volts=carry_out[1],
+            fast_backaverage=carry_out[5], hang_backaverage=carry_out[6],
+            hang_counter=carry_out[2], decay_type=carry_out[3],
+            state=carry_out[4], dc=dc_state)
+        return y, new_state
+
     # full timeline including delay-line history
     xfull = jnp.concatenate([state.delay, x], axis=-1)   # (..., w+T)
     out_delayed = xfull[..., :T]                          # sample leaving ring

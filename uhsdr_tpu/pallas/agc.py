@@ -34,8 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 N_CARRY = 7   # volts, save_volts, hang_counter, decay_type, state, fba, hba
 
 
-def _make_kernel(pp, t_tile: int):
-    """pp: dict of python-float params closed over at trace time."""
+def _make_machine_step(pp):
+    """The per-sample 5-state machine body, shared by both kernels.
+    Returns step(carry_tuple, rm, ax) -> (new_carry_tuple, new_volts).
+    pp: dict of python-float params closed over at trace time."""
     f32 = np.float32
     attack = f32(pp["attack_mult"])
     fast_d = f32(pp["fast_decay_mult"])
@@ -50,6 +52,75 @@ def _make_kernel(pp, t_tile: int):
     min_volts = f32(pp["min_volts"])
     one = f32(1.0)
 
+    def step(carry, rm, ax):
+        volts, save, hang, decay, st, fba, hba = carry
+        # one-pole back-averages of the delayed |x| (in-loop: one
+        # multiply-add each vs log2(T) HBM passes as an XLA scan)
+        fba = (one - fast_bm) * fba + fast_bm * ax
+        hba = (one - hang_bm) * hba + hang_bm * ax
+        hang = jnp.maximum(hang - one, f32(0.0))
+
+        attack_v = volts + (rm - volts) * attack
+        fast_v = volts + (rm - volts) * fast_d
+        long_v = volts + (rm - volts) * long_d
+        hangd_v = volts + (rm - volts) * hang_d
+
+        att = (rm >= volts).astype(jnp.float32)
+        natt = one - att
+        is0 = (st < f32(0.5)).astype(jnp.float32)
+        is1 = ((st > f32(0.5)) & (st < f32(1.5))).astype(jnp.float32)
+        is2 = ((st > f32(1.5)) & (st < f32(2.5))).astype(jnp.float32)
+        is3 = ((st > f32(2.5)) & (st < f32(3.5))).astype(jnp.float32)
+        is4 = (st > f32(3.5)).astype(jnp.float32)
+
+        ht = hang_en * (hba > hang_level).astype(jnp.float32)
+        s0_fast = (volts > pop_ratio * fba).astype(jnp.float32)
+        s1_fastc = (volts > save).astype(jnp.float32)
+        hc_wait = (hang > f32(0.5)).astype(jnp.float32)
+        hc_zero = one - hc_wait
+        dt1 = decay
+        dt0 = one - dt1
+
+        m0a = is0 * att
+        m0f = is0 * natt * s0_fast
+        m0h = is0 * natt * (one - s0_fast) * ht
+        m0l = is0 * natt * (one - s0_fast) * (one - ht)
+        m1a = is1 * att
+        m1f = is1 * natt * s1_fastc
+        m1w = is1 * natt * (one - s1_fastc) * hc_wait
+        m1l = is1 * natt * (one - s1_fastc) * hc_zero * dt0
+        m1h = is1 * natt * (one - s1_fastc) * hc_zero * dt1
+        m2a = is2 * att
+        m2d = is2 * natt * hc_zero
+        m2s = is2 * natt * hc_wait
+        m3a = is3 * att
+        m3d = is3 * natt
+        m4a = is4 * att
+        m4d = is4 * natt
+
+        new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
+                     + (m0f + m1f) * fast_v
+                     + (m0l + m1l + m3d) * long_v
+                     + (m1h + m2d + m4d) * hangd_v
+                     + (m0h + m1w + m2s) * volts)
+        new_st = ((m0f + m1f) * f32(1.0) + (m0h + m1w + m2s) * f32(2.0)
+                  + (m0l + m1l + m3d) * f32(3.0)
+                  + (m1h + m2d + m4d) * f32(4.0))
+        save_upd = m2a + m3a + m4a
+        new_save = save_upd * volts + (one - save_upd) * save
+        new_hang = m0h * hang_time + (one - m0h) * hang
+        new_decay = m0h * one + (one - (m0h + m0l)) * decay
+
+        new_volts = jnp.maximum(new_volts, min_volts)
+        return (new_volts, new_save, new_hang, new_decay, new_st,
+                fba, hba), new_volts
+
+    return step
+
+
+def _make_kernel(pp, t_tile: int):
+    machine_step = _make_machine_step(pp)
+
     def kernel(rm_ref, ax_ref, st_ref, y_ref, stout_ref, scratch):
         ti = pl.program_id(1)
 
@@ -58,70 +129,9 @@ def _make_kernel(pp, t_tile: int):
             scratch[:] = st_ref[:]
 
         def step(t, carry):
-            volts, save, hang, decay, st, fba, hba = carry
-            rm = rm_ref[t]
-            ax = ax_ref[t]
-            # one-pole back-averages of the delayed |x| (in-loop: one
-            # multiply-add each vs log2(T) HBM passes as an XLA scan)
-            fba = (one - fast_bm) * fba + fast_bm * ax
-            hba = (one - hang_bm) * hba + hang_bm * ax
-            hang = jnp.maximum(hang - one, f32(0.0))
-
-            attack_v = volts + (rm - volts) * attack
-            fast_v = volts + (rm - volts) * fast_d
-            long_v = volts + (rm - volts) * long_d
-            hangd_v = volts + (rm - volts) * hang_d
-
-            att = (rm >= volts).astype(jnp.float32)
-            natt = one - att
-            is0 = (st < f32(0.5)).astype(jnp.float32)
-            is1 = ((st > f32(0.5)) & (st < f32(1.5))).astype(jnp.float32)
-            is2 = ((st > f32(1.5)) & (st < f32(2.5))).astype(jnp.float32)
-            is3 = ((st > f32(2.5)) & (st < f32(3.5))).astype(jnp.float32)
-            is4 = (st > f32(3.5)).astype(jnp.float32)
-
-            ht = hang_en * (hba > hang_level).astype(jnp.float32)
-            s0_fast = (volts > pop_ratio * fba).astype(jnp.float32)
-            s1_fastc = (volts > save).astype(jnp.float32)
-            hc_wait = (hang > f32(0.5)).astype(jnp.float32)
-            hc_zero = one - hc_wait
-            dt1 = decay
-            dt0 = one - dt1
-
-            m0a = is0 * att
-            m0f = is0 * natt * s0_fast
-            m0h = is0 * natt * (one - s0_fast) * ht
-            m0l = is0 * natt * (one - s0_fast) * (one - ht)
-            m1a = is1 * att
-            m1f = is1 * natt * s1_fastc
-            m1w = is1 * natt * (one - s1_fastc) * hc_wait
-            m1l = is1 * natt * (one - s1_fastc) * hc_zero * dt0
-            m1h = is1 * natt * (one - s1_fastc) * hc_zero * dt1
-            m2a = is2 * att
-            m2d = is2 * natt * hc_zero
-            m2s = is2 * natt * hc_wait
-            m3a = is3 * att
-            m3d = is3 * natt
-            m4a = is4 * att
-            m4d = is4 * natt
-
-            new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
-                         + (m0f + m1f) * fast_v
-                         + (m0l + m1l + m3d) * long_v
-                         + (m1h + m2d + m4d) * hangd_v
-                         + (m0h + m1w + m2s) * volts)
-            new_st = ((m0f + m1f) * f32(1.0) + (m0h + m1w + m2s) * f32(2.0)
-                      + (m0l + m1l + m3d) * f32(3.0)
-                      + (m1h + m2d + m4d) * f32(4.0))
-            save_upd = m2a + m3a + m4a
-            new_save = save_upd * volts + (one - save_upd) * save
-            new_hang = m0h * hang_time + (one - m0h) * hang
-            new_decay = m0h * one + (one - (m0h + m0l)) * decay
-
-            new_volts = jnp.maximum(new_volts, min_volts)
+            new_carry, new_volts = machine_step(carry, rm_ref[t], ax_ref[t])
             y_ref[t] = new_volts
-            return (new_volts, new_save, new_hang, new_decay, new_st,
-                    fba, hba)
+            return new_carry
 
         # NOTE: an 8x partial unroll of this loop measured identical
         # whole-chain time — the cost is the sequential dependency chain
@@ -134,6 +144,119 @@ def _make_kernel(pp, t_tile: int):
         stout_ref[:] = new_sc
 
     return kernel
+
+
+def _make_fused_kernel(pp, t_tile: int, w: int):
+    """v3: the WHOLE AGC op in one kernel — |x|, the look-ahead sliding
+    max (dilated max on the VMEM slab), the 5-state machine AND the
+    log-domain gain application.  The slab trick: xfull (= delay ++ x) at
+    output position n needs |xfull[n+1 .. n+w]| for the look-ahead, and
+    xfull is x DELAYED by exactly w, so the whole window lives in
+    [prev x tile tail, current x tile] — the same left-halo shifted
+    BlockSpec as the FIR kernels, no future tile needed.  Replaces the
+    v2 path's two pack transposes, log2(w) XLA max passes and the
+    mult/log10 passes over HBM (~half the stage's in-chain cost).
+    """
+    f32 = np.float32
+    out_target = f32(pp["out_target"])
+    slope_constant = f32(pp["slope_constant"])
+    inv_max_input = f32(pp["inv_max_input"])
+    min_volts = f32(pp["min_volts"])
+
+    machine_step = _make_machine_step(pp)
+
+    def kernel(xc_ref, xp_ref, dl_ref, st_ref, y_ref, stout_ref,
+               scratch, rm_s, od_s):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _init():
+            scratch[:] = st_ref[:]
+
+        xc = xc_ref[:]                      # (t_tile, 8, 128) current x
+        tail = jnp.where(ti == 0, dl_ref[:], xp_ref[t_tile - w:])
+        slab = jnp.concatenate([tail, xc], axis=0)   # (t_tile+w, 8, 128)
+        a = jnp.abs(slab)
+        # rm[j] = max a[j+1 .. j+w]  (dilated sliding max, all in VMEM)
+        m = jnp.concatenate([a[1:], jnp.full((1,) + a.shape[1:], -jnp.inf,
+                                             jnp.float32)], axis=0)
+        total, shift = 1, 1
+        while total < w:
+            step = min(shift, w - total)
+            neg = jnp.full((step,) + m.shape[1:], -jnp.inf, jnp.float32)
+            m = jnp.maximum(m, jnp.concatenate([m[step:], neg], axis=0))
+            total += step
+            shift *= 2
+        rm_s[:] = m[:t_tile]
+        od_s[:] = slab[:t_tile]             # delayed output samples
+
+        def step(t, carry):
+            od = od_s[t]
+            new_carry, new_volts = machine_step(carry, rm_s[t], jnp.abs(od))
+            vo = jnp.minimum(jnp.log10(inv_max_input * new_volts), f32(0.0))
+            y_ref[t] = od * ((out_target - slope_constant * vo) / new_volts)
+            return new_carry
+
+        sc = scratch[:]
+        carry0 = tuple(sc[i] for i in range(N_CARRY))
+        carry = jax.lax.fori_loop(0, t_tile, step, carry0)
+        new_sc = jnp.stack(carry, axis=0)
+        scratch[:] = new_sc
+        stout_ref[:] = new_sc
+
+    return kernel
+
+
+def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
+                     x: jnp.ndarray, t_tile: int = 256):
+    """Full AGC op (delay line, look-ahead max, 5-state machine, gain).
+    carry: (7, C); delay: (C, w) f32 (the carried delay-line tail);
+    x: (C, T) f32.  Returns (y (C, T), new_carry (7, C), new_delay).
+    Requires C % 1024 == 0, T % t_tile == 0, t_tile >= w."""
+    C, T = x.shape
+    w = delay.shape[-1]
+    assert C % 1024 == 0, C
+    assert T % t_tile == 0 and t_tile >= w, (T, t_tile, w)
+    n_c = C // 1024
+    n_t = T // t_tile
+
+    def pack(a, n):   # (C, n) -> (n, 8*n_c, 128)
+        return jnp.swapaxes(a, 0, 1).reshape(n, 8 * n_c, 128)
+
+    x3 = pack(x, T)
+    dl3 = pack(delay, w)
+    st3 = carry.reshape(N_CARRY, 8 * n_c, 128)
+
+    kernel = _make_fused_kernel(pp, t_tile, w)
+    y3, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_c, n_t),
+        in_specs=[
+            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, 8, 128),
+                         lambda ci, ti: (jnp.maximum(ti - 1, 0), ci, 0)),
+            pl.BlockSpec((w, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 8 * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N_CARRY, 8 * n_c, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CARRY, 8, 128), jnp.float32),
+                        pltpu.VMEM((t_tile, 8, 128), jnp.float32),
+                        pltpu.VMEM((t_tile, 8, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x3, x3, dl3, st3)
+    y = jnp.swapaxes(y3.reshape(T, C), 0, 1)
+    new_delay = jnp.concatenate([delay, x], axis=-1)[..., -w:] if T < w \
+        else x[..., -w:]
+    return y, st_out.reshape(N_CARRY, C), new_delay
 
 
 def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,

@@ -102,13 +102,137 @@ def _make_kernel(sos: np.ndarray, t_tile: int, n_t: int):
     return kernel
 
 
+def _powers(A: np.ndarray, n: int):
+    """Host-side: [A^1, A^2, ..., A^n] at f64."""
+    out = [A]
+    for _ in range(n - 1):
+        out.append(out[-1] @ A)
+    return out
+
+
+def _make_kernel_grouped(sos: np.ndarray, t_tile: int, L: int):
+    """Work-efficient two-level scan: the Hillis-Steele dilated scan does
+    8*log2(t_tile) ops/sample/section; this does
+    ~8*(2 + log2(t_tile/L)/L) — split each tile into G = t_tile/L groups
+    of L samples, then
+
+      phase 1: sequential local scans within groups (L-1 steps, each a
+               (G, Cl) vector op — the sequential axis is SHORT, the
+               vector axis is the whole group dim);
+      phase 2: dilated scan over the G group-end states with transition
+               A^L (log2(G) levels on (G, Cl) — 1/L of the data);
+      phase 3: broadcast correction u[g,l] = v[g,l] + A^(l+1) q[g] with
+               q = shifted group prefixes (L independent vector ops).
+
+    ~4x less arithmetic at t_tile=2048, L=16 than the dilated kernel.
+    """
+    S = sos.shape[0]
+    G = t_tile // L
+    assert G * L == t_tile
+    n_levels_g = int(np.log2(G))
+    assert 2 ** n_levels_g == G
+    sections = []
+    for s in range(S):
+        b0, b1, b2, a1, a2 = [float(v) for v in np.asarray(sos, np.float64)[s]]
+        A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float64)
+        Apow = _powers(A, L)                    # A^1 .. A^L
+        AL_sq = []                              # (A^L)^(2^k)
+        M = Apow[-1].copy()
+        for _ in range(n_levels_g):
+            AL_sq.append(M.astype(np.float32))
+            M = M @ M
+        sections.append((b0, b1, b2, a1, a2,
+                         [P.astype(np.float32) for P in Apow], AL_sq))
+
+    def kernel(x_ref, st_ref, y_ref, stout_ref, scratch):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _init():
+            scratch[:] = st_ref[:]
+
+        x = x_ref[:]                            # (t_tile, Cl)
+        sc = scratch[:]
+        Cl = x.shape[1]
+        new_rows = []
+        for s, (b0, b1, b2, a1, a2, Apow, AL_sq) in enumerate(sections):
+            g1 = np.float32(b1 - a1 * b0)
+            g2 = np.float32(b2 - a2 * b0)
+            s1_0 = sc[s, 0, :]
+            s2_0 = sc[s, 1, :]
+            c1 = g1 * x
+            c2 = g2 * x
+            init1 = np.float32(-a1) * s1_0 + s2_0
+            init2 = np.float32(-a2) * s1_0
+            c1 = jnp.concatenate([(c1[0, :] + init1)[None], c1[1:, :]], axis=0)
+            c2 = jnp.concatenate([(c2[0, :] + init2)[None], c2[1:, :]], axis=0)
+            c1g = c1.reshape(G, L, Cl)
+            c2g = c2.reshape(G, L, Cl)
+            # phase 1: local scans (unrolled; per-l values as Python list).
+            # Only the LAST v2 is live at any step (a22 = 0), which keeps
+            # the kernel's VMEM stack at ~2 tile-equivalents.
+            a11 = np.float32(-a1)
+            a21 = np.float32(-a2)
+            v1 = [c1g[:, 0, :]]
+            v2_prev = c2g[:, 0, :]
+            v2_last = v2_prev
+            for l in range(1, L):
+                v1.append(c1g[:, l, :] + a11 * v1[-1] + v2_prev)
+                v2_last = c2g[:, l, :] + a21 * v1[-2]
+                v2_prev = v2_last
+            # phase 2: dilated scan over group ends with A^L powers
+            e1, e2 = v1[-1], v2_last            # (G, Cl)
+            d = 1
+            for M in AL_sq:
+                m11, m12 = np.float32(M[0, 0]), np.float32(M[0, 1])
+                m21, m22 = np.float32(M[1, 0]), np.float32(M[1, 1])
+                z = jnp.zeros((d, Cl), jnp.float32)
+                e1s = jnp.concatenate([z, e1[:-d, :]], axis=0)
+                e2s = jnp.concatenate([z, e2[:-d, :]], axis=0)
+                e1, e2 = e1 + m11 * e1s + m12 * e2s, e2 + m21 * e1s + m22 * e2s
+                d *= 2
+            # q[g] = global end state of group g-1
+            zrow = jnp.zeros((1, Cl), jnp.float32)
+            q1 = jnp.concatenate([zrow, e1[:-1, :]], axis=0)
+            q2 = jnp.concatenate([zrow, e2[:-1, :]], axis=0)
+            # phase 3: u[g,l] = v[g,l] + A^(l+1) q[g].  Only the s1
+            # component feeds y; s2 is needed only for the final carry.
+            u1 = []
+            for l in range(L):
+                P = Apow[l]                     # A^(l+1)
+                p11, p12 = np.float32(P[0, 0]), np.float32(P[0, 1])
+                u1.append(v1[l] + p11 * q1 + p12 * q2)
+            PL = Apow[L - 1]
+            u2_last = (v2_last + np.float32(PL[1, 0]) * q1
+                       + np.float32(PL[1, 1]) * q2)
+            s1 = jnp.stack(u1, axis=1).reshape(t_tile, Cl)
+            # y[t] = b0 x[t] + s1[t-1]
+            s1_prev = jnp.concatenate([s1_0[None, :], s1[:-1, :]], axis=0)
+            y = np.float32(b0) * x + s1_prev
+            # NB: negative scalar indices lower to dynamic_slice, which
+            # Pallas TPU cannot lower — use explicit static indices
+            new_rows.append(jnp.stack([u1[L - 1][G - 1, :],
+                                       u2_last[G - 1, :]], axis=0))
+            x = y
+        new_sc = jnp.stack(new_rows, axis=0)
+        scratch[:] = new_sc
+        y_ref[:] = x
+        stout_ref[:] = new_sc
+
+    return kernel
+
+
 def biquad_cascade_pallas(sos: np.ndarray, state: jnp.ndarray,
                           x: jnp.ndarray, t_tile: int = 2048,
-                          c_tile: int = 128):
+                          c_tile: int = 128, impl: str = "dilated",
+                          group_len: int = 32):
     """Drop-in for `ops.iir.biquad_cascade_block` (same math/result).
 
     sos: host numpy (S, 5); state: (S, C, 2) f32; x: (C, T) f32.
     Returns (y (C, T), new_state (S, C, 2)).
+
+    impl: "grouped" (two-level scan, ~4x less arithmetic) or "dilated"
+    (plain Hillis-Steele; kept as the cross-check reference).
     """
     sos = np.asarray(sos, np.float64)
     S = sos.shape[0]
@@ -123,7 +247,10 @@ def biquad_cascade_pallas(sos: np.ndarray, state: jnp.ndarray,
     xT = jnp.swapaxes(x, 0, 1)                     # (T, C)
     st2 = jnp.swapaxes(state, 1, 2)                # (S, 2, C)
 
-    kernel = _make_kernel(sos, t_tile, n_t)
+    if impl == "grouped" and t_tile % group_len == 0 and t_tile > group_len:
+        kernel = _make_kernel_grouped(sos, t_tile, group_len)
+    else:
+        kernel = _make_kernel(sos, t_tile, n_t)
     yT, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),
