@@ -87,6 +87,54 @@ def test_pallas_fir_nco_fused():
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
                                atol=2e-4)
 
+    # real_out variant == Re(full output), same carry
+    ph0 = jnp.zeros((), jnp.uint32)
+    c = jnp.zeros((C, taps - 1), jnp.complex64)
+    yr, c2 = pfir.fir_decimate_pallas(
+        h, c, jnp.asarray(x[:, :B]), decim, tile_c=8, tile_t=512,
+        interpret=True, nco=(ph0, jnp.uint32(delta)), real_out=True)
+    np.testing.assert_allclose(np.asarray(yr), np.real(np.asarray(ys[0])),
+                               atol=1e-6)
+
+
+def test_real_analytic_pallas_fused():
+    """TX kernel: real-input analytic FIR + conj + post-NCO vs the
+    unfused ops path, streamed over two blocks."""
+    from uhsdr_tpu.ops import nco
+    rng = np.random.default_rng(4)
+    C, B, taps = 8, 1024, 201
+    h = (rng.standard_normal(taps) +
+         1j * rng.standard_normal(taps)).astype(np.complex64) * 0.05
+    x = rng.standard_normal((C, 2 * B)).astype(np.float32)
+    delta = nco.freq_to_delta(6000.0, 48000.0)
+
+    for conj in (False, True):
+        # reference: fir_block -> conj -> mix
+        hc = jnp.asarray(h)
+        carry = jnp.zeros((C, taps - 1), jnp.float32)
+        ph = jnp.zeros((C,), jnp.uint32)
+        ys = []
+        for blk in (x[:, :B], x[:, B:]):
+            z, carry = xfir.fir_block(hc, carry, jnp.asarray(blk))
+            if conj:
+                z = jnp.conj(z)
+            z, ph = nco.mix(z, ph, jnp.full((C,), jnp.uint32(delta)))
+            ys.append(z)
+        y_ref = jnp.concatenate(ys, axis=-1)
+
+        carry = jnp.zeros((C, taps - 1), jnp.float32)
+        ph0 = jnp.zeros((), jnp.uint32)
+        ys = []
+        for blk in (x[:, :B], x[:, B:]):
+            z, carry = pfir.fir_real_analytic_pallas(
+                h, carry, jnp.asarray(blk), tile_c=8, tile_t=512,
+                nco=(ph0, jnp.uint32(delta)), conj=conj, interpret=True)
+            ph0 = nco.advance(ph0, jnp.uint32(delta), B)
+            ys.append(z)
+        y_fused = jnp.concatenate(ys, axis=-1)
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                                   atol=2e-4)
+
 
 def test_interp_pallas_matches_ops():
     # streaming equality with ops.xfir.fir_interpolate_block across blocks

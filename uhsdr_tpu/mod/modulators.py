@@ -101,6 +101,24 @@ def _analytic_fir(fir_re, fir_im, carry, audio):
 
 def ssb_modulate(params: SsbModParams, state: SsbModState, audio: jnp.ndarray):
     """audio (..., T) f32 -> (iq (..., T) complex64, new_state)."""
+    # fully-fused Pallas path: real-input analytic FIR (2 matmuls instead
+    # of 4 — the voice signal has no imaginary part) + LSB conjugation +
+    # post-FIR NCO mix, all in one kernel (no intermediate HBM round trips)
+    use_pallas = (jax.default_backend() != "cpu" and audio.ndim == 2
+                  and audio.shape[0] % 8 == 0 and audio.shape[-1] % 512 == 0)
+    if use_pallas:
+        from ..pallas import fir as pallas_fir
+        tile_c = 128 if audio.shape[0] % 128 == 0 else 8
+        z, carry = pallas_fir.fir_real_analytic_pallas(
+            np.asarray(params.fir_re) + 1j * np.asarray(params.fir_im),
+            state.carry, audio, tile_c=tile_c, tile_t=512,
+            nco=(state.phase.reshape(-1)[0], jnp.asarray(params.nco_delta)),
+            conj=params.lsb)
+        phase = nco.advance(
+            state.phase,
+            jnp.broadcast_to(jnp.asarray(params.nco_delta),
+                             state.phase.shape), audio.shape[-1])
+        return z, SsbModState(carry=carry, phase=phase)
     z, carry = _analytic_fir(params.fir_re, params.fir_im, state.carry, audio)
     if params.lsb:
         z = jnp.conj(z)

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
-                hr_ref, hi_ref, or_ref, oi_ref, *, pad_left: int):
+                hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
+                mxu_dtype=None):
     """One (TC, tile_t) output tile.
 
     xr/xi: (TC, W) current input block (W = tile_t*decim)
@@ -44,26 +45,32 @@ def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
     hr/hi: (K, tile_t) shifted-diagonal tap matrix, K = pad_left + W
     """
     ti = pl.program_id(1)
-    W = xr_ref.shape[1]
-    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:, W - pad_left:])
-    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:, W - pad_left:])
+    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:])
+    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:])
     xr = jnp.concatenate([tail_r, xr_ref[:]], axis=1)   # (TC, K)
     xi = jnp.concatenate([tail_i, xi_ref[:]], axis=1)
     hr = hr_ref[:]
     hi = hi_ref[:]
+    if mxu_dtype is not None:
+        xr = xr.astype(mxu_dtype)
+        xi = xi.astype(mxu_dtype)
+        hr = hr.astype(mxu_dtype)
+        hi = hi.astype(mxu_dtype)
     rr = jnp.dot(xr, hr, preferred_element_type=jnp.float32)
     ii = jnp.dot(xi, hi, preferred_element_type=jnp.float32)
-    ri = jnp.dot(xr, hi, preferred_element_type=jnp.float32)
-    ir = jnp.dot(xi, hr, preferred_element_type=jnp.float32)
     or_ref[:] = rr - ii
-    oi_ref[:] = ri + ir
+    if oi_ref is not None:
+        ri = jnp.dot(xr, hi, preferred_element_type=jnp.float32)
+        ir = jnp.dot(xi, hr, preferred_element_type=jnp.float32)
+        oi_ref[:] = ri + ir
 
 
 _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 
 
 def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
-                    hr_ref, hi_ref, or_ref, oi_ref, *, pad_left: int):
+                    hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
+                    mxu_dtype=None):
     """`_fir_kernel` with the frequency-translation NCO fused in: inputs
     are the RAW IQ planes; the slab is rotated in VMEM by
     ``exp(j*2pi*(phase0 + delta*n)/2^32)`` before the tap matmuls, where
@@ -79,8 +86,8 @@ def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
     ti = pl.program_id(1)
     W = xr_ref.shape[1]
     K = pad_left + W
-    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:, W - pad_left:])
-    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:, W - pad_left:])
+    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:])
+    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:])
     xr = jnp.concatenate([tail_r, xr_ref[:]], axis=1)   # (TC, K)
     xi = jnp.concatenate([tail_i, xi_ref[:]], axis=1)
     # absolute sample index n = ti*W - pad_left + k.  All phase arithmetic
@@ -97,12 +104,18 @@ def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
     xi_rot = xr * s + xi * c
     hr = hr_ref[:]
     hi = hi_ref[:]
+    if mxu_dtype is not None:
+        xr_rot = xr_rot.astype(mxu_dtype)
+        xi_rot = xi_rot.astype(mxu_dtype)
+        hr = hr.astype(mxu_dtype)
+        hi = hi.astype(mxu_dtype)
     rr = jnp.dot(xr_rot, hr, preferred_element_type=jnp.float32)
     ii = jnp.dot(xi_rot, hi, preferred_element_type=jnp.float32)
-    ri = jnp.dot(xr_rot, hi, preferred_element_type=jnp.float32)
-    ir = jnp.dot(xi_rot, hr, preferred_element_type=jnp.float32)
     or_ref[:] = rr - ii
-    oi_ref[:] = ri + ir
+    if oi_ref is not None:
+        ri = jnp.dot(xr_rot, hi, preferred_element_type=jnp.float32)
+        ir = jnp.dot(xi_rot, hr, preferred_element_type=jnp.float32)
+        oi_ref[:] = ri + ir
 
 
 def _build_tap_matrix(h: np.ndarray, decim: int, tile_t: int,
@@ -127,7 +140,9 @@ def _build_tap_matrix(h: np.ndarray, decim: int, tile_t: int,
 
 def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         decim: int, tile_c: int = 8, tile_t: int = 512,
-                        interpret: bool = False, nco=None):
+                        interpret: bool = False, nco=None,
+                        mxu_dtype: str | None = None,
+                        real_out: bool = False):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
     kernel.  x: (C, B) complex64; carry: (C, taps-1) complex64.
     Requires C % tile_c == 0, (B//decim) % tile_t == 0, and
@@ -137,7 +152,11 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     frequency-translation mix (`ops.nco.mix` with uniform phase across
     channels) into the kernel: x and carry are then the RAW pre-mix IQ, and
     the result equals `fir(mix(x))` with mix-domain carry.  The caller
-    advances its phase state by `nco.advance(phase0, delta, B)`."""
+    advances its phase state by `nco.advance(phase0, delta, B)`.
+
+    real_out: return only Re(y) as f32 — the SSB demod is exactly
+    Re(analytic signal), so the two imaginary-part matmuls (half the
+    kernel's MXU work) are skipped entirely for usb/lsb/cw chains."""
     taps = h.shape[-1]
     B = x.shape[-1]
     h_np = np.asarray(h)
@@ -162,21 +181,30 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                          axis=-1)
 
     grid = (C // tile_c, n_tt)
-    out_shape = [jax.ShapeDtypeStruct((C, T_out), jnp.float32),
-                 jax.ShapeDtypeStruct((C, T_out), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((C, T_out), jnp.float32)]
+    if not real_out:
+        out_shape.append(jax.ShapeDtypeStruct((C, T_out), jnp.float32))
 
     def cur_idx(i, j):
         return (i, j)
 
-    def prev_idx(i, j):
-        # j-1, clamped: at j==0 the kernel selects the carry instead
-        return (i, jnp.maximum(j - 1, 0))
+    # halo: the LAST pad_left columns of the previous W-window, viewed with
+    # block width pad_left (requires W % pad_left == 0) — reading only the
+    # halo instead of the whole previous block cuts the kernel's HBM input
+    # from 2x to (1 + pad_left/W)x of the signal
+    assert W % pad_left == 0, (W, pad_left)
+    ratio = W // pad_left
+
+    def halo_idx(i, j):
+        # block (i, j*ratio - 1) = columns [j*W - pad_left, j*W);
+        # at j==0 the kernel selects the carry instead
+        return (i, jnp.maximum(j * ratio - 1, 0))
 
     in_specs = [
         pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, W), prev_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, W), prev_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_c, pad_left), halo_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_c, pad_left), halo_idx, memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
@@ -185,36 +213,129 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     inputs = [xr, xi, xr, xi, cr, ci, Hr, Hi]
+    mxu = jnp.bfloat16 if mxu_dtype == "bf16" else None
     if nco is None:
-        kernel = functools.partial(_fir_kernel, pad_left=pad_left)
+        kernel = functools.partial(_fir_kernel, pad_left=pad_left,
+                                   mxu_dtype=mxu)
     else:
         phase0, delta = nco
         nco_arr = jax.lax.bitcast_convert_type(
             jnp.stack([jnp.asarray(phase0, jnp.uint32),
                        jnp.asarray(delta, jnp.uint32)]), jnp.int32)
-        kernel = functools.partial(_fir_nco_kernel, pad_left=pad_left)
+        kernel = functools.partial(_fir_nco_kernel, pad_left=pad_left,
+                                   mxu_dtype=mxu)
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.insert(0, nco_arr)
 
-    yr, yi = pl.pallas_call(
+    out_specs = [pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+                 for _ in out_shape]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    y = jax.lax.complex(yr, yi)
+    y = outs[0] if real_out else jax.lax.complex(outs[0], outs[1])
     if B >= taps - 1:
         new_carry = x[..., -(taps - 1):]
     else:
         new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]
     return y, new_carry
+
+
+# ---------------------------------------------------------------------------
+# Real-input analytic FIR (TX front): audio -> analytic signal, decim=1.
+# ---------------------------------------------------------------------------
+
+def _fir_real_kernel(nco_ref, x_ref, p_ref, c_ref, hr_ref, hi_ref,
+                     or_ref, oi_ref, *, pad_left: int, conj: bool,
+                     use_nco: bool):
+    """One (TC, W) complex output tile from a REAL (TC, pad_left + W)
+    slab — 2 matmuls instead of the complex kernel's 4 (the TX voice
+    signal has no imaginary part).  Optionally conjugates (LSB) and
+    applies the post-modulator frequency translation in VMEM
+    (`mod.ssb_modulate`'s `nco.mix`), saving its full HBM round-trip."""
+    ti = pl.program_id(1)
+    W = x_ref.shape[1]
+    tail = jnp.where(ti == 0, c_ref[:], p_ref[:])
+    x = jnp.concatenate([tail, x_ref[:]], axis=1)       # (TC, K)
+    yr = jnp.dot(x, hr_ref[:], preferred_element_type=jnp.float32)
+    yi = jnp.dot(x, hi_ref[:], preferred_element_type=jnp.float32)
+    if conj:
+        yi = -yi
+    if use_nco:
+        # output index n = ti*W + m (decim=1); int32 wrap == uint32 wrap
+        m = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        ang = ((nco_ref[0] + nco_ref[1] * (ti * W + m))
+               .astype(jnp.float32) * _PHASE_SCALE)
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
+        yr, yi = yr * c - yi * s, yr * s + yi * c
+    or_ref[:] = yr
+    oi_ref[:] = yi
+
+
+def fir_real_analytic_pallas(h: jnp.ndarray, carry: jnp.ndarray,
+                             x: jnp.ndarray, tile_c: int = 128,
+                             tile_t: int = 512, nco=None,
+                             conj: bool = False, interpret: bool = False):
+    """Real audio (C, B) f32 -> analytic signal (C, B) complex64 through
+    the one-sided complex FIR h, with carried real history (C, taps-1).
+    Optionally fuses conjugation (LSB) and the post-FIR NCO mix
+    (nco = (phase0, delta) traced uint32 scalars; caller advances phase).
+    Requires C % tile_c == 0, B % tile_t == 0, tile_t % pad_left == 0."""
+    taps = h.shape[-1]
+    h_np = np.asarray(h)
+    C, B = x.shape
+    W = tile_t
+    n_tt = B // W
+    pad_left = -(-(taps - 1) // 128) * 128
+    assert W % pad_left == 0, (W, pad_left)
+    ratio = W // pad_left
+    Hr = jnp.asarray(_build_tap_matrix(np.real(h_np).astype(np.float32),
+                                       1, tile_t, pad_left))
+    Hi = jnp.asarray(_build_tap_matrix(np.imag(h_np).astype(np.float32),
+                                       1, tile_t, pad_left))
+    czeros = jnp.zeros((C, pad_left - (taps - 1)), jnp.float32)
+    c0 = jnp.concatenate([czeros, carry.astype(jnp.float32)], axis=-1)
+
+    if nco is None:
+        nco_arr = jnp.zeros((2,), jnp.int32)
+    else:
+        phase0, delta = nco
+        nco_arr = jax.lax.bitcast_convert_type(
+            jnp.stack([jnp.asarray(phase0, jnp.uint32),
+                       jnp.asarray(delta, jnp.uint32)]), jnp.int32)
+    kernel = functools.partial(_fir_real_kernel, pad_left=pad_left,
+                               conj=conj, use_nco=nco is not None)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(C // tile_c, n_tt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_c, W), lambda i, j: (i, j)),
+            pl.BlockSpec((tile_c, pad_left),
+                         lambda i, j: (i, jnp.maximum(j * ratio - 1, 0))),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_c, W), lambda i, j: (i, j)),
+            pl.BlockSpec((tile_c, W), lambda i, j: (i, j)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((C, B), jnp.float32),
+                   jax.ShapeDtypeStruct((C, B), jnp.float32)],
+        interpret=interpret,
+    )(nco_arr, x, x, c0, Hr, Hi)
+    if B >= taps - 1:
+        new_carry = x[..., -(taps - 1):]
+    else:
+        new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]
+    return jax.lax.complex(yr, yi), new_carry
 
 
 # ---------------------------------------------------------------------------

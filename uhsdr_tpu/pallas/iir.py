@@ -223,7 +223,7 @@ def _make_kernel_grouped(sos: np.ndarray, t_tile: int, L: int):
 
 
 def biquad_cascade_pallas(sos: np.ndarray, state: jnp.ndarray,
-                          x: jnp.ndarray, t_tile: int = 2048,
+                          x: jnp.ndarray, t_tile: int = 128,
                           c_tile: int = 128, impl: str = "dilated",
                           group_len: int = 32):
     """Drop-in for `ops.iir.biquad_cascade_block` (same math/result).
