@@ -375,7 +375,11 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         z = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (2, z.shape[-1]))
     if use_pallas:
         C = z.shape[0]
-        tile_c = 256 if C % 256 == 0 else (128 if C % 128 == 0 else 8)
+        # VMEM budget: the kernel holds ~6 slab-sized f32 buffers of
+        # (tile_c, tile_t*decim + pad); 256-wide channel tiles overflow the
+        # 16 MB scoped limit at decim 8 (96 kHz IQ) — halve there
+        tile_c_max = 256 if cfg.decim <= 4 else 128
+        tile_c = next((tc for tc in (tile_c_max, 128, 8) if C % tc == 0), 8)
         # SSB demod is exactly Re(analytic signal): the kernel skips the
         # imaginary-part matmuls (half its MXU work) and hands the real
         # audio straight to the post chain (demod_and_post passes real
