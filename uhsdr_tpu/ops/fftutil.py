@@ -70,20 +70,47 @@ def sqrt_hann(n: int) -> np.ndarray:
 
 def frame_overlap(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
     """Frame (..., T) into (..., n_frames, frame_len) with the given hop.
-    T must satisfy (T - frame_len) % hop == 0."""
+    T must satisfy (T - frame_len) % hop == 0.
+
+    Gather-free when frame_len % hop == 0 (every NR/scope use: 50%
+    overlap): each frame is `frame_len//hop` consecutive hop-chunks, so
+    framing is a reshape plus r stacked static slices — TPU gathers run
+    on the scalar core (the indexed formulation measured 14 ms at
+    8192ch x 33 frames; this is ~1 ms)."""
     T = x.shape[-1]
     n_frames = (T - frame_len) // hop + 1
+    if frame_len % hop == 0:
+        r = frame_len // hop
+        n_chunks = T // hop
+        chunks = x[..., : n_chunks * hop].reshape(x.shape[:-1] +
+                                                  (n_chunks, hop))
+        parts = [chunks[..., k: k + n_frames, :] for k in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_len)[None, :]
     return x[..., idx]
 
 
 def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     """Inverse of frame_overlap for windowed frames: sum frames at hop offsets.
-    frames: (..., n_frames, frame_len) -> (..., (n_frames-1)*hop + frame_len)."""
+    frames: (..., n_frames, frame_len) -> (..., (n_frames-1)*hop + frame_len).
+
+    Scatter-free when frame_len % hop == 0: split each frame into its r
+    hop-chunks and add the r chunk-streams at staggered offsets (static
+    pads + adds; the scatter-add formulation measured 19 ms at NR bench
+    shapes)."""
     n_frames, frame_len = frames.shape[-2], frames.shape[-1]
     T = (n_frames - 1) * hop + frame_len
+    if frame_len % hop == 0:
+        r = frame_len // hop
+        n_out = T // hop                       # = n_frames - 1 + r
+        chunks = frames.reshape(frames.shape[:-2] + (n_frames, r, hop))
+        out = jnp.zeros(frames.shape[:-2] + (n_out, hop), frames.dtype)
+        for k in range(r):
+            pad = [(0, 0)] * (out.ndim - 2) + [(k, n_out - n_frames - k),
+                                               (0, 0)]
+            out = out + jnp.pad(chunks[..., :, k, :], pad)
+        return out.reshape(frames.shape[:-2] + (T,))
     out = jnp.zeros(frames.shape[:-2] + (T,), frames.dtype)
-    # scatter-add via segment trick: build index map (n_frames, frame_len)
     idx = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_len)[None, :])
     flat_idx = idx.reshape(-1)
     flat_frames = frames.reshape(frames.shape[:-2] + (n_frames * frame_len,))
