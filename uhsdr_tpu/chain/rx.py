@@ -330,12 +330,12 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     # (777 -> 1340 Msamples/s at 8192ch x 16k on v5e; the front FIR is
     # ~85% of chain time on the XLA FFT path).  The earlier remote-AOT
     # compile blowup no longer reproduces (41 s cold, in-session).
-    use_pallas = (cfg.front_impl != "xla"
-                  and cfg.mode not in ("ssbstereo", "fm"))
+    use_pallas = cfg.front_impl != "xla" and cfg.mode != "ssbstereo"
     if use_pallas and cfg.front_impl == "auto":
+        fm_decim = 1 if cfg.mode == "fm" else cfg.decim
         use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
                       and z.shape[0] % 8 == 0
-                      and (z.shape[-1] // cfg.decim) % 256 == 0)
+                      and (z.shape[-1] // fm_decim) % 256 == 0)
 
     delta = None
     if translating:
@@ -363,7 +363,17 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
 
     # --- FM branch: full-rate demod, no decimation path ---
     if cfg.mode == "fm":
-        zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
+        if use_pallas:
+            C = z.shape[0]
+            tile_c = next((tc for tc in (128, 8) if C % tc == 0), 8)
+            zf, front_carry = pallas_fir.fir_decimate_pallas(
+                np.asarray(params.front_fir_re)
+                + 1j * np.asarray(params.front_fir_im),
+                state.front_carry, z, 1, tile_c=tile_c, tile_t=256,
+                nco=((state.nco_phase.reshape(-1)[0], delta)
+                     if fuse_nco else None))
+        else:
+            zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
         state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                                front_carry=front_carry)
         return demod_and_post(cfg, params, state, zf, taps_out)

@@ -137,6 +137,11 @@ def _squelch_scan(params: FmParams, state: FmState, noise_samples: jnp.ndarray):
     return sql_avg, count, squelched, jnp.moveaxis(sq_seq, 0, -1)
 
 
+def _pallas_biquads_ok(x: jnp.ndarray) -> bool:
+    return (jax.default_backend() != "cpu" and x.ndim == 2
+            and x.shape[-1] % 128 == 0 and x.shape[0] % min(128, x.shape[0]) == 0)
+
+
 def demod(params: FmParams, state: FmState, iq: jnp.ndarray):
     """iq (..., T) complex64 at 48 kHz -> (audio (..., T), new_state)."""
     T = iq.shape[-1]
@@ -144,18 +149,49 @@ def demod(params: FmParams, state: FmState, iq: jnp.ndarray):
     prod = jnp.conj(z_d) * iq
     angle = jnp.arctan2(jnp.imag(prod), jnp.real(prod))   # discriminator
 
-    # de-emphasis LPF: a[n] = a[n-1] + alpha*(angle - a[n-1])
-    deemph, lpf_last = iir.one_pole_block(1.0 - LPF_ALPHA, LPF_ALPHA,
-                                          state.lpf, angle)
-    # HPF: b[n] = alpha*(b[n-1] + a[n] - a[n-1])
-    a_d = jnp.concatenate([state.hpf_a[..., None], deemph[..., :-1]], axis=-1)
-    diff = deemph - a_d
-    audio, hpf_last = iir.one_pole_block(HPF_ALPHA, HPF_ALPHA,
-                                         state.hpf_b, diff)
+    # de-emphasis LPF a[n] = a[n-1] + alpha*(angle - a[n-1]) followed by
+    # HPF b[n] = alpha*(b[n-1] + a[n] - a[n-1]): as two one-pole dilated
+    # scans this costs 2*log2(T) full HBM passes at 48 kHz; when deemph
+    # itself is not needed (no subtone detection) both fold into ONE
+    # 2-section Pallas biquad cascade (first-order sections:
+    # LPF b0=al, a1=-(1-al); HPF b0=ah, b1=-ah, a1=-ah), with the carried
+    # direct-form states mapped to DF2T: s1_lpf = (1-al)*lpf,
+    # s1_hpf = ah*(hpf_b - hpf_a); only the difference matters, so the
+    # unmapped split is stored as hpf_a=0, hpf_b=s1/ah.
+    al, ah = LPF_ALPHA, HPF_ALPHA
+    use_pk = params.deltas is None and _pallas_biquads_ok(angle)
+    if use_pk:
+        from ..pallas import iir as pallas_iir
+        sos2 = np.array([[al, 0.0, 0.0, -(1.0 - al), 0.0],
+                         [ah, -ah, 0.0, -ah, 0.0]], np.float32)
+        st2 = jnp.stack([
+            jnp.stack([(1.0 - al) * state.lpf,
+                       jnp.zeros_like(state.lpf)], axis=-1),
+            jnp.stack([ah * (state.hpf_b - state.hpf_a),
+                       jnp.zeros_like(state.hpf_b)], axis=-1)], axis=0)
+        audio, st2o = pallas_iir.biquad_cascade_pallas(sos2, st2, angle,
+                                                       t_tile=128)
+        deemph = None
+        lpf_last = st2o[0, ..., 0] / np.float32(1.0 - al)
+        hpf_a_last = jnp.zeros_like(lpf_last)
+        hpf_last = st2o[1, ..., 0] / np.float32(ah)
+    else:
+        deemph, lpf_last = iir.one_pole_block(1.0 - al, al,
+                                              state.lpf, angle)
+        a_d = jnp.concatenate([state.hpf_a[..., None], deemph[..., :-1]],
+                              axis=-1)
+        diff = deemph - a_d
+        audio, hpf_last = iir.one_pole_block(ah, ah, state.hpf_b, diff)
+        hpf_a_last = deemph[..., -1]
 
     # --- squelch noise estimate ---
-    sq, sos_state = iir.biquad_cascade_block(
-        jnp.asarray(params.squelch_sos), state.sql_sos_state, angle)
+    if use_pk:
+        from ..pallas import iir as pallas_iir
+        sq, sos_state = pallas_iir.biquad_cascade_pallas(
+            params.squelch_sos, state.sql_sos_state, angle, t_tile=128)
+    else:
+        sq, sos_state = iir.biquad_cascade_block(
+            jnp.asarray(params.squelch_sos), state.sql_sos_state, angle)
     n_sub = T // SUBBLOCK
     noise = jnp.sqrt(jnp.abs(sq[..., : n_sub * SUBBLOCK : SUBBLOCK]))
     sql_avg, count, squelched, sq_seq = _squelch_scan(params, state, noise)
@@ -197,7 +233,7 @@ def demod(params: FmParams, state: FmState, iq: jnp.ndarray):
     audio = jnp.where(gate & tone_detected[..., None], audio, 0.0)
 
     new_state = FmState(
-        z_prev=iq[..., -1], lpf=lpf_last, hpf_a=deemph[..., -1],
+        z_prev=iq[..., -1], lpf=lpf_last, hpf_a=hpf_a_last,
         hpf_b=hpf_last, sql_sos_state=sos_state, sql_avg=sql_avg,
         sql_count=count, squelched=squelched, tone_acc=tone_acc,
         tone_phase=tone_phase, tone_nsamp=tone_nsamp, subdet=subdet,

@@ -168,11 +168,34 @@ def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
         # path inputs: a = ai delayed 1, b = bi, c = bq delayed 1, d = aq
         ai_d = jnp.concatenate([state.ds[..., 0:1], ai[..., :-1]], axis=-1)
         bq_d = jnp.concatenate([state.ds[..., 1:2], bq[..., :-1]], axis=-1)
-        a_out, sa = _allpass_chain(0, state.ap_state[0], ai_d)
-        b_out, sb = _allpass_chain(1, state.ap_state[1], bi)
-        c_out, sc = _allpass_chain(0, state.ap_state[2], bq_d)
-        d_out, sd = _allpass_chain(1, state.ap_state[3], aq)
-        ap_state = jnp.stack([sa, sb, sc, sd], axis=0)
+        # the two C0 paths (and the two C1 paths) share coefficients, so
+        # off-CPU they stack along channels into ONE Pallas biquad-cascade
+        # call each (28 XLA dilated-scan sections -> 2 kernel launches)
+        use_pk = (jax.default_backend() != "cpu" and iq.ndim == 2
+                  and iq.shape[-1] % 128 == 0)
+        if use_pk:
+            from ..pallas import iir as pallas_iir
+            C = iq.shape[0]
+            x0 = jnp.concatenate([ai_d, bq_d], axis=0)       # (2C, T)
+            x1 = jnp.concatenate([bi, aq], axis=0)
+            st0 = jnp.concatenate([state.ap_state[0],
+                                   state.ap_state[2]], axis=1)
+            st1 = jnp.concatenate([state.ap_state[1],
+                                   state.ap_state[3]], axis=1)
+            y0, st0o = pallas_iir.biquad_cascade_pallas(
+                _AP_COEFFS[0], st0, x0, t_tile=128)
+            y1, st1o = pallas_iir.biquad_cascade_pallas(
+                _AP_COEFFS[1], st1, x1, t_tile=128)
+            a_out, c_out = y0[:C], y0[C:]
+            b_out, d_out = y1[:C], y1[C:]
+            ap_state = jnp.stack([st0o[:, :C], st1o[:, :C],
+                                  st0o[:, C:], st1o[:, C:]], axis=0)
+        else:
+            a_out, sa = _allpass_chain(0, state.ap_state[0], ai_d)
+            b_out, sb = _allpass_chain(1, state.ap_state[1], bi)
+            c_out, sc = _allpass_chain(0, state.ap_state[2], bq_d)
+            d_out, sd = _allpass_chain(1, state.ap_state[3], aq)
+            ap_state = jnp.stack([sa, sb, sc, sd], axis=0)
         ds_new = jnp.stack([ai[..., -1], bq[..., -1]], axis=-1)
         ai_ps, bi_ps, bq_ps, aq_ps = a_out, b_out, c_out, d_out
         usb_a = (ai_ps - bi_ps) + (aq_ps + bq_ps)

