@@ -78,7 +78,8 @@ def main():
         z2, _ = nco.mix(z, ph, jnp.broadcast_to(
             jnp.asarray(params.nco_delta), ph.shape))
         return jnp.abs(z2)
-    bench("nco_mix", f_nco, (i_p, q_p))
+    bench("nco_mix [XLA baseline; chain fuses NCO into the front kernel]",
+          f_nco, (i_p, q_p))
 
     taps = params.front_fir_re.shape[-1]
 
@@ -107,7 +108,7 @@ def main():
         y, _ = agc_mod.run(params.agc,
                            agc_mod.init_state((C,), params.agc), a)
         return y
-    bench("agc(dec) [full op: XLA sliding-max + pallas machine]", f_agc, (ad,))
+    bench("agc(dec) [fully-fused pallas kernel v3]", f_agc, (ad,))
 
     @jax.jit
     def f_interp(a):
@@ -120,10 +121,16 @@ def main():
 
     @jax.jit
     def f_eq2(a):
-        st = jnp.zeros((params.eq2_sos.shape[0], C, 2), jnp.float32)
-        y, _ = iir.biquad_cascade_block(jnp.asarray(params.eq2_sos), st, a)
+        # neutral settings prune eq2 to an empty cascade in the chain;
+        # bench a representative 1-section treble shelf at 48k instead
+        from uhsdr_tpu.ops import design as _design
+        sos = _design.biquad_high_shelf(3500.0, 0.7, 6.0, 48000.0)[None]
+        st = jnp.zeros((1, C, 2), jnp.float32)
+        y, _ = iir.biquad_cascade_block(jnp.asarray(sos.astype(np.float32)),
+                                        st, a)
         return y
-    bench("eq2(48k) [XLA baseline; chain uses pallas]", f_eq2, (a48,))
+    bench("eq2(48k, 1 section) [XLA baseline; chain uses pallas, pruned "
+          "when neutral]", f_eq2, (a48,))
 
 
 if __name__ == "__main__":

@@ -208,47 +208,56 @@ def _make_fused_kernel(pp, t_tile: int, w: int):
 
 
 def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
-                     x: jnp.ndarray, t_tile: int = 256):
+                     x: jnp.ndarray, t_tile: int = 256, sub: int = 8):
     """Full AGC op (delay line, look-ahead max, 5-state machine, gain).
     carry: (7, C); delay: (C, w) f32 (the carried delay-line tail);
     x: (C, T) f32.  Returns (y (C, T), new_carry (7, C), new_delay).
-    Requires C % 1024 == 0, T % t_tile == 0, t_tile >= w."""
+    Requires C % (sub*128) == 0 (or C % 1024 with sub reduced), T % t_tile
+    == 0, t_tile >= w.
+
+    sub = channel sublanes per sequential step.  In principle packing
+    more channels per step divides the sequential length, but sub=16
+    blocks in fori_loop kernels compile to pathological code on the
+    current toolchain (a minimal probe ran 60 s/call; sub=16+ here
+    crashed the compile helper) — sub stays 8."""
     C, T = x.shape
     w = delay.shape[-1]
-    assert C % 1024 == 0, C
+    while sub > 8 and C % (sub * 128) != 0:
+        sub //= 2
+    assert C % (sub * 128) == 0, (C, sub)
     assert T % t_tile == 0 and t_tile >= w, (T, t_tile, w)
-    n_c = C // 1024
+    n_c = C // (sub * 128)
     n_t = T // t_tile
 
-    def pack(a, n):   # (C, n) -> (n, 8*n_c, 128)
-        return jnp.swapaxes(a, 0, 1).reshape(n, 8 * n_c, 128)
+    def pack(a, n):   # (C, n) -> (n, sub*n_c, 128)
+        return jnp.swapaxes(a, 0, 1).reshape(n, sub * n_c, 128)
 
     x3 = pack(x, T)
     dl3 = pack(delay, w)
-    st3 = carry.reshape(N_CARRY, 8 * n_c, 128)
+    st3 = carry.reshape(N_CARRY, sub * n_c, 128)
 
     kernel = _make_fused_kernel(pp, t_tile, w)
     y3, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),
         in_specs=[
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((t_tile, 8, 128),
+            pl.BlockSpec((t_tile, sub, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, sub, 128),
                          lambda ci, ti: (jnp.maximum(ti - 1, 0), ci, 0)),
-            pl.BlockSpec((w, 8, 128), lambda ci, ti: (0, ci, 0)),
-            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((w, sub, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((N_CARRY, sub, 128), lambda ci, ti: (0, ci, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((t_tile, sub, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((N_CARRY, sub, 128), lambda ci, ti: (0, ci, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 8 * n_c, 128), jnp.float32),
-            jax.ShapeDtypeStruct((N_CARRY, 8 * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, sub * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N_CARRY, sub * n_c, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((N_CARRY, 8, 128), jnp.float32),
-                        pltpu.VMEM((t_tile, 8, 128), jnp.float32),
-                        pltpu.VMEM((t_tile, 8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N_CARRY, sub, 128), jnp.float32),
+                        pltpu.VMEM((t_tile, sub, 128), jnp.float32),
+                        pltpu.VMEM((t_tile, sub, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=(jax.default_backend() == "cpu"),
