@@ -135,3 +135,43 @@ def test_ssb_analytic_filter_demod():
             assert p > 0.2, p
         else:
             assert p < 1e-5, p
+
+
+def test_pll_pallas_matches_scan():
+    """Pallas SAM PLL kernel vs the XLA scan (interpret mode), streamed."""
+    import jax
+    from uhsdr_tpu.pallas import pll as pallas_pll
+    fs = 12000.0
+    params = sam.make_params(fs)
+    rng = np.random.default_rng(9)
+    C, T = 1024, 512
+    t = np.arange(2 * T) / fs
+    x = (0.8 * np.exp(2j * np.pi * 37.0 * t)[None]
+         * np.ones((C, 1)) +
+         0.05 * (rng.standard_normal((C, 2 * T))
+                 + 1j * rng.standard_normal((C, 2 * T)))).astype(np.complex64)
+
+    st = sam.init_state((C,))
+    cos_ref, sin_ref = [], []
+    stt = st
+    for blk in (x[:, :T], x[:, T:]):
+        phases, _, phs_f, fil_f, om_f = sam._pll_scan(params, stt,
+                                                      jnp.asarray(blk))
+        cos_ref.append(np.cos(np.asarray(phases)))
+        sin_ref.append(np.sin(np.asarray(phases)))
+        stt = stt._replace(phs=phs_f, fil_out=fil_f, omega2=om_f)
+
+    carry = jnp.zeros((3, C), jnp.float32)
+    cos_k, sin_k = [], []
+    for blk in (x[:, :T], x[:, T:]):
+        c, s, carry = pallas_pll.pll_pallas(
+            float(params.g1), float(params.g2), float(params.omega_min),
+            float(params.omega_max), carry, jnp.asarray(blk), t_tile=256)
+        cos_k.append(np.asarray(c))
+        sin_k.append(np.asarray(s))
+    np.testing.assert_allclose(np.concatenate(cos_k, -1),
+                               np.concatenate(cos_ref, -1), atol=2e-4)
+    np.testing.assert_allclose(np.concatenate(sin_k, -1),
+                               np.concatenate(sin_ref, -1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(carry[2]), np.asarray(stt.omega2),
+                               atol=1e-4)

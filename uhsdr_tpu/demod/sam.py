@@ -148,18 +148,29 @@ def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
     `audio_driver.c:2092-2095` — state must be built with
     ``init_state(bs, n_audio=2)``).
     """
-    phases, omegas, phs_f, fil_f, om_f = _pll_scan(params, state, iq)
-    osc = jnp.exp(jax.lax.complex(jnp.zeros_like(phases), -phases))
-    corr = iq * osc
-    corr_re = jnp.real(corr)
+    # PLL: Pallas kernel off-CPU (loop state in registers, cos/sin of the
+    # phase emitted from VMEM — the downstream mixing needs exactly those),
+    # XLA scan fallback elsewhere
+    use_pll_pk = (jax.default_backend() != "cpu" and iq.ndim == 2
+                  and iq.shape[0] % 1024 == 0 and iq.shape[-1] % 256 == 0)
+    if use_pll_pk:
+        from ..pallas import pll as pallas_pll
+        carry = jnp.stack([state.phs, state.fil_out, state.omega2], axis=0)
+        cos_p, sin_p, carry_out = pallas_pll.pll_pallas(
+            float(params.g1), float(params.g2), float(params.omega_min),
+            float(params.omega_max), carry, iq)
+        phs_f, fil_f, om_f = carry_out[0], carry_out[1], carry_out[2]
+    else:
+        phases, _, phs_f, fil_f, om_f = _pll_scan(params, state, iq)
+        cos_p = jnp.cos(phases)
+        sin_p = jnp.sin(phases)
+    corr_re = jnp.real(iq) * cos_p + jnp.imag(iq) * sin_p
 
     if sideband == "both":
         audio = corr_re
         ap_state = state.ap_state
         ds_new = state.ds
     else:
-        cos_p = jnp.cos(phases)
-        sin_p = jnp.sin(phases)
         i_t, q_t = jnp.real(iq), jnp.imag(iq)
         ai = cos_p * i_t
         bi = sin_p * i_t
@@ -216,4 +227,6 @@ def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
 
     new_state = SamState(phs=phs_f, fil_out=fil_f, omega2=om_f,
                          ap_state=ap_state, ds=ds_new, fade=fade_state)
-    return audio, omegas[..., -1], new_state
+    # the last per-sample omega equals the carried omega2 (the scan emits
+    # the post-update value), so both PLL paths report the same estimate
+    return audio, om_f, new_state
