@@ -49,9 +49,14 @@ def main() -> None:
     channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
     steps = int(os.environ.get("BENCH_STEPS", "4"))
+    # BASELINE flagship config: 96 kHz IQ (the north-star scale target is
+    # "10k simultaneous SSB channels @96 kHz"); decimation scales so the
+    # decimated audio rate matches the reference paths
+    iq_rate = float(os.environ.get("BENCH_IQ_RATE", "96000"))
 
     cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
-                      translate_hz=6000.0, block_len=block)
+                      translate_hz=12000.0, block_len=block,
+                      iq_rate=iq_rate)
     params = rx.make_params(cfg)
 
     # state created INSIDE jit (anchored on a dummy f32 arg): eager
@@ -90,7 +95,8 @@ def main() -> None:
     msamps = channels * block * steps / dt / 1e6
     print(json.dumps({
         "metric": "IQ Msamples/s/chip, full SSB RX chain "
-                  f"({channels} ch x {block} blk, barrier-verified)",
+                  f"({channels} ch x {block} blk @{int(cfg.iq_rate)} Hz IQ, "
+                  "barrier-verified)",
         "value": round(msamps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msamps / REF_MSAMPLES_PER_CHIP, 1),

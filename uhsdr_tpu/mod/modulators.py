@@ -76,11 +76,10 @@ def ssb_init(batch_shape) -> SsbModState:
 def _analytic_fir(fir_re, fir_im, carry, audio):
     """TX Hilbert/analytic FIR dispatch: real audio -> analytic signal.
 
-    Off-CPU, MXU-tiling shapes go through the Pallas FIR kernel (decim=1)
-    — the TX front runs at the FULL 48 kHz rate (no decimation), so it is
-    the dominant TX stage on the XLA FFT path (measured 409 -> see
-    PARITY.md after enabling).  Real input rides the complex kernel with
-    a zero imaginary plane; the carried history stays real f32.
+    Off-CPU, MXU-tiling shapes go through the REAL-input Pallas FIR
+    kernel (2 matmuls; the voice signal has no imaginary part) — the TX
+    front runs at the FULL 48 kHz rate (no decimation), so it is the
+    dominant TX stage on the XLA FFT path.
     """
     use_pallas = (jax.default_backend() != "cpu" and audio.ndim == 2
                   and audio.shape[0] % 8 == 0
@@ -88,13 +87,9 @@ def _analytic_fir(fir_re, fir_im, carry, audio):
     if use_pallas:
         from ..pallas import fir as pallas_fir
         h_np = np.asarray(fir_re) + 1j * np.asarray(fir_im)
-        zeros = jnp.zeros_like(audio)
-        xc = jax.lax.complex(audio, zeros)
-        cc = jax.lax.complex(carry, jnp.zeros_like(carry))
         tile_c = 128 if audio.shape[0] % 128 == 0 else 8
-        z, carry_c = pallas_fir.fir_decimate_pallas(
-            h_np, cc, xc, 1, tile_c=tile_c, tile_t=512)
-        return z, jnp.real(carry_c)
+        return pallas_fir.fir_real_analytic_pallas(
+            h_np, carry, audio, tile_c=tile_c, tile_t=512)
     h = jax.lax.complex(jnp.asarray(fir_re), jnp.asarray(fir_im))
     return fir.fir_block(h, carry, audio)
 
