@@ -21,7 +21,7 @@ is jittable and vmap/shard-compatible over a leading channel axis.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, NamedTuple
 
 import jax

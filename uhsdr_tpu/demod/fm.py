@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import design, iir, nco
+from ..ops import iir, nco
 
 LPF_ALPHA = 0.05       # de-emphasis (reference FM_RX_LPF_ALPHA)
 HPF_ALPHA = 0.96       # audio HPF (FM_RX_HPF_ALPHA)

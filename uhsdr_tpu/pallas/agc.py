@@ -23,7 +23,6 @@ math identical to `ops.agc.run`'s scan body (masked-arithmetic blend).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

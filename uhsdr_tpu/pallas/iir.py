@@ -22,7 +22,6 @@ and the IIR-lattice audio bandpass it replaces (SURVEY §2.1).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ computed once, in VMEM.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
