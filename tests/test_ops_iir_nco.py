@@ -154,3 +154,82 @@ def test_osc_block_factored_matches_direct():
         ref = np.exp(1j * ph)
         assert np.max(np.abs(osc - ref)) < 2e-5, n
         assert np.max(np.abs(np.abs(osc) - 1.0)) < 1e-5
+
+
+def test_one_pole_df2t_mapping_pallas():
+    """The Pallas fast path of one_pole_block maps the direct-form state
+    to DF2T (s1 = a*y_prev) and back; validate the mapping by invoking the
+    kernel directly (interpret mode on CPU) against the XLA dilated scan,
+    streamed over two blocks."""
+    from uhsdr_tpu.pallas import iir as pallas_iir
+    rng = np.random.default_rng(6)
+    C, T = 8, 512
+    a, b = 0.98, 0.02
+    x = rng.standard_normal((C, 2 * T)).astype(np.float32) * 5.0
+
+    state = jnp.zeros((C,), jnp.float32)
+    ys_ref = []
+    for blk in (x[:, :T], x[:, T:]):
+        y, state = iir.one_pole_block(a, b, state, jnp.asarray(blk))
+        ys_ref.append(np.asarray(y))
+
+    sos = np.array([[b, 0.0, 0.0, -a, 0.0]], np.float32)
+    y_prev = jnp.zeros((C,), jnp.float32)
+    ys = []
+    for blk in (x[:, :T], x[:, T:]):
+        st = jnp.stack([np.float32(a) * y_prev,
+                        jnp.zeros_like(y_prev)], axis=-1)[None]
+        y, st_o = pallas_iir.biquad_cascade_pallas(sos, st, jnp.asarray(blk),
+                                                   t_tile=128)
+        y_prev = st_o[0, ..., 0] / np.float32(a)
+        ys.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(ys, -1),
+                               np.concatenate(ys_ref, -1),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fm_deemph_hpf_df2t_mapping():
+    """FM's fused 2-section cascade (de-emphasis LPF + audio HPF) with the
+    direct-form <-> DF2T state mapping used in demod.fm, vs the two
+    one-pole formulation, streamed over two blocks."""
+    from uhsdr_tpu.pallas import iir as pallas_iir
+    from uhsdr_tpu.demod.fm import LPF_ALPHA as al, HPF_ALPHA as ah
+    rng = np.random.default_rng(7)
+    C, T = 8, 512
+    angle = rng.standard_normal((C, 2 * T)).astype(np.float32)
+
+    # reference: the direct one-pole pair
+    lpf = jnp.zeros((C,), jnp.float32)
+    hpf_a = jnp.zeros((C,), jnp.float32)
+    hpf_b = jnp.zeros((C,), jnp.float32)
+    ys_ref = []
+    for blk in (angle[:, :T], angle[:, T:]):
+        blk = jnp.asarray(blk)
+        deemph, lpf = iir.one_pole_block(1.0 - al, al, lpf, blk)
+        a_d = jnp.concatenate([hpf_a[..., None], deemph[..., :-1]], axis=-1)
+        audio, hpf_b = iir.one_pole_block(ah, ah, hpf_b, deemph - a_d)
+        hpf_a = deemph[..., -1]
+        ys_ref.append(np.asarray(audio))
+
+    # fused cascade with the mapping from demod.fm
+    sos2 = np.array([[al, 0.0, 0.0, -(1.0 - al), 0.0],
+                     [ah, -ah, 0.0, -ah, 0.0]], np.float32)
+    lpf = jnp.zeros((C,), jnp.float32)
+    hpf_a2 = jnp.zeros((C,), jnp.float32)
+    hpf_b2 = jnp.zeros((C,), jnp.float32)
+    ys = []
+    for blk in (angle[:, :T], angle[:, T:]):
+        st2 = jnp.stack([
+            jnp.stack([(1.0 - al) * lpf, jnp.zeros_like(lpf)], axis=-1),
+            jnp.stack([np.float32(ah) * (hpf_b2 - hpf_a2),
+                       jnp.zeros_like(hpf_b2)], axis=-1)], axis=0)
+        audio, st2o = pallas_iir.biquad_cascade_pallas(sos2, st2,
+                                                       jnp.asarray(blk),
+                                                       t_tile=128)
+        lpf = st2o[0, ..., 0] / np.float32(1.0 - al)
+        hpf_a2 = jnp.zeros_like(lpf)
+        hpf_b2 = st2o[1, ..., 0] / np.float32(ah)
+        ys.append(np.asarray(audio))
+    np.testing.assert_allclose(np.concatenate(ys, -1),
+                               np.concatenate(ys_ref, -1),
+                               rtol=1e-5, atol=1e-4)
