@@ -82,3 +82,139 @@ class ChannelFleet:
     def group_sizes(self) -> dict[str, int]:
         return {f"{g.cfg.mode}/{g.cfg.bw_key}": g.channel_idx.size
                 for g in self.groups}
+
+
+class WidebandFleet:
+    """ONE wideband IQ stream -> polyphase channelizer -> mixed-mode fleet,
+    entirely on-device.
+
+    The realistic deployment of the BASELINE "10k channels" target: an
+    RF front end delivers one wide capture at fs_wide = M * fs_chan; the
+    critically-sampled analysis bank (`ops/channelizer.AnalysisPfb`)
+    splits it into M channel streams for the cost of one filter pass +
+    one DFT, and contiguous channel ranges feed per-config chain groups
+    (static slices — no gathers).  This is the N-channel generalization
+    of the reference's front end (mix `freq_shift.c` + decimate
+    `audio_driver.c:2744`), which serves exactly one channel.
+
+    configs[k] applies to channels [sum(counts[:k]), sum(counts[:k+1]));
+    sum(counts) = M = the channelizer size.  Every config must share
+    block_len = wideband_block // M.
+    """
+
+    def __init__(self, configs: list[rx.RxConfig], counts: list[int],
+                 taps_per_branch: int = 12):
+        from ..ops import channelizer as chz
+
+        assert len(configs) == len(counts)
+        M = int(sum(counts))
+        self.n_channels = M
+        self.bank = chz.AnalysisPfb(M, taps_per_branch=taps_per_branch)
+        self.bank_state = self.bank.init_state()
+        self.block_len = configs[0].block_len
+        for c in configs:
+            assert c.block_len == self.block_len, "uniform block_len required"
+        self.groups: list[_Group] = []
+        off = 0
+        for cfg, n in zip(configs, counts):
+            if n == 0:
+                continue
+            chain = rx.RxChain(cfg)
+            self.groups.append(_Group(
+                cfg=cfg, chain=chain, state=chain.init_state((n,)),
+                channel_idx=np.arange(off, off + n)))
+            off += n
+
+        bank = self.bank
+
+        @jax.jit
+        def bank_step(state, i_wide, q_wide):
+            x = jax.lax.complex(i_wide, q_wide)
+            y, new_state = bank(state, x)        # (M, T) complex64
+            return jnp.real(y), jnp.imag(y), new_state
+
+        self._bank_step = bank_step
+
+    @property
+    def wideband_block(self) -> int:
+        """Wideband samples consumed per step."""
+        return self.block_len * self.n_channels
+
+    def process_block_device(self, i_wide, q_wide):
+        """i/q_wide: (wideband_block,) f32 device arrays at fs_wide.
+        Returns the per-group audio device arrays (serving path — nothing
+        is fetched to host)."""
+        i_ch, q_ch, self.bank_state = self._bank_step(
+            self.bank_state, i_wide, q_wide)
+        outs = []
+        for g in self.groups:
+            lo, hi = int(g.channel_idx[0]), int(g.channel_idx[-1]) + 1
+            audio, g.state, _ = g.chain(g.state, i=i_ch[lo:hi], q=q_ch[lo:hi])
+            outs.append(audio)
+        return outs
+
+    def process_block(self, i_wide: np.ndarray, q_wide: np.ndarray):
+        """Host convenience: wideband f32 in, (M, T) audio out."""
+        outs = self.process_block_device(jnp.asarray(i_wide),
+                                         jnp.asarray(q_wide))
+        return np.concatenate([np.asarray(a) for a in outs], axis=0)
+
+
+class WidebandTxFleet:
+    """TX mirror of WidebandFleet: per-channel modulators -> synthesis
+    filterbank -> ONE wideband IQ stream at fs_wide = M * 48 kHz.
+
+    The transposed dual of the reference's single-channel TX
+    (`TxProcessor_Run` modulates one audio stream to one IQ stream at the
+    LO); here M transmit channels each run their own TX chain config and
+    the `ops/channelizer.SynthesisPfb` recombines them, placing channel m
+    at +m * fs_wide / M — a multi-carrier exciter.
+    """
+
+    def __init__(self, configs: list, counts: list[int],
+                 taps_per_branch: int = 12):
+        from ..chain import tx as tx_chain
+        from ..ops import channelizer as chz
+
+        assert len(configs) == len(counts)
+        M = int(sum(counts))
+        self.n_channels = M
+        self.bank = chz.SynthesisPfb(M, taps_per_branch=taps_per_branch)
+        self.bank_state = self.bank.init_state()
+        self.block_len = configs[0].block_len
+        for c in configs:
+            assert c.block_len == self.block_len, "uniform block_len required"
+        self.groups = []
+        for cfg, n in zip(configs, counts):
+            if n == 0:
+                continue
+            chain = tx_chain.TxChain(cfg)
+            self.groups.append((chain, chain.init_state((n,))))
+
+        bank = self.bank
+
+        @jax.jit
+        def bank_step(state, i_ch, q_ch):
+            y = jax.lax.complex(i_ch, q_ch)      # (M, T)
+            x, new_state = bank(state, y)
+            return jnp.real(x), jnp.imag(x), new_state
+
+        self._bank_step = bank_step
+
+    def process_block_device(self, audio_groups: list):
+        """audio_groups[k]: (counts[k], T) f32 device array of voice/audio
+        for group k.  Returns (i_wide, q_wide) f32 device arrays of
+        length T * M."""
+        i_parts, q_parts = [], []
+        new_groups = []
+        for (chain, state), audio in zip(self.groups, audio_groups):
+            gi, gq, state = chain(state, audio)
+            new_groups.append((chain, state))
+            i_parts.append(gi)
+            q_parts.append(gq)
+        self.groups = new_groups
+        i_ch = jnp.concatenate(i_parts, axis=0)
+        q_ch = jnp.concatenate(q_parts, axis=0)
+        i_wide, q_wide, self.bank_state = self._bank_step(
+            self.bank_state, i_ch, q_ch)
+        return i_wide, q_wide
