@@ -145,3 +145,34 @@ def test_cli_config_save_show(tmp_path):
     cfg = config_mod.Config.load(path)
     cfg.set("cw_speed_wpm", 999)
     assert cfg.get("cw_speed_wpm") == 48      # max per registry
+
+
+def test_cli_channelize_wideband(tmp_path):
+    """Wideband capture with a tone in channel 2 -> channelize CLI finds
+    exactly one active channel and recovers the audio tone."""
+    import os
+    M = 8
+    fs_wide = M * 48000.0
+    n = 4 * 4096 * M
+    t = np.arange(n) / fs_wide
+    f = 2 * 48000.0 + 6000.0 + 700.0
+    x = (0.4 * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+    path = str(tmp_path / "wide.iq")
+    raw = (np.stack([x.real, x.imag], -1).reshape(-1) * 32767).astype(np.int16)
+    raw.tofile(path)
+    out = str(tmp_path / "ch.npy")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "uhsdr_tpu.cli", "channelize",
+         "--input", path, "--channels", str(M), "--block", "4096",
+         "--taps", "8", "--out", out],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["channels"] == M
+    assert m["rms_argmax"] == 2
+    assert m["active_channels"] == 1
+    a = np.load(out)
+    spec = np.abs(np.fft.rfft(a[2, -4096:] * np.hanning(4096)))
+    pk = np.fft.rfftfreq(4096, 1 / 48000.0)[spec.argmax()]
+    assert abs(pk - 700.0) < 30.0

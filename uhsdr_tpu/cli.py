@@ -175,6 +175,52 @@ def cmd_rx(args) -> int:
     return 0
 
 
+def cmd_channelize(args) -> int:
+    """Split a WIDEBAND IQ capture (fs = channels * 48 kHz) into per-
+    channel demodulated audio via the polyphase channelizer front end
+    (`ops/channelizer.AnalysisPfb` + `parallel/fleet.WidebandFleet`)."""
+    from .chain import rx
+    from .io import ingest
+    from .parallel import fleet
+
+    M = args.channels
+    cfg = rx.RxConfig(mode=args.mode, bw_key=args.bw,
+                      path_name=args.path or None,
+                      translate_hz=args.translate,
+                      agc_mode=args.agc, block_len=args.block)
+    wf = fleet.WidebandFleet([cfg], [M], taps_per_branch=args.taps)
+
+    chunks = []
+    nblocks = 0
+    with ingest.IqIngest(args.input, wf.wideband_block) as src:
+        while True:
+            blk = src.next_block()
+            if blk is None:
+                break
+            i_p, q_p = blk
+            chunks.append(wf.process_block(i_p, q_p))     # (M, T)
+            nblocks += 1
+            if args.max_blocks and nblocks >= args.max_blocks:
+                break
+    audio = (np.concatenate(chunks, axis=-1) if chunks
+             else np.zeros((M, 0), np.float32))
+    if args.out:
+        if args.channel >= 0:
+            ingest.write_audio_wav(args.out, audio[args.channel])
+        else:
+            np.save(args.out, audio)
+    rms = np.sqrt(np.mean(audio ** 2, axis=-1)) if audio.size else np.zeros(M)
+    print(json.dumps({
+        "blocks": nblocks,
+        "channels": M,
+        "samples_per_channel": int(audio.shape[-1]),
+        "rms_max": float(rms.max()),
+        "rms_argmax": int(rms.argmax()),
+        "active_channels": int((rms > 0.05 * max(rms.max(), 1e-12)).sum()),
+    }))
+    return 0
+
+
 def cmd_tx(args) -> int:
     import jax.numpy as jnp
 
@@ -349,6 +395,29 @@ def main(argv=None) -> int:
     rxp.add_argument("--block", type=int, default=4096)
     rxp.add_argument("--max-blocks", type=int, default=0)
     rxp.set_defaults(fn=cmd_rx)
+
+    chp = sub.add_parser("channelize", help="split a wideband IQ capture "
+                         "(fs = channels x 48 kHz) into demodulated "
+                         "per-channel audio")
+    chp.add_argument("--input", required=True, help="wideband IQ capture")
+    chp.add_argument("--channels", type=int, required=True,
+                     help="number of 48 kHz channels (= decimation M)")
+    chp.add_argument("--out", default="", help=".wav (with --channel) or "
+                     ".npy of (channels, samples) audio")
+    chp.add_argument("--channel", type=int, default=-1,
+                     help="write only this channel as WAV")
+    chp.add_argument("--mode", default="usb",
+                     choices=["usb", "lsb", "cw", "am", "sam", "fm"])
+    chp.add_argument("--bw", default="2P3KHZ")
+    chp.add_argument("--path", default="")
+    chp.add_argument("--translate", type=float, default=6000.0)
+    chp.add_argument("--agc", default="med")
+    chp.add_argument("--taps", type=int, default=12,
+                     help="prototype taps per polyphase branch")
+    chp.add_argument("--block", type=int, default=4096,
+                     help="per-channel block length")
+    chp.add_argument("--max-blocks", type=int, default=0)
+    chp.set_defaults(fn=cmd_channelize)
 
     txp = sub.add_parser("tx", help="modulate to an IQ capture")
     txp.add_argument("--out", required=True)
