@@ -201,9 +201,9 @@ def test_wideband_tx_fleet_places_channels():
     wf = fleet.WidebandTxFleet([cfg], [M], taps_per_branch=8)
 
     key = np.ones((M, T), np.float32)      # CW key-down on all channels
-    i_w, q_w = wf.process_block_device(jnp.asarray(key))
+    i_w, q_w = wf.process_block_device([jnp.asarray(key)])
     # second block: steady state
-    i_w, q_w = wf.process_block_device(jnp.asarray(key))
+    i_w, q_w = wf.process_block_device([jnp.asarray(key)])
     x = np.asarray(i_w) + 1j * np.asarray(q_w)
     assert x.shape == (M * T,)
     spec = np.abs(np.fft.fft(x * np.hanning(x.size)))

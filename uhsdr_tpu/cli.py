@@ -190,7 +190,12 @@ def cmd_channelize(args) -> int:
                       agc_mode=args.agc, block_len=args.block)
     wf = fleet.WidebandFleet([cfg], [M], taps_per_branch=args.taps)
 
+    # streaming metrics (running per-channel sum of squares) so captures
+    # of any length run in bounded memory; audio is only accumulated
+    # when an output file was requested
     chunks = []
+    sumsq = np.zeros(M, np.float64)
+    nsamp = 0
     nblocks = 0
     with ingest.IqIngest(args.input, wf.wideband_block) as src:
         while True:
@@ -198,22 +203,27 @@ def cmd_channelize(args) -> int:
             if blk is None:
                 break
             i_p, q_p = blk
-            chunks.append(wf.process_block(i_p, q_p))     # (M, T)
+            audio_blk = wf.process_block(i_p, q_p)        # (M, T)
+            sumsq += np.sum(audio_blk.astype(np.float64) ** 2, axis=-1)
+            nsamp += audio_blk.shape[-1]
+            if args.out:
+                chunks.append(audio_blk if args.channel < 0
+                              else audio_blk[args.channel])
             nblocks += 1
             if args.max_blocks and nblocks >= args.max_blocks:
                 break
-    audio = (np.concatenate(chunks, axis=-1) if chunks
-             else np.zeros((M, 0), np.float32))
     if args.out:
+        audio = (np.concatenate(chunks, axis=-1) if chunks
+                 else np.zeros((M, 0), np.float32))
         if args.channel >= 0:
-            ingest.write_audio_wav(args.out, audio[args.channel])
+            ingest.write_audio_wav(args.out, audio)
         else:
             np.save(args.out, audio)
-    rms = np.sqrt(np.mean(audio ** 2, axis=-1)) if audio.size else np.zeros(M)
+    rms = np.sqrt(sumsq / max(nsamp, 1))
     print(json.dumps({
         "blocks": nblocks,
         "channels": M,
-        "samples_per_channel": int(audio.shape[-1]),
+        "samples_per_channel": nsamp,
         "rms_max": float(rms.max()),
         "rms_argmax": int(rms.argmax()),
         "active_channels": int((rms > 0.05 * max(rms.max(), 1e-12)).sum()),

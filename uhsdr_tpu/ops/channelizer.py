@@ -131,9 +131,15 @@ class AnalysisPfb:
 
         (One more than the K*M-1 strictly needed: the extra leading
         sample keeps the carry an exact whole number of M-frames so the
-        block reshape needs no dynamic alignment.)"""
+        block reshape needs no dynamic alignment.)
+
+        Created INSIDE jit on an f32 anchor: eager complex64 creation
+        poisons all later device->host fetches on the axon relay
+        (ARCHITECTURE.md axon dtype constraints)."""
         KM = self.taps_per_branch * self.n_channels
-        return jnp.zeros(tuple(batch_shape) + (KM,), jnp.complex64)
+        shape = tuple(batch_shape) + (KM,)
+        return jax.jit(lambda d: jnp.zeros(shape, jnp.complex64))(
+            jnp.zeros((), jnp.float32))
 
     def __call__(self, state: jnp.ndarray, x: jnp.ndarray):
         """x: (..., B) complex64, B % M == 0.
@@ -197,9 +203,12 @@ class SynthesisPfb:
         self.dft_impl = _pick_impl(M, dft_impl)
 
     def init_state(self, batch_shape: tuple[int, ...] = ()) -> jnp.ndarray:
-        """Carry = last K-1 branch frames t_p[n]: (..., K-1, M) complex64."""
+        """Carry = last K-1 branch frames t_p[n]: (..., K-1, M) complex64.
+        Created inside jit (axon fetch-poisoning, see AnalysisPfb)."""
         K, M = self.taps_per_branch, self.n_channels
-        return jnp.zeros(tuple(batch_shape) + (K - 1, M), jnp.complex64)
+        shape = tuple(batch_shape) + (K - 1, M)
+        return jax.jit(lambda d: jnp.zeros(shape, jnp.complex64))(
+            jnp.zeros((), jnp.float32))
 
     def __call__(self, state: jnp.ndarray, y: jnp.ndarray):
         """y: (..., M, T) complex64. Returns (x (..., T*M), new_state)."""

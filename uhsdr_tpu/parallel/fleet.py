@@ -114,16 +114,11 @@ class WidebandFleet:
         self.block_len = configs[0].block_len
         for c in configs:
             assert c.block_len == self.block_len, "uniform block_len required"
-        self.groups: list[_Group] = []
-        off = 0
-        for cfg, n in zip(configs, counts):
-            if n == 0:
-                continue
-            chain = rx.RxChain(cfg)
-            self.groups.append(_Group(
-                cfg=cfg, chain=chain, state=chain.init_state((n,)),
-                channel_idx=np.arange(off, off + n)))
-            off += n
+        # contiguous counts are just grouped assignments — reuse
+        # ChannelFleet's group construction and dispatch
+        assignments = sum(([k] * n for k, n in enumerate(counts)), [])
+        self.fleet = ChannelFleet(configs, assignments)
+        self.groups = self.fleet.groups
 
         bank = self.bank
 
@@ -146,12 +141,11 @@ class WidebandFleet:
         is fetched to host)."""
         i_ch, q_ch, self.bank_state = self._bank_step(
             self.bank_state, i_wide, q_wide)
-        outs = []
+        planes = []
         for g in self.groups:
             lo, hi = int(g.channel_idx[0]), int(g.channel_idx[-1]) + 1
-            audio, g.state, _ = g.chain(g.state, i=i_ch[lo:hi], q=q_ch[lo:hi])
-            outs.append(audio)
-        return outs
+            planes.append((i_ch[lo:hi], q_ch[lo:hi]))   # static slices
+        return self.fleet.process_block_device(planes)
 
     def process_block(self, i_wide: np.ndarray, q_wide: np.ndarray):
         """Host convenience: wideband f32 in, (M, T) audio out."""
@@ -185,11 +179,13 @@ class WidebandTxFleet:
         for c in configs:
             assert c.block_len == self.block_len, "uniform block_len required"
         self.groups = []
+        self.group_counts = []
         for cfg, n in zip(configs, counts):
             if n == 0:
                 continue
             chain = tx_chain.TxChain(cfg)
             self.groups.append((chain, chain.init_state((n,))))
+            self.group_counts.append(n)
 
         bank = self.bank
 
@@ -202,12 +198,20 @@ class WidebandTxFleet:
         self._bank_step = bank_step
 
     def process_block_device(self, audio_groups: list):
-        """audio_groups[k]: (counts[k], T) f32 device array of voice/audio
-        for group k.  Returns (i_wide, q_wide) f32 device arrays of
-        length T * M."""
+        """audio_groups: LIST of per-group (counts[k], T) f32 device
+        arrays of voice/audio.  Returns (i_wide, q_wide) f32 device
+        arrays of length T * M."""
+        assert isinstance(audio_groups, (list, tuple)), (
+            "audio_groups must be a list of per-group arrays, not a "
+            "single stacked array")
+        assert len(audio_groups) == len(self.groups), (
+            len(audio_groups), len(self.groups))
         i_parts, q_parts = [], []
         new_groups = []
-        for (chain, state), audio in zip(self.groups, audio_groups):
+        for (chain, state), audio, n in zip(self.groups, audio_groups,
+                                            self.group_counts):
+            assert audio.shape == (n, self.block_len), (
+                audio.shape, (n, self.block_len))
             gi, gq, state = chain(state, audio)
             new_groups.append((chain, state))
             i_parts.append(gi)

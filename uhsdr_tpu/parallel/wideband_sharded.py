@@ -48,10 +48,11 @@ def make_sharded_channelizer(n_channels: int, mesh: jax.sharding.Mesh,
                              prototype=None):
     """Build a jitted time-sharded analysis bank over `mesh`.
 
-    Returns (step, init_carry) where
+    Returns (step, init_carry, bank) where
       step(carry, i_wide, q_wide) -> (i_ch, q_ch, new_carry)
     with i/q_wide (B,) f32 time-sharded over all devices
-    (B % (P*M) == 0), and i/q_ch (M, B//M) f32 channel-sharded.
+    (B % (P*M) == 0 and B/P >= K*M so the halo is one whole left-
+    neighbor tail), and i/q_ch (M, B//M) f32 channel-sharded.
     """
     bank = chz.AnalysisPfb(n_channels, prototype=prototype,
                            taps_per_branch=taps_per_branch)
@@ -63,6 +64,10 @@ def make_sharded_channelizer(n_channels: int, mesh: jax.sharding.Mesh,
     def step(carry, i_wide, q_wide):
         B = i_wide.shape[-1]
         assert B % (n_shards * M) == 0, (B, n_shards, M)
+        assert B // n_shards >= KM, (
+            f"per-shard block {B // n_shards} < halo {KM} "
+            f"(= taps_per_branch * n_channels); use longer blocks or "
+            f"fewer taps")
         local = jax.shard_map(
             functools.partial(_local_bank, bank, n_shards),
             mesh=mesh,
