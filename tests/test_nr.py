@@ -20,8 +20,8 @@ def _smooth_reference(params, hk, X):
     apply = ratio <= params.power_threshold
     nn_half = jnp.where(
         apply,
-        jnp.int32(jnp.round(0.5 + nr.MN_WIDTH *
-                            (1.0 - ratio / params.power_threshold))), 0)
+        (0.5 + nr.MN_WIDTH * (1.0 - ratio / params.power_threshold))
+        .astype(jnp.int32), 0)
     csum = jnp.cumsum(jnp.where(band, hk, 0.0), axis=-1)
     csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
     idx = jnp.arange(nb)

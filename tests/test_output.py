@@ -7,20 +7,32 @@ from uhsdr_tpu.chain import output
 
 
 def test_gain_and_clip():
-    p = output.make_params(af_gain=16)          # unity
+    # unit-scale audio with explicit full scale 1.0 -> unity mapping
+    p = output.make_params(af_gain=16, input_full_scale=1.0)
     st = output.init_state((2,))
     x = jnp.asarray(np.full((2, 256), 0.5, np.float32))
     y, st = output.output_block(p, st, x)
     np.testing.assert_allclose(np.asarray(y), 0.5, atol=1e-6)
 
-    p2 = output.make_params(af_gain=30)
+    p2 = output.make_params(af_gain=30, input_full_scale=1.0)
     y2, _ = output.output_block(p2, st, x)
     assert np.all(np.asarray(y2) <= 1.0)        # saturating clamp
     assert np.asarray(y2).max() == 1.0
 
 
+def test_chain_scale_default_does_not_saturate():
+    """Default full scale is the firmware's int16 range: AGC-normalized
+    chain audio (out_target ~= 4096, audio_agc.c:209-229) maps to ~1/8
+    full scale instead of clipping every sample."""
+    p = output.make_params(af_gain=16)
+    st = output.init_state((2,))
+    x = jnp.asarray(np.full((2, 256), 4096.0, np.float32))
+    y, _ = output.output_block(p, st, x)
+    np.testing.assert_allclose(np.asarray(y), 4096.0 / 32768.0, atol=1e-6)
+
+
 def test_mute_per_channel():
-    p = output.make_params()
+    p = output.make_params(input_full_scale=1.0)
     st = output.init_state((2,))
     x = jnp.ones((2, 128), jnp.float32) * 0.3
     y, _ = output.output_block(p, st, x, mute=jnp.asarray([1.0, 0.0]))
@@ -31,7 +43,8 @@ def test_mute_per_channel():
 
 def test_beep_tone_freq_and_phase_continuity():
     fs = 48000.0
-    p = output.make_params(beep_freq_hz=1000.0, beep_volume=10, fs=fs)
+    p = output.make_params(beep_freq_hz=1000.0, beep_volume=10, fs=fs,
+                           input_full_scale=1.0)
     st = output.init_state(())
     x = jnp.zeros((480,), jnp.float32)
     blocks = []

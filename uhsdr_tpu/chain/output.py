@@ -23,7 +23,7 @@ IQ_RATE = 48000.0
 
 
 class OutputParams(NamedTuple):
-    gain: np.ndarray          # f32 linear AF gain
+    gain: np.ndarray          # f32 linear AF gain (incl. 1/full_scale)
     beep_delta: np.ndarray    # uint32 NCO increment for the beep tone
     beep_level: np.ndarray    # f32 additive beep amplitude
 
@@ -33,12 +33,19 @@ class OutputState(NamedTuple):
 
 
 def make_params(af_gain: int = 16, beep_freq_hz: float = 1000.0,
-                beep_volume: int = 10, fs: float = IQ_RATE) -> OutputParams:
+                beep_volume: int = 10, fs: float = IQ_RATE,
+                input_full_scale: float = 32768.0) -> OutputParams:
     """af_gain 0..30 and beep_volume 0..20 use the registry ranges
     (`core.config`); the reference's volume law is quadratic-ish in the
     encoder value (`audio_driver.c` vol scaling) — modeled as value^2
-    normalized to 1.0 at the default."""
-    g = (float(af_gain) / 16.0) ** 2
+    normalized to 1.0 at the default.
+
+    input_full_scale: the audio sample value mapped to output 1.0.  The
+    RX chain's audio is at the firmware's int16-ish scale (the WDSP AGC
+    normalizes to out_target = 4096 of +-32768 full scale,
+    `audio_agc.c:209-229`), so the default mirrors the reference's
+    float->int16 saturating cast; pass 1.0 for unit-scale audio."""
+    g = (float(af_gain) / 16.0) ** 2 / float(input_full_scale)
     beep = 0.1 * (float(beep_volume) / 10.0) ** 2
     return OutputParams(
         gain=np.float32(g),

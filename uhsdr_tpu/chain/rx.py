@@ -37,7 +37,6 @@ from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
 from ..ops import design, fir, iir, iqcorr, lms, nco
 from ..pallas import fir as pallas_fir
-from ..pallas import iir as pallas_iir
 from . import eq as eq_mod
 from . import filterpaths
 
@@ -249,27 +248,9 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
 
 
 def _biquad_cascade(cfg: RxConfig, sos, state, x):
-    """Biquad cascade dispatch: the Pallas single-HBM-pass kernel
-    (`pallas.iir`) when the shape tiles cleanly, the XLA dilated affine
-    scan otherwise.  "auto" resolves to Pallas off-CPU: measured 2.07x on
-    the whole SSB chain (357 -> 173 ms/block at 8192ch x 16k on v5e) AND
-    5x faster AOT compile; on CPU the interpreter would crawl, so auto
-    stays with the scan there (tests, dryrun)."""
-    if sos.shape[0] == 0:          # pruned-empty cascade (neutral EQ)
-        return x, state
-    use_pallas = cfg.iir_impl == "pallas" or (
-        cfg.iir_impl == "auto" and jax.default_backend() != "cpu")
-    if use_pallas and x.ndim == 2:
-        C, T = x.shape
-        # t_tile=128 measured optimal on v5e (7.7 ms vs 14.6 at 2048 for
-        # the 5-section bandpass at 8192ch x 4096): the dilated scan does
-        # log2(t_tile) levels of full-tile work, so small tiles win
-        t_tile = min(128, T)
-        if (T % t_tile == 0 and (t_tile & (t_tile - 1)) == 0
-                and C % min(128, C) == 0):
-            return pallas_iir.biquad_cascade_pallas(np.asarray(sos), state, x,
-                                                    t_tile=t_tile)
-    return iir.biquad_cascade_block(sos, state, x)
+    """Biquad cascade dispatch (shared Pallas/XLA rule,
+    `ops.iir.biquad_cascade_dispatch`)."""
+    return iir.biquad_cascade_dispatch(sos, state, x, impl=cfg.iir_impl)
 
 
 def _tune_offset_delta(offset_hz, fs: float) -> jnp.ndarray:

@@ -97,18 +97,9 @@ def init_state(cfg: TxConfig, params: TxParams, batch_shape) -> TxState:
 
 
 def _voice_sos(sos, state, x):
-    """Voice-bandpass biquad dispatch: the Pallas single-HBM-pass kernel
-    off-CPU when the (C, T) shape tiles (same rule as the RX chain's
-    `_biquad_cascade`), XLA dilated affine scan otherwise."""
-    if jax.default_backend() != "cpu" and x.ndim == 2:
-        C, T = x.shape
-        t_tile = min(128, T)   # small tiles win: log2(t_tile) scan levels
-        if (T % t_tile == 0 and (t_tile & (t_tile - 1)) == 0
-                and C % min(128, C) == 0):
-            from ..pallas import iir as pallas_iir
-            return pallas_iir.biquad_cascade_pallas(np.asarray(sos), state, x,
-                                                    t_tile=t_tile)
-    return iir.biquad_cascade_block(jnp.asarray(sos), state, x)
+    """Voice-bandpass biquad dispatch (shared Pallas/XLA rule,
+    `ops.iir.biquad_cascade_dispatch`)."""
+    return iir.biquad_cascade_dispatch(sos, state, x)
 
 
 def process_block(cfg: TxConfig, params: TxParams, state: TxState,

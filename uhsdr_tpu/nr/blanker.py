@@ -7,7 +7,10 @@ frame at the decimated rate:
 2. Levinson-Durbin -> prediction-error filter ``e = (1, a1..a10)``;
 3. whitening (inverse) filtering with reversed ``e`` then matched
    filtering with ``e`` — impulses stand out of the whitened residual;
-4. detection threshold ``(16 - nb_setting) * 0.5 * sqrt(var * ||e||^2)``
+4. detection threshold ``(16 - nb_setting) * 0.5 * sqrt(var * P)`` with
+   ``P = sum(e[0:order]^2)`` — the reference's ``arm_power_f32(lpcs,
+   order, ...)`` (`audio_nr.c:2435`) sums the FIRST `order` coefficients
+   (including the leading 1, excluding e[order])
    (`audio_nr.c:2439-2444`);
 5. up to 5 impulse positions per frame (the reference scans sequentially
    and skips PL samples after each hit, `audio_nr.c:2446-2460`);
@@ -213,10 +216,18 @@ def _process_frame(params: NbParams, buf: jnp.ndarray) -> jnp.ndarray:
         return mask, vals
 
     def repair_channel(fb, af, ps):
-        masks, vals = jax.vmap(repair_one, in_axes=(None, None, 0))(fb, af, ps)
-        mask = jnp.clip(masks.sum(0), 0.0, 1.0)
-        val = vals.sum(0)
-        return fb * (1.0 - mask) + val * mask
+        # SEQUENTIAL repair, like the reference's in-place writes into
+        # working_buffer (audio_nr.c:2473-2523): when repair windows
+        # overlap (impulses can sit as close as PL+1 < IMPULSE_LEN
+        # apart), the later window OVERWRITES the earlier one's samples
+        # and its predictions read the already-repaired context.  Slots
+        # are in ascending-position order (cumsum ranking), matching the
+        # reference's left-to-right scan.
+        out = fb
+        for k in range(MAX_IMPULSES):
+            mask, vals = repair_one(out, af, ps[k])
+            out = out * (1.0 - mask) + vals
+        return out
 
     fixed = jax.vmap(repair_channel)(fbuf, a_flat, slots)
     return fixed.reshape(buf.shape)

@@ -137,10 +137,14 @@ def _musical_noise_smooth(params: NrParams, hk: jnp.ndarray, X: jnp.ndarray):
     post = jnp.sum(jnp.where(band, hk * hk * X, 0.0), axis=-1)
     ratio = post / jnp.maximum(pre, 1e-20)
     apply = ratio <= params.power_threshold
+    # reference: NN = 1 + 2*(int)(0.5 + width*(1 - ratio/thresh))
+    # (audio_nr.c:2096) — the C (int) cast truncates, i.e. round-half-up
+    # for positive x; jnp.round here would inflate the width by 1
+    # whenever frac(x) is in (0, 0.5)
     nn_half = jnp.where(
         apply,
-        jnp.int32(jnp.round(0.5 + MN_WIDTH *
-                            (1.0 - ratio / params.power_threshold))), 0)
+        (0.5 + MN_WIDTH * (1.0 - ratio / params.power_threshold))
+        .astype(jnp.int32), 0)
     A = jnp.asarray(_mn_avg_matrices(lo, hi))           # (nb, MN_WIDTH*nb)
     avg = jnp.matmul(hk, A)                             # (..., MN_WIDTH*nb)
     avg = avg.reshape(avg.shape[:-1] + (MN_WIDTH, nb))

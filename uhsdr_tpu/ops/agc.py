@@ -156,6 +156,35 @@ def init_state(batch_shape, params: AgcParams) -> AgcState:
         dc=jnp.zeros(tuple(batch_shape) + (2,), jnp.float32))
 
 
+def _pallas_params(params: AgcParams, hang_time: float,
+                   fused: bool) -> dict:
+    """AgcParams -> the Pallas kernels' scalar-parameter dict (one place
+    so the two kernel call sites can't desynchronize)."""
+    pp = dict(attack_mult=float(params.attack_mult),
+              fast_decay_mult=float(params.fast_decay_mult),
+              decay_mult=float(params.decay_mult),
+              hang_decay_mult=float(params.hang_decay_mult),
+              fast_backmult=float(params.fast_backmult),
+              hang_backmult=float(params.hang_backmult),
+              pop_ratio=float(params.pop_ratio),
+              hang_level=float(params.hang_level),
+              hang_time=float(hang_time),
+              hang_enable=bool(params.hang_enable),
+              min_volts=float(params.min_volts))
+    if fused:
+        pp.update(out_target=float(params.out_target),
+                  slope_constant=float(params.slope_constant),
+                  inv_max_input=float(params.inv_max_input))
+    return pp
+
+
+def _machine_carry(state: AgcState) -> jnp.ndarray:
+    return jnp.stack([state.volts, state.save_volts, state.hang_counter,
+                      state.decay_type, state.state,
+                      state.fast_backaverage, state.hang_backaverage],
+                     axis=0)
+
+
 def _sliding_max_ahead(absx: jnp.ndarray, w: int) -> jnp.ndarray:
     """m[n] = max(absx[n+1 .. n+w]) over the last axis, where positions past
     the end are ignored (shrinking window at the right edge).
@@ -198,24 +227,8 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     if (jax.default_backend() != "cpu" and x.ndim == 2
             and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w):
         from ..pallas import agc as pallas_agc
-        pp = dict(attack_mult=float(params.attack_mult),
-                  fast_decay_mult=float(params.fast_decay_mult),
-                  decay_mult=float(params.decay_mult),
-                  hang_decay_mult=float(params.hang_decay_mult),
-                  fast_backmult=float(params.fast_backmult),
-                  hang_backmult=float(params.hang_backmult),
-                  pop_ratio=float(params.pop_ratio),
-                  hang_level=float(params.hang_level),
-                  hang_time=float(params.hang_time_samples),
-                  hang_enable=bool(params.hang_enable),
-                  min_volts=float(params.min_volts),
-                  out_target=float(params.out_target),
-                  slope_constant=float(params.slope_constant),
-                  inv_max_input=float(params.inv_max_input))
-        carry = jnp.stack([state.volts, state.save_volts,
-                           state.hang_counter, state.decay_type,
-                           state.state, state.fast_backaverage,
-                           state.hang_backaverage], axis=0)
+        pp = _pallas_params(params, params.hang_time_samples, fused=True)
+        carry = _machine_carry(state)
         y, carry_out, new_delay = pallas_agc.agc_pallas_fused(
             pp, carry, state.delay, x)
         dc_state = state.dc
@@ -318,21 +331,8 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
                   and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
     if use_pallas:
         from ..pallas import agc as pallas_agc
-        pp = dict(attack_mult=float(params.attack_mult),
-                  fast_decay_mult=float(params.fast_decay_mult),
-                  decay_mult=float(params.decay_mult),
-                  hang_decay_mult=float(params.hang_decay_mult),
-                  fast_backmult=float(params.fast_backmult),
-                  hang_backmult=float(params.hang_backmult),
-                  pop_ratio=float(params.pop_ratio),
-                  hang_level=float(params.hang_level),
-                  hang_time=float(hang_time),
-                  hang_enable=bool(params.hang_enable),
-                  min_volts=float(params.min_volts))
-        carry = jnp.stack([state.volts, state.save_volts,
-                           state.hang_counter, state.decay_type,
-                           state.state, state.fast_backaverage,
-                           state.hang_backaverage], axis=0)
+        pp = _pallas_params(params, hang_time, fused=False)
+        carry = _machine_carry(state)
         volts_t, carry_out = pallas_agc.agc_scan_pallas(
             pp, carry, ring_max, abs_out)
         volts_f, save_f, hang_f, decay_f, st_f, fba_last, hba_last = (

@@ -249,7 +249,9 @@ class OverlapSaveFilter:
             X = jnp.fft.rfft(xfull, n=self.nfft, axis=-1)
             y = jnp.fft.irfft(X * self.H_r, n=self.nfft, axis=-1)
         y = y[..., self.taps - 1: self.taps - 1 + self.block_len]
-        new_carry = xfull[..., -(self.taps - 1):]
+        # taps == 1: -(taps-1) == -0 would slice the WHOLE buffer and
+        # grow the carry every call (same guard as fir_block)
+        new_carry = xfull[..., -(self.taps - 1):] if self.taps > 1 else carry
         return y, new_carry
 
 
