@@ -221,6 +221,43 @@ def wdsp_agc(x: np.ndarray, fs: float, mode: str = "med",
     return y
 
 
+# --- WDSP variable-leak LMS (audio_driver.c:521-577) -----------------------
+
+def leaky_lms(x: np.ndarray, notch: bool = False, n_taps: int = 64,
+              delay: int = 16, two_mu: float = 1e-4,
+              gamma: float = 0.1) -> np.ndarray:
+    """Scalar port of AudioDriver_LeakyLmsNr, ring buffer and all.
+    Defaults per AudioDriver_Dsp_Init (audio_driver.c:490-514)."""
+    dline_size = 512                      # LEAKYLMSDLINE_SIZE
+    mask = dline_size - 1
+    d = np.zeros(dline_size)
+    w = np.zeros(n_taps)
+    in_idx = 0
+    lidx, lidx_min, lidx_max = 120.0, 0.0, 200.0
+    ngamma, den_mult, lincr, ldecr = 0.001, 6.25e-10, 1.0, 3.0
+    out = np.empty(len(x))
+    for i, xn in enumerate(np.asarray(x, np.float64)):
+        d[in_idx] = xn
+        idx = (in_idx + delay + np.arange(n_taps)) & mask
+        ref = d[idx]
+        y = float(w @ ref)
+        sigma = float(ref @ ref)
+        inv_sigp = 1.0 / (sigma + 1e-10)
+        err = xn - y
+        out[i] = err if notch else y
+        nel = abs(err * (1.0 - two_mu * sigma * inv_sigp))
+        nev = abs(xn - (1.0 - two_mu * ngamma) * y
+                  - two_mu * err * sigma * inv_sigp)
+        if nev < nel:
+            lidx = min(lidx + lincr, lidx_max)
+        else:
+            lidx = max(lidx - ldecr, lidx_min)
+        ngamma = gamma * (lidx * lidx) * (lidx * lidx) * den_mult
+        w = (1.0 - two_mu * ngamma) * w + (two_mu * err * inv_sigp) * ref
+        in_idx = (in_idx + mask) & mask
+    return out
+
+
 # --- FM discriminator (audio_driver.c:1544-1610) ---------------------------
 
 def fm_discriminator(iq: np.ndarray) -> np.ndarray:

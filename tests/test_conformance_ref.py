@@ -1,0 +1,146 @@
+"""Reference-exact conformance: the TPU chain vs the firmware's math.
+
+The oracle (`tests/golden/ref_chain.py`) runs the complete
+`AudioDriver_RxProcessor` stage order in float64 with the reference's
+EXACT coefficient tables (imported by `tools/parse_ref_filters.py`).
+The JAX chain under test (`chain.refchain`) uses the same tables; the
+SNR here therefore measures implementation fidelity (f32 arithmetic,
+block streaming, scan formulations) against the firmware's math — not
+filter-design similarity.
+
+The product fast chain (`chain.rx`, scipy-designed fused front end) is
+separately compared to the same oracle with a looser in-band bound in
+`test_product_vs_reference` — that is the BASELINE "matches the
+reference chain within its SNR bound" claim for the shipped path.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.golden import ref_chain as gold
+from uhsdr_tpu.chain import refchain
+
+FS = 48000.0
+T_TOTAL = 48000 * 2
+BLOCK = 4096
+SKIP = 24000          # skip AGC attack/filter transients
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    ref = ref[SKIP:]
+    test = test[SKIP:]
+    err = ref - test
+    p_sig = float(np.mean(ref ** 2))
+    p_err = float(np.mean(err ** 2)) + 1e-30
+    return 10.0 * np.log10(p_sig / p_err)
+
+
+def make_iq(mode: str, translate: float = 6000.0, seed: int = 0):
+    """Synthetic capture: mode-appropriate modulation + noise at int16-ish
+    scale (the firmware's ADC count domain the AGC constants assume)."""
+    rng = np.random.default_rng(seed)
+    n = np.arange(T_TOTAL)
+    t = n / FS
+    if mode in ("usb", "cw"):
+        base = (8000.0 * np.exp(2j * np.pi * (translate + 700) * t)
+                + 4000.0 * np.exp(2j * np.pi * (translate + 1500) * t))
+    elif mode == "lsb":
+        base = (8000.0 * np.exp(2j * np.pi * (translate - 700) * t)
+                + 4000.0 * np.exp(2j * np.pi * (translate - 1500) * t))
+    elif mode in ("am", "sam"):
+        m = 1.0 + 0.5 * np.sin(2 * np.pi * 400 * t) \
+            + 0.25 * np.sin(2 * np.pi * 900 * t)
+        base = 8000.0 * m * np.exp(2j * np.pi * translate * t)
+    elif mode == "fm":
+        msg = np.sin(2 * np.pi * 1000 * t)
+        phase = np.cumsum(2 * np.pi * 2500.0 * msg / FS)
+        base = 8000.0 * np.exp(1j * (2 * np.pi * translate * t + phase))
+    else:
+        raise ValueError(mode)
+    noise = (rng.standard_normal(T_TOTAL)
+             + 1j * rng.standard_normal(T_TOTAL)) * 50.0
+    return (base + noise).astype(np.complex128)
+
+
+def run_jax_chain(cfg: refchain.RefRxConfig, iq: np.ndarray) -> np.ndarray:
+    chain = refchain.RefRxChain(cfg)
+    state = chain.init_state(batch_shape=(1,))
+    outs = []
+    for s in range(0, len(iq), cfg.block_len):
+        blk = iq[s:s + cfg.block_len][None, :]
+        audio, state = chain(state, iq=blk)
+        outs.append(np.asarray(audio)[0])
+    return np.concatenate(outs)
+
+
+CASES = [
+    # (mode, bw_key, select_id, min SNR dB)
+    ("usb", "2P3KHZ", 2, 50.0),
+    ("lsb", "2P3KHZ", 2, 50.0),
+    ("cw", "500HZ", None, 45.0),
+    ("usb", "10P0KHZ", None, 50.0),    # wide path: 48k Hilbert + audio decim
+    ("am", "2P5KHZ", None, 50.0),
+    ("sam", "2P3KHZ", None, 40.0),     # PLL transient sensitivity
+    ("fm", "3P6KHZ", None, 45.0),
+]
+
+
+@pytest.mark.parametrize("mode,bw,sel,bound", CASES,
+                         ids=[f"{m}-{b}" for m, b, _, _ in CASES])
+def test_refchain_matches_reference_math(mode, bw, sel, bound):
+    iq = make_iq(mode)
+    cfg = refchain.RefRxConfig(mode=mode, bw_key=bw, select_id=sel)
+    ref, _ = gold.ref_rx_chain(iq, mode, bw, select_id=sel)
+    out = run_jax_chain(cfg, iq)
+    s = snr_db(ref, out)
+    assert s >= bound, f"{mode}/{bw}: SNR {s:.1f} dB < {bound}"
+
+
+def test_block_size_invariance():
+    """Streaming state handoff: different block sizes, same output."""
+    iq = make_iq("usb")
+    a = run_jax_chain(refchain.RefRxConfig(mode="usb", block_len=4096), iq)
+    b = run_jax_chain(refchain.RefRxConfig(mode="usb", block_len=2048), iq)
+    assert snr_db(a, b) > 80.0
+
+
+def test_product_vs_reference():
+    """The product fast chain (scipy-designed fused front end) against the
+    reference oracle: in-band tone content must match within the
+    filter-design tolerance.  This is the BASELINE SNR-bound claim for
+    the shipped path; the bound is looser because the passband ripple
+    and group delay of the re-designed filters legitimately differ."""
+    from uhsdr_tpu.chain import rx as rx_mod
+
+    iq = make_iq("usb")
+    ref, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2)
+
+    cfg = rx_mod.RxConfig(mode="usb", bw_key="2P3KHZ", block_len=4096,
+                          front_impl="xla")
+    chain = rx_mod.RxChain(cfg)
+    state = chain.init_state(batch_shape=(1,))
+    outs = []
+    for s in range(0, len(iq), cfg.block_len):
+        audio, state, _ = chain(state, iq=iq[s:s + cfg.block_len][None, :])
+        outs.append(np.asarray(audio)[0])
+    out = np.concatenate(outs)
+
+    # compare tone amplitudes in the audio band (design-agnostic metric):
+    # both chains must reproduce the two USB tones at 700/1500 Hz with
+    # matching relative level
+    def tone_amp(x, f):
+        seg = x[SKIP:]
+        w = np.hanning(len(seg))
+        spec = np.abs(np.fft.rfft(seg * w))
+        bin_f = int(round(f * len(seg) / FS))
+        return spec[max(0, bin_f - 3): bin_f + 4].max()
+
+    for f in (700.0, 1500.0):
+        r, o = tone_amp(ref, f), tone_amp(out, f)
+        ratio_db = abs(20 * np.log10(o / r))
+        assert ratio_db < 3.0, f"tone {f} Hz level differs {ratio_db:.1f} dB"
+    # and the inter-tone ratio (AGC/filter shape consistency)
+    r_ratio = tone_amp(ref, 700.0) / tone_amp(ref, 1500.0)
+    o_ratio = tone_amp(out, 700.0) / tone_amp(out, 1500.0)
+    assert abs(20 * np.log10(o_ratio / r_ratio)) < 2.0

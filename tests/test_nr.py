@@ -7,31 +7,37 @@ from uhsdr_tpu.nr import spectral as nr
 
 
 def _smooth_reference(params, hk, X):
-    """The original cumsum + take_along_axis formulation of the
-    musical-noise smoothing (replaced by a static matmul — TPU gathers
-    measured 1.4 s at bench shapes).  Kept here as the equivalence
-    reference."""
-    lo, hi = params.vad_low, params.vad_high
-    nb = nr.FFT_L // 2
-    band = (jnp.arange(nb) >= lo) & (jnp.arange(nb) < hi)
-    pre = jnp.sum(jnp.where(band, X, 0.0), axis=-1)
-    post = jnp.sum(jnp.where(band, hk * hk * X, 0.0), axis=-1)
-    ratio = post / jnp.maximum(pre, 1e-20)
-    apply = ratio <= params.power_threshold
-    nn_half = jnp.where(
-        apply,
-        (0.5 + nr.MN_WIDTH * (1.0 - ratio / params.power_threshold))
-        .astype(jnp.int32), 0)
-    csum = jnp.cumsum(jnp.where(band, hk, 0.0), axis=-1)
-    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
-    idx = jnp.arange(nb)
-    lo_i = jnp.clip(idx - nn_half[..., None], lo, hi - 1)
-    hi_i = jnp.clip(idx + nn_half[..., None], lo, hi - 1)
-    s = (jnp.take_along_axis(csum, hi_i + 1, axis=-1)
-         - jnp.take_along_axis(csum, lo_i, axis=-1))
-    cnt = (hi_i - lo_i + 1).astype(jnp.float32)
-    hk_avg = s / cnt
-    return jnp.where(band & (nn_half[..., None] > 0), hk_avg, hk)
+    """Independent pure-NumPy scalar port of the reference's
+    musical-noise smoothing (`audio_nr.c:2078-2140`), pinning:
+      * NN = 1 + 2*(int)(0.5 + width*(1 - ratio/thresh)) — C (int)
+        truncation, i.e. round-half-up for positive operands;
+      * the NN-sample symmetric average divided by NN;
+      * application to bins [VAD_low+NN/2, VAD_high-NN/2) ONLY — the
+        firmware's one-sided edge averages land in `NR.Nest` scratch
+        that `spectral_noise_reduction_3` never copies back to Hk, so
+        edge bins keep their unsmoothed value.
+    """
+    lo, hi = int(params.vad_low), int(params.vad_high)
+    width = float(nr.MN_WIDTH)
+    thresh = float(params.power_threshold)
+    hk_np = np.asarray(hk, np.float64)
+    x_np = np.asarray(X, np.float64)
+    out = hk_np.copy()
+    flat_h = hk_np.reshape(-1, hk_np.shape[-1])
+    flat_x = x_np.reshape(-1, x_np.shape[-1])
+    flat_o = out.reshape(-1, out.shape[-1])
+    for c in range(flat_h.shape[0]):
+        h, x = flat_h[c], flat_x[c]
+        pre = x[lo:hi].sum()
+        post = (h[lo:hi] ** 2 * x[lo:hi]).sum()
+        ratio = post / max(pre, 1e-20)
+        if ratio > thresh:
+            continue
+        NN = 1 + 2 * int(0.5 + width * (1.0 - ratio / thresh))
+        half = NN // 2
+        for b in range(lo + half, hi - half):
+            flat_o[c, b] = h[b - half: b + half + 1].sum() / NN
+    return out.reshape(hk_np.shape)
 
 
 def test_musical_noise_smooth_matmul_equivalence():

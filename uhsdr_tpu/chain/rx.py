@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import data as refdata
 from ..demod import am as am_mod
 from ..demod import fm as fm_mod
 from ..demod import sam as sam_mod
@@ -45,6 +46,40 @@ IQ_RATE = 48000.0
 # reference tap counts: filters.h:9-16 — RX 89/199, AM lowpass 89
 RX_TAPS_HI = 199
 RX_TAPS_LO = 89
+
+# post-AGC output scaling (audio_driver.h:362-364, audio_driver.c:2517-2527
+# and :1494-1495) — reproduced so product-chain output levels match the
+# firmware's
+POST_AGC_GAIN_SCALING_DECIMATE_4 = 3.46
+POST_AGC_GAIN_SCALING_DECIMATE_2 = 3.46 * 0.6
+FM_RX_SCALING_2K5 = 10000.0
+FM_RX_SCALING_5K = FM_RX_SCALING_2K5 / 2.0
+
+
+def _reference_post_scale(cfg: "RxConfig") -> float:
+    """The firmware's net post-AGC gain for this mode/path.
+
+    For non-FM modes: scale_gain (3.46 or 2.076, x0.5 AM/SAM else
+    x0.333) TIMES the reference interpolation filter's net gain
+    (its tables do not embed the zero-stuff compensation — net ~0.29 at
+    /4; our `design.interpolation_fir` is amplitude-preserving, so the
+    ratio is folded in here to land at the firmware's absolute level).
+    """
+    if cfg.mode == "fm":
+        return FM_RX_SCALING_5K if cfg.fm_dev5 else FM_RX_SCALING_2K5
+    ref_decim = cfg.path.decim      # 48k-based rate = the firmware's
+    base = (POST_AGC_GAIN_SCALING_DECIMATE_4 if ref_decim == 4
+            else POST_AGC_GAIN_SCALING_DECIMATE_2)
+    base *= 0.5 if cfg.mode in ("am", "sam") else 0.333
+    try:
+        row = refdata.find_path(cfg.mode, cfg.bw_key)
+        if row["interpolate"] is not None:
+            g_ref = refdata.interp_passband_gain(row["interpolate"],
+                                                 ref_decim)
+            base *= g_ref / ref_decim
+    except KeyError:
+        pass                        # no reference analog for this path
+    return base
 
 
 @dataclass(frozen=True)
@@ -66,12 +101,20 @@ class RxConfig:
     nb_enable: bool = False        # LPC impulse noise blanker
     nb_setting: int = 8            # 0..15 (audio_nr.c:2434)
     notch_enable: bool = False
+    leaky_nr_enable: bool = False  # WDSP variable-leak LMS NR, pre-AGC
+                                   # (AudioDriver_LeakyLmsNr,
+                                   # audio_driver.c:521-577; inserted at
+                                   # the reference's pre-AGC position,
+                                   # :2461-2468)
+    leaky_notch: bool = False      # leaky-LMS in notch mode replaces the
+                                   # NLMS auto-notch (:2446-2452)
     sql_threshold: int = 0         # FM squelch
     subtone_hz: float = 0.0        # FM subaudible tone detect
     sam_sideband: str = "both"     # SAM: both | usb | lsb
     fade_leveler: bool = True
     cw_offset_hz: float = 700.0    # CW sidetone / passband center
     iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
+    fm_dev5: bool = False          # FM deviation 5 kHz (else 2.5 kHz)
     front_impl: str = "auto"       # auto | xla | pallas front FIR backend
     iir_impl: str = "auto"         # auto | scan | pallas biquad backend
     iq_rate: float = IQ_RATE       # 48 kHz (reference) or 96 kHz (BASELINE
@@ -125,8 +168,10 @@ class RxParams(NamedTuple):
     nr: Any                       # nr_mod.NrParams or None
     nb: Any                       # nb_mod.NbParams or None
     notch: Any                    # lms.LmsParams or None
+    leaky: Any                    # lms.LeakyLmsParams or None
     iq_gain: float
     iq_phase: float
+    post_scale: float             # firmware-level output scaling
     eq1_sos: np.ndarray           # decimated-rate EQ cascade (biquad1)
     eq2_sos: np.ndarray           # 48k treble shelf (biquad2)
 
@@ -143,6 +188,7 @@ class RxState(NamedTuple):
     nr: Any
     nb: Any
     notch: Any
+    leaky: Any
     interp_carry: jnp.ndarray
     eq1: jnp.ndarray
     eq2: jnp.ndarray
@@ -193,7 +239,12 @@ def make_params(cfg: RxConfig) -> RxParams:
     if cfg.mode == "fm":
         fm_params = fm_mod.make_params(cfg.iq_rate, cfg.sql_threshold,
                                        cfg.subtone_hz)
-    notch_params = lms.notch_params() if cfg.notch_enable else None
+    notch_params = (lms.notch_params() if cfg.notch_enable
+                    and not cfg.leaky_notch else None)
+    leaky_params = None
+    if cfg.leaky_nr_enable or (cfg.notch_enable and cfg.leaky_notch):
+        leaky_params = lms.leaky_lms_params(
+            notch=cfg.notch_enable and cfg.leaky_notch)
 
     return RxParams(
         nco_delta=nco.freq_to_delta(-cfg.translate_hz, cfg.iq_rate),
@@ -210,8 +261,10 @@ def make_params(cfg: RxConfig) -> RxParams:
         nr=nr_params,
         nb=nb_mod.make_params(cfg.nb_setting) if cfg.nb_enable else None,
         notch=notch_params,
+        leaky=leaky_params,
         iq_gain=1.0,
         iq_phase=0.0,
+        post_scale=_reference_post_scale(cfg),
         eq1_sos=eq_mod.rx_biquad1_sos(cfg.eq, fs_dec),
         eq2_sos=eq_mod.rx_biquad2_sos(cfg.eq, cfg.iq_rate),
     )
@@ -239,6 +292,8 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
         nr=nr_mod.init_state(bs_post) if params.nr is not None else None,
         nb=nb_mod.init_state(bs_post) if params.nb is not None else None,
         notch=lms.init_state(bs_post, params.notch) if params.notch is not None else None,
+        leaky=(lms.leaky_lms_init(bs_post, params.leaky)
+               if params.leaky is not None else None),
         interp_carry=jnp.zeros(
             bs_post + (-(-params.interp_fir.shape[-1] // cfg.decim) - 1,),
             jnp.float32),
@@ -403,10 +458,17 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     if taps_out is None:
         taps_out = {}
 
-    # --- FM: full-rate discriminator, no decimated post chain ---
+    # --- FM: full-rate discriminator; the reference then applies
+    # FM_RX_SCALING + WDSP AGC + treble biquad2 at 48 kHz
+    # (audio_driver.c:2824-2836) ---
     if cfg.mode == "fm":
         audio, fm_state = fm_mod.demod(params.fm, state.fm, zf)
-        return audio, state._replace(fm=fm_state), taps_out
+        audio = audio * np.float32(params.post_scale)
+        audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
+        audio, eq2_state = _biquad_cascade(cfg, params.eq2_sos, state.eq2,
+                                           audio)
+        return audio, state._replace(fm=fm_state, agc=agc_state,
+                                     eq2=eq2_state), taps_out
 
     # --- demodulation at decimated rate ---
     fade_state = state.fade
@@ -436,6 +498,13 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     if params.notch is not None:
         audio, notch_state = lms.run(params.notch, state.notch, audio)
 
+    # leaky-LMS (notch-mode replaces the NLMS auto-notch; NR-mode is the
+    # reference's pre-AGC DSP_NR instance, audio_driver.c:2446-2468)
+    leaky_state = state.leaky
+    if params.leaky is not None:
+        audio, leaky_state = lms.leaky_lms_run(params.leaky, state.leaky,
+                                               audio)
+
     audio, sos_state = _biquad_cascade(cfg, params.audio_sos,
                                        state.audio_sos_state, audio)
 
@@ -452,6 +521,10 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     nr_state = state.nr
     if params.nr is not None:
         audio, nr_state = nr_mod.process_block(params.nr, state.nr, audio)
+
+    # post-AGC gain scaling (audio_driver.c:2517-2527 + the reference
+    # interpolator's net gain — see _reference_post_scale)
+    audio = audio * np.float32(params.post_scale)
 
     # --- EQ biquad1 (notch/peak/bass, audio_driver.c:2527) ---
     audio, eq1_state = _biquad_cascade(cfg, params.eq1_sos, state.eq1, audio)
@@ -480,7 +553,8 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     new_state = state._replace(
         audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
         sam=sam_state, nr=nr_state, nb=nb_state, notch=notch_state,
-        interp_carry=interp_carry, eq1=eq1_state, eq2=eq2_state)
+        leaky=leaky_state, interp_carry=interp_carry, eq1=eq1_state,
+        eq2=eq2_state)
     return audio48, new_state, taps_out
 
 

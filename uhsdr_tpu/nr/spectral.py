@@ -105,16 +105,26 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=None)
 def _mn_avg_matrices(lo: int, hi: int) -> np.ndarray:
-    """(nb, MN_WIDTH*nb) stacked band-clamped moving-average matrices:
-    column (w-1)*nb + b of the w-th block averages hk over bins
-    [clip(b-w), clip(b+w)] within [lo, hi)."""
+    """(nb, MN_WIDTH*nb) stacked moving-average matrices: column
+    (w-1)*nb + b of the w-th block averages hk over the NN = 2w+1 bins
+    [b-w, b+w], divided by NN (`audio_nr.c:2099-2107`).
+
+    Reference-exact edge handling: only bins in [lo+w, hi-w) receive the
+    average — the firmware's apply loop runs `bindx` over
+    [VAD_low+NN/2, VAD_high-NN/2) only (`audio_nr.c:2137-2140`); its
+    one-sided edge averages are computed into `NR.Nest` scratch that
+    `spectral_noise_reduction_3` never copies back to Hk, so edge bins
+    keep their unsmoothed value (identity rows here)."""
     nb = FFT_L // 2
     A = np.zeros((nb, MN_WIDTH * nb), np.float32)
     for w in range(1, MN_WIDTH + 1):
+        nn = 2 * w + 1
         for b in range(lo, hi):
-            j0 = max(b - w, lo)
-            j1 = min(b + w, hi - 1)
-            A[j0: j1 + 1, (w - 1) * nb + b] = 1.0 / (j1 - j0 + 1)
+            col = (w - 1) * nb + b
+            if lo + w <= b < hi - w:
+                A[b - w: b + w + 1, col] = 1.0 / nn
+            else:
+                A[b, col] = 1.0
     return A
 
 

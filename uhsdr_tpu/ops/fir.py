@@ -159,7 +159,9 @@ def fir_block(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         y = _conv_valid_fft(xfull, h, B)
     else:
         y = _conv_valid_dense(xfull, h, B)
-    new_carry = xfull[..., -(taps - 1):] if taps > 1 else carry
+    # taps==1: canonical empty carry (not the caller's verbatim carry,
+    # which could silently persist a malformed non-empty initial value)
+    new_carry = xfull[..., -(taps - 1):] if taps > 1 else xfull[..., :0]
     return y, new_carry
 
 
@@ -180,7 +182,9 @@ def fir_decimate_block(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         y = _conv_valid_fft(xfull, h, B)[..., ::decim]
     else:
         y = _conv_valid_dense(xfull, h, n_out, stride=decim)
-    new_carry = xfull[..., -(taps - 1):] if taps > 1 else carry
+    # taps==1: canonical empty carry (not the caller's verbatim carry,
+    # which could silently persist a malformed non-empty initial value)
+    new_carry = xfull[..., -(taps - 1):] if taps > 1 else xfull[..., :0]
     return y, new_carry
 
 
