@@ -1,0 +1,139 @@
+"""FreeDV 1600 bit-interoperability with the reference firmware
+(VERDICT round-1 item 2).
+
+The decisive evidence: `uhsdr_tpu/data/freedv_ref.npz::test_iq` is the
+firmware's own recorded FreeDV-1600 modem IQ (4 s @8 kHz,
+`drivers/audio/freedv_test_data.c`, played into the firmware's RX in
+DEBUG_FREEDV mode, `freedv_uhsdr.c:415-430`).  Our FDMDV demodulator +
+Golay(23,12) + the reference's 64-bit frame layout must recover frames
+whose Golay codewords CHECK — 12 data + 11 parity bits scattered across
+each 40 ms frame can only be consistent if every layer (carrier
+frequencies, DQPSK mapping, matched filter, symbol timing, frame
+packing, FEC polynomial and bit order) matches the reference's.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from uhsdr_tpu import data
+from uhsdr_tpu.modems import fdmdv, freedv, golay
+
+
+def _demod_bits(iq: np.ndarray, chunk: int = 5 * fdmdv.M):
+    dem = fdmdv.FdmdvDemodulator()
+    bits, sync = [], []
+    for s in range(0, len(iq) - chunk + 1, chunk):
+        b, sy = dem.demod_symbols(iq[s:s + chunk])
+        bits.append(b)
+        sync.append(sy)
+    return np.concatenate(bits), np.concatenate(sync)
+
+
+def test_reference_vectors_demodulate_with_valid_golay():
+    """>=90% of the 40 ms frames in the firmware's recorded vector must
+    carry zero-syndrome Golay codewords under the reference frame
+    layout."""
+    iq = data.freedv("test_iq")
+    bits, _ = _demod_bits(iq)
+    assert len(bits) >= 180, len(bits)
+
+    best = (-1, None)
+    for ph in (0, 1):
+        nfr = (len(bits) - ph) // 2
+        clean = 0
+        for fr in range(nfr):
+            b64 = np.concatenate([bits[ph + 2 * fr], bits[ph + 2 * fr + 1]])
+            _, ncorr = golay.decode_bits(freedv.frame_codeword(b64)[None, :])
+            clean += int(ncorr[0] == 0)
+        if clean > best[0]:
+            best = (clean, ph, nfr)
+    clean, ph, nfr = best
+    assert clean / nfr >= 0.90, f"{clean}/{nfr} clean frames (phase {ph})"
+
+
+def test_reference_vectors_wrong_layout_fails():
+    """Negative control: the same demodulated bits with a WRONG Golay
+    data placement (contiguous [0:12] instead of [0:8]+[11:15]) must NOT
+    check — i.e. the test above actually pins the layout."""
+    iq = data.freedv("test_iq")[: 32000 // 2]
+    bits, _ = _demod_bits(iq)
+    worst = 0
+    for ph in (0, 1):
+        nfr = (len(bits) - ph) // 2
+        clean = 0
+        for fr in range(nfr):
+            b64 = np.concatenate([bits[ph + 2 * fr], bits[ph + 2 * fr + 1]])
+            cw = np.concatenate([b64[0:12], b64[52:63]])
+            _, ncorr = golay.decode_bits(cw[None, :])
+            clean += int(ncorr[0] == 0)
+        worst = max(worst, clean / max(nfr, 1))
+    assert worst < 0.5, worst
+
+
+def test_tx_rx_loopback_bit_exact():
+    """Our bit-compatible TX through our RX: zero bit errors after the
+    acquisition preamble."""
+    rng = np.random.default_rng(5)
+    nsym = 80
+    bits = rng.integers(0, 2, (nsym, fdmdv.BITS_PER_SYMBOL))
+    sig = fdmdv.FdmdvModulator().modulate_frame(bits)
+    rx_bits, _ = _demod_bits(sig.astype(np.complex128))
+    assert len(rx_bits) >= nsym - 15
+
+    # find the (delay) alignment, then demand zero steady-state errors
+    best = (1e9, 0)
+    for off in range(-8, 9):
+        errs = 0
+        cnt = 0
+        for i in range(10, len(rx_bits)):
+            j = i + off
+            if 0 <= j < nsym:
+                errs += int((rx_bits[i] != bits[j]).sum())
+                cnt += 1
+        if cnt > 30 and errs < best[0]:
+            best = (errs, off)
+    assert best[0] == 0, best
+
+
+def test_tx_rx_loopback_freq_offset_and_noise():
+    """Robustness: +-60 Hz offset and moderate AWGN still decode with
+    low BER (the acquisition/tracking path)."""
+    rng = np.random.default_rng(6)
+    nsym = 80
+    bits = rng.integers(0, 2, (nsym, fdmdv.BITS_PER_SYMBOL))
+    sig = fdmdv.FdmdvModulator().modulate_frame(bits).astype(np.complex128)
+    n = np.arange(len(sig))
+    for foff in (-60.0, 45.0):
+        ch = sig * np.exp(2j * np.pi * foff * n / fdmdv.FS)
+        ch = ch + 0.05 * np.abs(sig).std() * (
+            rng.standard_normal(len(sig))
+            + 1j * rng.standard_normal(len(sig)))
+        rx_bits, _ = _demod_bits(ch)
+        best = 1e9
+        for off in range(-8, 9):
+            errs = cnt = 0
+            for i in range(12, len(rx_bits)):
+                j = i + off
+                if 0 <= j < nsym:
+                    errs += int((rx_bits[i] != bits[j]).sum())
+                    cnt += 1
+            if cnt > 30:
+                best = min(best, errs / (cnt * fdmdv.BITS_PER_SYMBOL))
+        assert best < 0.02, (foff, best)
+
+
+def test_full_stack_voice_frame_roundtrip():
+    """FreeDv1600 end-to-end: speech -> vocoder+Golay+FDMDV -> channel ->
+    demod+FEC+synth -> speech; frames decode with zero parity errors."""
+    fs = 8000.0
+    t = np.arange(8000 * 2) / fs
+    speech = (3000 * np.sin(2 * np.pi * 210 * t)
+              * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    tx = freedv.FreeDv1600()
+    sig = tx.mod(speech)
+    assert sig.size > 0
+    rx = freedv.FreeDv1600()
+    out = rx.demod(sig.astype(np.complex128))
+    assert rx.frames_decoded >= 30, rx.frames_decoded
+    assert rx.parity_errors == 0, rx.parity_errors
+    assert out.size > 0 and np.isfinite(out).all()

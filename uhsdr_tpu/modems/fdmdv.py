@@ -1,25 +1,33 @@
-"""FDMDV-class multicarrier DQPSK modem (FreeDV 1600's waveform class).
+"""FDMDV multicarrier DQPSK modem — bit/waveform-compatible with the
+reference's `drivers/freedv/fdmdv.c` (FreeDV 1600 mode).
 
-Reference behavior replicated from `drivers/freedv/fdmdv.c` /
-`fdmdv_internal.h:43-76`: FS=8000, RS=50 baud (M=160 samples/symbol),
-Nc=16 data carriers + 1 double-power BPSK pilot at the band centre
-(1500 Hz), 75 Hz carrier separation, DQPSK with Gray mapping,
-root-cosine pulse shaping over NSYM=6 symbols, giving 16*2*50=1600 bit/s.
+Waveform parameters are the reference's EXACTLY (fdmdv_internal.h:43-76,
+fdmdv_create `fdmdv.c:76-196`, fdmdv_set_fsep `:255-276`,
+bits_to_dqpsk_symbols `:280-321`, tx_filter_and_upconvert `:430-520`):
 
-NOT bit-interoperable with the reference's C modem (different filter
-coefficients, sync algorithms and carrier phasing) — it is the same
-waveform *class* with the same rates and robustness mechanisms:
+  * FS=8000, RS=50 baud (M=160 samples/symbol), Nc=16 data carriers;
+  * carrier c at (-Nc/2+c)*75 Hz for c<8 and (-Nc/2+c+1)*75 for c>=8,
+    relative to the 1500 Hz centre; BPSK pilot at the centre, amplitude
+    2x, alternating +,+,-,-,... (sign flip on odd frames — the frame
+    parity beacon);
+  * DQPSK mapping 00->x1, 01->xj, 10->x(-j), 11->x(-1) (the "new"
+    mapping, old_qpsk_mapping=0);
+  * pulse shaping with the exact `gt_alpha5_root` root-cosine table
+    (rn.h, imported by tools/parse_freedv_vectors.py), x sqrt(2)/2
+    symbol gain, x M filter gain, x2 output gain;
+  * TX carrier phases spread as exp(j*2*pi*c/(Nc+1)) (PAPR).
 
-* differential QPSK removes the need for per-carrier phase tracking;
-* the pilot carrier provides frequency-offset acquisition (FFT peak) and
-  tracking (phase drift), and symbol-timing comes from the P=4
-  oversampled matched-filter envelope across all carriers;
-* TX and RX are (Nc+1, taps) matrix ops over sample frames — batched
-  across carriers, and `vmap`-able across channels if moved on-device
-  (kept host-side numpy here: like the reference, the digital-voice
-  modem runs off the hot IQ path at 8 kHz where a chip is overkill).
+TX is a sample-exact port of the semantics (validated by demodulating
+the firmware's own recorded vectors with the same RX, and our TX with
+the same RX — see tests/test_freedv_interop.py).  RX is our own
+TPU-era design (batch matched filter + closed-form 50 Hz envelope
+timing estimate, the same estimator class as rx_est_timing
+`fdmdv.c:846-920`, pilot-FFT frequency acquisition) — interoperability
+is proven on the reference's recorded off-air vectors
+(`drivers/audio/freedv_test_data.c`).
 
-API mirrors `fdmdv_mod/fdmdv_demod`: symbol-sized blocks in/out.
+Modulator output / demodulator input are the reference's complex
+"passband" convention: carriers at 900..2100 Hz (fdmdv_mod's tx_fdm).
 """
 from __future__ import annotations
 
@@ -27,233 +35,246 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .. import data as _refdata
+
 FS = 8000
 RS = 50
 M = FS // RS          # 160 samples/symbol
 NSYM = 6              # pulse spans 6 symbols
-NC = 16               # data carriers (FreeDV 1600: freedv_api.c:143)
+NC = 16               # FreeDV 1600: freedv_api.c:143
 FSEP = 75.0
 FCENTRE = 1500.0
-P = 4                 # timing oversample factor
-ALPHA = 0.5           # root-cosine rolloff
-PILOT_SCALE = 2.0     # pilot at twice the data-carrier amplitude
+P = 4                 # timing oversample factor (reference P)
+PILOT_AMP = 2.0       # prev_tx_symbols[Nc].real = 2.0 (fdmdv.c:132)
 
 BITS_PER_SYMBOL = NC * 2   # 32 -> 1600 bit/s
 
 
-def _root_cosine(alpha: float, m: int, nsym: int) -> np.ndarray:
-    """Root-raised-cosine pulse, unit symbol-spaced autocorrelation."""
-    n = nsym * m
-    t = (np.arange(n) - n / 2 + 0.5) / m
-    h = np.zeros(n)
-    for i, ti in enumerate(t):
-        if abs(ti) < 1e-8:
-            h[i] = 1.0 - alpha + 4 * alpha / np.pi
-        elif abs(abs(4 * alpha * ti) - 1.0) < 1e-8:
-            h[i] = (alpha / np.sqrt(2)) * (
-                (1 + 2 / np.pi) * np.sin(np.pi / (4 * alpha))
-                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * alpha)))
-        else:
-            h[i] = (np.sin(np.pi * ti * (1 - alpha))
-                    + 4 * alpha * ti * np.cos(np.pi * ti * (1 + alpha))) / (
-                np.pi * ti * (1 - (4 * alpha * ti) ** 2))
-    return h / np.sqrt(np.sum(h ** 2))
+_GT = np.asarray(_refdata.freedv("gt_alpha5_root"), np.float64)
+_NTAPS = _GT.size                     # 960 = NSYM * M
+assert _NTAPS == NSYM * M
 
+# polyphase TX matrix: GTP[j, i] = gt[M-1-i + j*M]
+# (tx_filter_and_upconvert inner loop, fdmdv.c:465-475)
+_GTP = np.stack([_GT[M - 1 - np.arange(M) + j * M] for j in range(NSYM)])
 
-_H_RRC = _root_cosine(ALPHA, M, NSYM)          # (960,)
-_NTAPS = _H_RRC.size
-
-# carrier frequencies: Nc/2 below and above the pilot, 75 Hz apart, one
-# empty slot each side of the pilot (the reference's layout concept)
-_CARRIER_OFFSETS = np.concatenate([
-    (np.arange(NC // 2) - NC // 2 - 1) * FSEP,      # -675..-150 rel shift
-    (np.arange(NC // 2) + 1) * FSEP,                # +75..+600... see below
-])
-# use symmetric layout: -9..-2 and +2..+9 slots of 75 Hz => +-150..675 Hz
-_CARRIER_OFFSETS = np.concatenate([
-    -(np.arange(NC // 2, 0, -1) + 1) * FSEP,
-    (np.arange(NC // 2) + 2) * FSEP,
-])
-CARRIER_FREQS = FCENTRE + _CARRIER_OFFSETS      # (NC,)
+# carrier frequencies RELATIVE to centre (rad/sample omega and Hz)
+_off = np.array([(-NC // 2 + c) if c < NC // 2 else (-NC // 2 + c + 1)
+                 for c in range(NC)], np.float64) * FSEP
+CARRIER_OFFSETS = np.concatenate([_off, [0.0]])       # (NC+1,), pilot last
+CARRIER_FREQS = FCENTRE + _off
 PILOT_FREQ = FCENTRE
+_W = 2 * np.pi * CARRIER_OFFSETS / FS                 # rad/sample (baseband)
+_WB = 2 * np.pi * FCENTRE / FS
 
-# Gray map: 2 bits -> QPSK phase increment index
-_GRAY_FWD = {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
-_GRAY_REV = {v: k for k, v in _GRAY_FWD.items()}
-_PHASES = np.exp(1j * np.pi / 2 * np.arange(4))
+# DQPSK phase-increment map (bits_to_dqpsk_symbols, new mapping):
+# (msb,lsb): 00 -> *1, 01 -> *j, 11 -> *-1, 10 -> *-j
+_INC = {(0, 0): 1.0 + 0j, (0, 1): 1j, (1, 1): -1.0 + 0j, (1, 0): -1j}
+
+
+def bits_to_increments(bits: np.ndarray) -> np.ndarray:
+    """(..., 2*NC) 0/1 -> (..., NC) complex phase increments."""
+    b = np.asarray(bits).reshape(-1, NC, 2)
+    msb, lsb = b[..., 0], b[..., 1]
+    inc = np.where((msb == 0) & (lsb == 0), 1.0 + 0j,
+                   np.where((msb == 0) & (lsb == 1), 1j,
+                            np.where((msb == 1) & (lsb == 1), -1.0 + 0j,
+                                     -1j)))
+    return inc
+
+
+def increments_to_bits(d: np.ndarray) -> np.ndarray:
+    """(..., NC) complex diffs -> (..., NC*2) bits (nearest increment)."""
+    ang = np.angle(d)
+    q = np.round(ang / (np.pi / 2)).astype(int) % 4
+    # q: 0 -> d~1 (00), 1 -> d~j (01), 2 -> d~-1 (11), 3 -> d~-j (10)
+    msb = ((q == 2) | (q == 3)).astype(np.uint8)
+    lsb = ((q == 1) | (q == 2)).astype(np.uint8)
+    out = np.stack([msb, lsb], axis=-1)
+    return out.reshape(out.shape[:-2] + (NC * 2,))
 
 
 @dataclass
 class FdmdvModulator:
-    """Streaming TX: one call per symbol period (M output samples)."""
-    prev_symbols: np.ndarray = field(
-        default_factory=lambda: np.ones(NC, complex))
-    pilot_state: complex = 1.0 + 0j
+    """Sample-exact fdmdv_mod: one call per 20 ms symbol/frame."""
+    prev_symbols: np.ndarray = field(default_factory=lambda: np.concatenate(
+        [np.ones(NC, complex), [PILOT_AMP + 0j]]))
+    pilot_bit: int = 0
     filter_mem: np.ndarray = field(
-        default_factory=lambda: np.zeros((NC + 1, _NTAPS - M), complex))
-    phase: np.ndarray = field(
-        default_factory=lambda: np.zeros(NC + 1))
+        default_factory=lambda: np.zeros((NC + 1, NSYM), complex))
+    phase: np.ndarray = field(default_factory=lambda: np.exp(
+        2j * np.pi * np.arange(NC + 1) / (NC + 1)))
+    fbb_phase: complex = 1.0 + 0j
 
     def modulate_symbol(self, bits: np.ndarray) -> np.ndarray:
-        """bits: (32,) 0/1 -> (160,) complex baseband (centered at 0 Hz;
-        shift by FCENTRE for passband)."""
-        assert bits.shape == (BITS_PER_SYMBOL,)
-        pairs = bits.reshape(NC, 2)
-        dphase = np.array([_GRAY_FWD[(int(a), int(b))] for a, b in pairs])
-        symbols = self.prev_symbols * _PHASES[dphase]
+        """bits: (32,) 0/1 -> (160,) complex passband (carriers at
+        900..2100 Hz), fdmdv_mod semantics (sans FDMDV_SCALE)."""
+        bits = np.asarray(bits).reshape(BITS_PER_SYMBOL)
+        inc = bits_to_increments(bits)[0]               # (NC,)
+        symbols = np.empty(NC + 1, complex)
+        symbols[:NC] = self.prev_symbols[:NC] * inc
+        # +1 -1 BPSK pilot: flip when pilot_bit set (fdmdv.c:311-320)
+        symbols[NC] = (-self.prev_symbols[NC] if self.pilot_bit
+                       else self.prev_symbols[NC])
+        self.pilot_bit ^= 1
         self.prev_symbols = symbols
-        # pilot: constant carrier at double amplitude.  (The reference
-        # sends a known 2-symbol BPSK sequence and correlates with a LUT;
-        # a constant tone gives the same frequency reference with an
-        # unambiguous spectral line at the band centre.)
-        pilot = self.pilot_state * PILOT_SCALE
 
-        # upsample impulses + pulse shape per carrier
-        tx = np.zeros((NC + 1, _NTAPS), complex)
-        tx[:, : _NTAPS - M] = self.filter_mem
-        impulses = np.concatenate([symbols, [pilot]])
-        tx += impulses[:, None] * _H_RRC[None, :] * M ** 0.5
-        out_bb = tx[:, :M].copy()                  # (NC+1, M)
-        self.filter_mem = tx[:, M:]
+        # push gain-scaled symbol into the sparse filter memory
+        # (tx_filter_memory[c][NSYM-1] = symbol * sqrt(2)/2, fdmdv.c:457)
+        mem = np.empty_like(self.filter_mem)
+        mem[:, :-1] = self.filter_mem[:, 1:]
+        mem[:, -1] = symbols * (np.sqrt(2.0) / 2.0)
+        # filter: bb[c, i] = M * sum_j mem[c, j] * gt[M-1-i + j*M]
+        bb = M * np.einsum("cj,ji->ci", mem, _GTP)
+        self.filter_mem = mem
 
-        # mix each carrier to its offset and sum
-        freqs = np.concatenate([CARRIER_FREQS, [PILOT_FREQ]]) - FCENTRE
-        n = np.arange(M)
-        mix = np.exp(1j * 2 * np.pi * (freqs[:, None] * n[None, :] / FS
-                                       + self.phase[:, None] / (2 * np.pi)))
-        # keep continuous phase across calls
-        carr = np.exp(1j * (2 * np.pi * freqs[:, None] * n[None, :] / FS
-                            + self.phase[:, None]))
-        self.phase = (self.phase + 2 * np.pi * freqs * M / FS) % (2 * np.pi)
-        sig = (out_bb * carr).sum(axis=0) / np.sqrt(NC + PILOT_SCALE ** 2)
-        return sig.astype(np.complex64)
+        # per-carrier upconversion: phase advances BEFORE use ->
+        # factor phase[c] * e^{j w_c (i+1)}
+        i1 = np.arange(1, M + 1)
+        carr = self.phase[:, None] * np.exp(1j * _W[:, None] * i1[None, :])
+        fdm = (bb * carr).sum(axis=0)
+        # centre upshift + output x2 (fdmdv.c:485-497)
+        fbb = self.fbb_phase * np.exp(1j * _WB * i1)
+        out = 2.0 * fdm * fbb
+        # advance + renormalize oscillators
+        self.phase = self.phase * np.exp(1j * _W * M)
+        self.phase /= np.abs(self.phase)
+        self.fbb_phase = self.fbb_phase * np.exp(1j * _WB * M)
+        self.fbb_phase /= abs(self.fbb_phase)
+        return out.astype(np.complex64)
 
     def modulate_frame(self, bits: np.ndarray) -> np.ndarray:
-        """bits: (n_sym, 32) or flat multiple of 32."""
+        """bits: (n_sym, 32) or flat multiple of 32 -> (n_sym*160,)."""
         b = np.asarray(bits).reshape(-1, BITS_PER_SYMBOL)
         return np.concatenate([self.modulate_symbol(row) for row in b])
 
 
 @dataclass
 class FdmdvDemodulator:
-    """Streaming RX with coarse+fine frequency sync and symbol timing."""
+    """Batch/streaming RX: pilot-FFT frequency acquisition, matched
+    filter (exact gt taps), closed-form 50 Hz envelope timing (the
+    rx_est_timing estimator class), DQPSK decision."""
     foff_hz: float = 0.0
     acquired: bool = False
     prev_rx_symbols: np.ndarray = field(
         default_factory=lambda: np.ones(NC + 1, complex))
-    sample_mem: np.ndarray = field(
-        default_factory=lambda: np.zeros(_NTAPS + M, np.complex64))
-    phase: float = 0.0
-    timing_frac: float = 0.0
-    pilot_prev: complex = 1.0 + 0j
-    snr_est: float = 0.0
-    nsamp: int = 0        # absolute sample counter (mixer time reference)
-    env_avg: np.ndarray = field(
-        default_factory=lambda: np.zeros(P))      # timing metric average
+    buf: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.complex128))
+    t0_abs: int = 0                   # absolute time of buf[0]
+    timing: float | None = None       # symbol sampling phase in [0, M)
+    timing_acc: complex = 0.0 + 0j    # envelope DFT accumulator
+    timing_n: int = 0
+    next_sample: float | None = None  # absolute time of next symbol centre
+    rot: float = 0.0                  # residual per-symbol DQPSK rotation
+    sync: bool = False
 
-    def _acquire(self, sig: np.ndarray) -> float:
-        """Coarse frequency offset from the pilot line: zero-padded FFT
-        peak within +-200 Hz of the (baseband) pilot position, with
-        3-point parabolic refinement (the reference DFTs the pilot over a
-        4-symbol window, fdmdv_internal.h:65-66)."""
+    def _mf_all(self, seg: np.ndarray, t0: int) -> np.ndarray:
+        """Matched-filter all carriers over seg.  Returns (NC+1, L_valid)
+        where output t corresponds to absolute sample t0+NTAPS-1+t."""
+        n_abs = t0 + np.arange(len(seg))
+        # downshift to per-carrier baseband with ABSOLUTE-time mixers
+        # (all offsets are multiples of 25 Hz -> period 320 samples)
+        mixer = np.exp(-1j * np.outer(_W + _WB, n_abs % 320))  # (NC+1, L)
+        zb = mixer * seg[None, :]
+        # correct for the frequency-offset estimate
+        if self.foff_hz != 0.0:
+            zb = zb * np.exp(-2j * np.pi * self.foff_hz * n_abs / FS)[None, :]
+        from scipy.signal import fftconvolve
+        mf = fftconvolve(zb, _GT[None, ::-1], mode="valid", axes=1)
+        return mf
+
+    def _acquire_freq(self, sig: np.ndarray) -> float:
+        """Coarse frequency offset from the pilot.  The pilot's DBPSK
+        pattern +,-,-,+,+,-,-,... has period 4 symbols (80 ms), putting
+        its two spectral lines at +-Rs/4 = +-12.5 Hz around the centre;
+        correlate the spectrum with that line pair."""
         n = len(sig)
         w = np.hanning(n)
-        nfft = 4 * n
-        F = np.fft.fftshift(np.fft.fft(sig * w, nfft))
+        z = sig * np.exp(-2j * np.pi * FCENTRE * np.arange(n) / FS)
+        nfft = 8 * n
+        F = np.abs(np.fft.fftshift(np.fft.fft(z * w, nfft)))
         freqs = np.fft.fftshift(np.fft.fftfreq(nfft, 1 / FS))
-        zone = np.abs(freqs) <= 200.0
-        mag = np.where(zone, np.abs(F), 0.0)
-        k = int(np.argmax(mag))
-        if 0 < k < nfft - 1 and mag[k] > 0:
-            a, b, c = mag[k - 1], mag[k], mag[k + 1]
-            denom = a - 2 * b + c
-            frac = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
-        else:
-            frac = 0.0
-        return float(freqs[k] + frac * FS / nfft)
+        zone = (freqs > -200) & (freqs < 200)
+        cand = freqs[zone]
+        Fz = F[zone]
+        df = freqs[1] - freqs[0]
+        k = int(round(12.5 / df))
+        score = Fz[:-2 * k] + Fz[2 * k:]
+        i = int(np.argmax(score))
+        return float(cand[i] + 12.5)
 
     def demod_symbols(self, sig: np.ndarray):
-        """sig: (k*M,) complex baseband (pilot at ~0 Hz after the glue's
-        FCENTRE downshift).  Returns (bits (k,32), sync_flags (k,))."""
-        sig = np.asarray(sig, np.complex64)
-        nsym = len(sig) // M
-        if not self.acquired and nsym >= 4:
-            # skip the filter ramp-up when enough signal is available
-            take = sig[2 * M: 8 * M] if nsym >= 8 else sig[: 4 * M]
-            self.foff_hz = self._acquire(take)
+        """sig: (k*M,) complex passband (carriers at 900..2100 Hz).
+        Returns (bits (n, 32), sync_flags (n,)) — sync flag True when the
+        pilot flipped (odd frame, the 40 ms parity beacon)."""
+        sig = np.asarray(sig, np.complex128)
+        if not self.acquired and len(self.buf) + len(sig) >= 6 * M:
+            probe = np.concatenate([self.buf, sig])[:8 * M]
+            self.foff_hz = self._acquire_freq(probe)
             self.acquired = True
 
-        bits_out = []
-        sync_out = []
-        for s in range(nsym):
-            chunk = sig[s * M:(s + 1) * M]
-            # freq correction
-            n = np.arange(M)
-            corr = chunk * np.exp(-1j * (2 * np.pi * self.foff_hz * n / FS
-                                         + self.phase))
-            self.phase = (self.phase
-                          + 2 * np.pi * self.foff_hz * M / FS) % (2 * np.pi)
-            # shift into filter memory
-            self.sample_mem = np.roll(self.sample_mem, -M)
-            self.sample_mem[-M:] = corr
+        seg = np.concatenate([self.buf, sig])
+        if len(seg) < _NTAPS + M:
+            self.buf = seg
+            return (np.zeros((0, BITS_PER_SYMBOL), np.uint8),
+                    np.zeros(0, bool))
 
-            self.nsamp += M
+        mf = self._mf_all(seg, self.t0_abs)       # (NC+1, L)
+        L = mf.shape[1]
+        # matched-filter output t aligns with absolute time base:
+        mf_t0 = self.t0_abs + _NTAPS - 1          # abs time of mf[:, 0]
 
-            # matched filter at P timing phases for all carriers at once.
-            # sample_mem[i] holds absolute sample (nsamp - len + i); the
-            # mixers must use ABSOLUTE time or the DQPSK differential
-            # picks up a per-carrier rotation each symbol.  All carrier
-            # offsets are multiples of 75 Hz -> period 320 samples.
-            freqs = np.concatenate([CARRIER_FREQS, [PILOT_FREQ]]) - FCENTRE
-            cands = []
-            offs = np.arange(P) * (M // P)        # window starts
-            tvec = np.arange(_NTAPS)
-            t0 = self.nsamp - len(self.sample_mem)
-            for o in offs:
-                seg = self.sample_mem[o: o + _NTAPS]
-                t_abs = ((t0 + o + tvec) % 320)
-                # carrier down-mix * matched filter: (NC+1, taps) @ (taps,)
-                mixer = np.exp(-1j * 2 * np.pi * freqs[:, None]
-                               * t_abs[None, :] / FS)
-                z = (mixer * (_H_RRC * M ** -0.5)[None, :]) @ seg
-                cands.append(z)
-            cands = np.stack(cands, axis=0)        # (P, NC+1)
-            # timing: average the envelope metric over symbols (the
-            # instantaneous DQPSK envelope is too flat to decide per
-            # symbol; the reference similarly estimates timing over NT=5
-            # symbols, fdmdv_internal.h:57)
-            env = np.abs(cands[:, :NC]).sum(axis=1)
-            self.env_avg = 0.9 * self.env_avg + 0.1 * env
-            best = int(np.argmax(self.env_avg))
-            z = cands[best]
+        # --- timing: DFT of the data-carrier envelope at 50 Hz ---
+        env = np.abs(mf[:NC]).sum(axis=0)
+        t_abs = mf_t0 + np.arange(L)
+        self.timing_acc += np.sum(env * np.exp(-2j * np.pi * t_abs / M))
+        self.timing_n += L
+        if self.timing_n >= 4 * M:
+            # envelope ~ A + B*cos(2*pi*(t - tau)/M)  =>
+            # angle(DFT@50Hz) = -2*pi*tau/M
+            ph = -(np.angle(self.timing_acc) / (2 * np.pi)) * M
+            self.timing = float(ph % M)
+            # decay so timing can track slow clock drift
+            self.timing_acc *= 0.5
+            self.timing_n //= 2
 
-            # DQPSK: phase difference vs previous symbol
+        if self.timing is None:
+            self.buf = seg[-(_NTAPS + M):]
+            self.t0_abs += len(seg) - len(self.buf)
+            return (np.zeros((0, BITS_PER_SYMBOL), np.uint8),
+                    np.zeros(0, bool))
+
+        # symbol sampling instants: absolute times == timing (mod M)
+        first = mf_t0
+        k0 = int(np.ceil((first - self.timing) / M))
+        bits_out, sync_out = [], []
+        while True:
+            t_samp = self.timing + k0 * M
+            idx = int(round(t_samp - mf_t0))
+            if idx >= L:
+                break
+            if self.next_sample is not None and t_samp <= self.next_sample - M / 2:
+                k0 += 1
+                continue
+            z = mf[:, idx]
             d = z * np.conj(self.prev_rx_symbols)
             self.prev_rx_symbols = z
-            ph = np.round(np.angle(d[:NC]) / (np.pi / 2)).astype(int) % 4
-            bits = np.array([_GRAY_REV[int(p)] for p in ph]).reshape(-1)
-
-            # pilot-based tracking: residual rotation of the constant
-            # pilot's differential (zero when locked).  The step is
-            # clamped and gated on pilot strength so noise cannot walk
-            # the estimate away from lock.
+            # residual-frequency de-rotation: the pilot's diff is +-real,
+            # so its angle mod pi is the common DQPSK rotation per symbol
+            # (a small leftover foff rotates every d by the same angle)
             dp = d[NC]
-            err = np.angle(dp)
-            pilot_nominal = PILOT_SCALE / (NC + PILOT_SCALE ** 2) ** 0.5
-            strong = abs(z[NC]) > 0.4 * pilot_nominal
-            if strong:
-                step = 0.15 * err * RS / (2 * np.pi)
-                self.foff_hz += float(np.clip(step, -1.0, 1.0))
-            # SNR estimate from pilot scatter
-            pm = abs(dp)
-            if pm > 0:
-                dev = abs(err)
-                inst = max(0.1, min(30.0, 10 * np.log10(
-                    1.0 / max(dev ** 2, 1e-3))))
-                self.snr_est = 0.9 * self.snr_est + 0.1 * inst
-            # sync: pilot magnitude near its nominal level
-            pilot_nominal = PILOT_SCALE / (NC + PILOT_SCALE ** 2) ** 0.5
-            sync = abs(z[NC]) > 0.5 * pilot_nominal
-            bits_out.append(bits)
-            sync_out.append(bool(sync))
-        return np.array(bits_out), np.array(sync_out)
+            theta = np.angle(dp if dp.real >= 0 else -dp)
+            self.rot = 0.9 * self.rot + 0.1 * theta
+            dd = d[:NC] * np.exp(-1j * self.rot)
+            bits_out.append(increments_to_bits(dd[None, :])[0])
+            sync_out.append(bool(np.real(dp) < 0.0))
+            self.next_sample = t_samp + M
+            k0 += 1
+
+        keep = _NTAPS + M
+        self.buf = seg[-keep:]
+        self.t0_abs += len(seg) - keep
+        if not bits_out:
+            return (np.zeros((0, BITS_PER_SYMBOL), np.uint8),
+                    np.zeros(0, bool))
+        return np.stack(bits_out), np.array(sync_out, bool)

@@ -12,9 +12,11 @@ ring buffers processed off the hot path (`freedv_uhsdr.c:166-320`,
   * `FreeDv1600` — the full digital-voice stack: 1300 bit/s LPC/LSP
     vocoder (`modems/vocoder.py`), Golay(23,12) FEC over the critical
     bits (`modems/golay.py`), and the 16-carrier FDMDV DQPSK modem
-    (`modems/fdmdv.py`).  Same frame economy and waveform class as the
-    reference's mode 1600; not bit-interoperable (independent
-    implementation, see the module docstrings).
+    (`modems/fdmdv.py`) — modem + FEC framing BIT-COMPATIBLE with the
+    reference's mode 1600 (proven on the firmware's recorded vectors,
+    tests/test_freedv_interop.py); the vocoder payload remains an
+    independent implementation (the 52 codec bits are our own vocoder's,
+    carried in the reference's frame slots).
 """
 from __future__ import annotations
 
@@ -27,6 +29,34 @@ import numpy as np
 from ..ops import design, fir
 
 MODEM_RATE = 8000.0
+
+# --- reference 1600 frame layout (freedv_comptx_fdmdv_1600,
+# freedv_api.c:792-882 / freedv_comprx rx :1430-1480): Golay(23,12)
+# protects codec bits [0:8]+[11:15] (voicing, pitch MSBs, energy MSBs);
+# the 11 parity bits sit at frame bits [52:63] MSB-first; bit 63 spare.
+GOLAY_DATA_POS = np.concatenate([np.arange(0, 8), np.arange(11, 15)])
+_NONCRIT_POS = np.array([i for i in range(52)
+                         if i not in set(GOLAY_DATA_POS.tolist())])
+
+
+def frame_codeword(b64: np.ndarray) -> np.ndarray:
+    """The 23-bit Golay codeword carried by a 64-bit 1600-mode frame."""
+    return np.concatenate([b64[GOLAY_DATA_POS], b64[52:63]])
+
+
+def pack_codec_bits(cbits: np.ndarray) -> np.ndarray:
+    """Our vocoder frame (52,) with critical bits FIRST -> reference
+    frame slots (52,) with critical bits at the Golay-protected
+    positions [0:8]+[11:15]."""
+    out = np.empty(52, np.uint8)
+    out[GOLAY_DATA_POS] = cbits[:12]
+    out[_NONCRIT_POS] = cbits[12:]
+    return out
+
+
+def unpack_codec_bits(slots: np.ndarray) -> np.ndarray:
+    return np.concatenate([slots[GOLAY_DATA_POS], slots[_NONCRIT_POS]])
+
 IQ_RATE = 48000.0
 RATIO = 6
 
@@ -60,10 +90,10 @@ class FreeDv1600:
     carrier FDMDV DQPSK.  The full-stack analog of `freedv_comptx` /
     `freedv_comprx` for mode 1600 (`freedv_api.c:143-146,559,1244`).
 
-    Frame economy (matches the reference's 1600 mode):
-      52 vocoder bits + 11 Golay(23,12) parity bits over the 12
-      perceptually-critical bits (4 voicing + 7 pitch + energy MSB)
-      + 1 varicode text bit = 64 bits / 40 ms = two FDMDV symbols.
+    Frame layout (the reference's 1600 mode, bit positions and all):
+      52 codec bits (critical bits in slots [0:8]+[11:15]) + 11
+      Golay(23,12) parity bits at [52:63] + 1 spare/text bit = 64 bits
+      / 40 ms = two FDMDV symbols.
 
     Frame alignment onto the symbol stream is recovered from the FEC
     itself: both 2-symbol phases are scored by Golay syndrome weight.
@@ -99,12 +129,12 @@ class FreeDv1600:
             frame, self._speech_in = (self._speech_in[:F],
                                       self._speech_in[F:])
             cbits = self._voc.encode_frame(frame.astype(np.float64))
-            crit = cbits[:12]                     # voicing+pitch+energy MSB
-            cw = self._golay.encode_bits(crit[None, :])[0]
-            parity = cw[12:]                      # (11,)
+            slots = pack_codec_bits(cbits)
+            cw = self._golay.encode_bits(slots[GOLAY_DATA_POS][None, :])[0]
+            parity = cw[12:]                      # (11,) MSB-first
             text = np.array([self.text_bits_tx.pop(0)
                              if self.text_bits_tx else 0], np.uint8)
-            bits64 = np.concatenate([cbits, parity, text])
+            bits64 = np.concatenate([slots, parity, text])
             out.append(self.modulator.modulate_frame(
                 bits64.reshape(2, self._fdmdv.BITS_PER_SYMBOL)))
         if not out:
@@ -136,25 +166,28 @@ class FreeDv1600:
                     b64 = np.concatenate([self._sym_buf[ph][0],
                                           self._sym_buf[ph + 1][0]])
                     _, ncorr = self._golay.decode_bits(
-                        np.concatenate([b64[:12], b64[52:63]])[None, :])
+                        frame_codeword(b64)[None, :])
                     scores.append(int(ncorr[0]))
                 self._align = int(np.argmin(scores))
                 if self._align:
                     self._sym_buf.pop(0)
             (b0, s0), (b1, s1) = self._sym_buf[0], self._sym_buf[1]
             b64 = np.concatenate([b0, b1])
-            frame_synced = s0 and s1
+            # pilot DBPSK +,+,-,-: the flip flag alternates every symbol
+            # when locked — alternation IS the sync indicator
+            frame_synced = s0 != s1
             del self._sym_buf[:2]
             if not frame_synced:
                 # modem not locked: emit silence (squelch, the glue's
                 # analog of freedv squelch at low sync/SNR)
                 speech.append(np.zeros(self._voc.FRAME, np.float32))
                 continue
-            cbits = b64[:52].copy()
-            recv_cw = np.concatenate([b64[:12], b64[52:63]])
-            data, ncorr = self._golay.decode_bits(recv_cw[None, :])
+            slots = b64[:52].copy()
+            data, ncorr = self._golay.decode_bits(
+                frame_codeword(b64)[None, :])
             self.parity_errors += int(ncorr[0])
-            cbits[:12] = data[0]                  # FEC-corrected
+            slots[GOLAY_DATA_POS] = data[0]       # FEC-corrected
+            cbits = unpack_codec_bits(slots)
             self.text_bits_rx.append(int(b64[63]))
             frame = self._voc.decode_frame_bits(cbits)
             speech.append(self.vocoder.synth.synthesize(frame))
