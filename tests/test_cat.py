@@ -89,3 +89,54 @@ def test_tcp_server_client_roundtrip(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_registry_mirrors_reference_table():
+    """The registry carries the reference's full ConfigEntryInfo table
+    (>=144 rows after macro expansion, ui_configuration.c:61-282) with
+    the real EEPROM ids, defaults and ranges, imported as data."""
+    from uhsdr_tpu.core import config as config_mod
+
+    assert len(config_mod.REGISTRY) >= 144
+    ids = [e.eeprom_id for e in config_mod.REGISTRY]
+    assert len(set(ids)) == len(ids)
+    # spot-check known reference rows (ui_configuration.c)
+    by_name = {e.name: e for e in config_mod.REGISTRY}
+    agc = by_name["agc_wdsp_thresh_db"]
+    assert agc.ref_id is not None            # real firmware id attached
+    tp = by_name["band0_5w"]                  # per-band power factor row
+    assert tp.min == 0
+    sam = by_name["sam_pll_locking_range"] if "sam_pll_locking_range" \
+        in by_name else by_name["sam_fmax"]
+    assert sam.ref_id is not None
+    # defaults respect their own clamps
+    for e in config_mod.REGISTRY:
+        if e.typ in (int, float) and e.min is not None and e.max is not None:
+            assert e.min <= e.clamp(e.default) <= e.max, e.name
+
+
+def test_band_vfo_memory_cat_clone(tmp_path):
+    """Band/VFO memories round-trip through the CAT clone path
+    (EEPROM_BAND0_* id ranges, ui_configuration.c:920-923)."""
+    radio = cat.Radio()
+    srv = cat.CatServer(radio).start()
+    try:
+        c = cat.CatClient(port=srv.port)
+        bm = radio.config.band_memory
+        bm.dial["A"][3] = 14_074_000
+        bm.mode["A"][3] = 1
+        bm.dial["B"][5] = 21_200_123
+        path = str(tmp_path / "clone.json")
+        c.backup_config(path)
+
+        # wipe, then restore over CAT and check the memories came back
+        from uhsdr_tpu.core.config import BandMemories
+        radio.config.band_memory = BandMemories()
+        assert radio.config.band_memory.dial["A"][3] != 14_074_000
+        c.restore_config(path)
+        assert radio.config.band_memory.dial["A"][3] == 14_074_000
+        assert radio.config.band_memory.mode["A"][3] == 1
+        assert radio.config.band_memory.dial["B"][5] == 21_200_123
+        c.close()
+    finally:
+        srv.stop()

@@ -208,14 +208,19 @@ class CatProtocol:
     # --- config registry via 16-bit variable ids (uhsdr extension) ---
     def _config_read(self, var_id: int) -> int:
         entry = config_mod.entry_by_id(var_id)
-        if entry is None:
-            return 0
-        return entry.cat_encode(self.radio.config.get(entry.name))
+        if entry is not None:
+            return entry.cat_encode(self.radio.config.get(entry.name))
+        # band/VFO memory words (EEPROM_BAND0_MODE/FREQ_* id ranges,
+        # ui_configuration.c:920-923)
+        word = self.radio.config.band_memory.read_word(var_id)
+        return word if word is not None else 0
 
     def _config_write(self, var_id: int, value: int) -> None:
         entry = config_mod.entry_by_id(var_id)
         if entry is not None:
             self.radio.config.set(entry.name, entry.cat_decode(value))
+            return
+        self.radio.config.band_memory.write_word(var_id, value)
 
 
 class _CatTcpHandler(socketserver.BaseRequestHandler):
@@ -305,10 +310,20 @@ class CatClient:
                                  value & 0xFF, (value >> 8) & 0xFF))
 
     # --- uhsdr_tool.py analog: whole-config backup/restore ---
+    def _band_memory_ids(self):
+        bm = config_mod.BandMemories
+        for base in bm.IDS.values():
+            for i in range(bm.NUM_BANDS):
+                yield base + i
+
     def backup_config(self, path: str) -> dict:
         data = {}
         for entry in config_mod.REGISTRY:
             data[entry.name] = self.read_config(entry.eeprom_id)
+        # band/VFO memories cloned as raw words by EEPROM id
+        data["__band_memory__"] = {
+            str(vid): self.read_config(vid)
+            for vid in self._band_memory_ids()}
         with open(path, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
         return data
@@ -318,7 +333,10 @@ class CatClient:
             data = json.load(f)
         by_name = {e.name: e for e in config_mod.REGISTRY}
         for name, value in data.items():
-            if name in by_name:
+            if name == "__band_memory__":
+                for vid, word in value.items():
+                    self.write_config(int(vid), int(word))
+            elif name in by_name:
                 self.write_config(by_name[name].eeprom_id, int(value))
 
     def close(self):

@@ -33,6 +33,9 @@ class ConfigEntry:
     typ: type = int
     doc: str = ""
     choices: tuple = ()       # for str entries: CAT enumeration order
+    ref_id: int | None = None  # the reference's real EEPROM id
+                               # (ui_configuration.h) when the entry
+                               # mirrors a firmware row
 
     def clamp(self, value):
         v = self.typ(value)
@@ -45,9 +48,13 @@ class ConfigEntry:
 
     @property
     def eeprom_id(self) -> int:
-        """Stable 16-bit variable id for the CAT/EEPROM transport (the
-        reference's ui_configuration.h EEPROM id role)."""
-        return 0x100 + REGISTRY.index(self)
+        """16-bit variable id for the CAT/EEPROM transport: the
+        reference's REAL EEPROM id (ui_configuration.h) when the entry
+        mirrors a firmware row, else a stable synthetic id above the
+        firmware's range."""
+        if self.ref_id is not None:
+            return self.ref_id
+        return 0x1000 + REGISTRY.index(self)
 
     def cat_encode(self, value) -> int:
         """Encode a config value into the 16-bit CAT wire format:
@@ -136,8 +143,157 @@ REGISTRY: list[ConfigEntry] = [
     ConfigEntry("beep_volume", 10, 0, 20, int),
 ]
 
+# --- the reference's full registry, imported as data -----------------------
+# (tools/parse_ref_config.py <- ui_configuration.c:61-282; 156 rows incl.
+# the macro-generated per-band power-factor and IQ-balance rows)
+
+# curated entries above that MIRROR a firmware row: name -> EEPROM symbol.
+# They get the real EEPROM id; the remaining firmware rows are generated.
+_CURATED_REF = {
+    "audio_gain": "EEPROM_AUDIO_GAIN",
+    "agc_mode": "EEPROM_AGC_WDSP_MODE",
+    "agc_wdsp_thresh_db": "EEPROM_AGC_WDSP_THRESH",
+    "agc_wdsp_slope_db": "EEPROM_AGC_WDSP_SLOPE",
+    "agc_wdsp_hang_enable": "EEPROM_AGC_WDSP_HANG",
+    "dsp_nr_strength": "EEPROM_DSP_NR_STRENGTH",
+    "iq_freq_mode": "EEPROM_FREQ_CONV_MODE",
+    "fm_sql_threshold": "EEPROM_FM_SQUELCH_SETTING",
+    "cw_sidetone_freq": "EEPROM_SIDETONE_FREQ",
+    "cw_speed_wpm": "EEPROM_CW_KEYER_SPEED",
+    "cw_keyer_mode": "EEPROM_CW_KEYER_MODE",
+    "cw_decoder_thresh": "EEPROM_CW_DECODER_THRESH",
+    "tx_comp_level": "EEPROM_TX_AUDIO_COMPRESS",
+    "tx_postfilt_gain": "EEPROM_ALC_POSTFILT_TX_GAIN",
+    "dbm_constant": "EEPROM_DBM_CALIBRATE",
+    "beep_freq": "EEPROM_KEYBOARD_BEEP_FREQ",
+    "beep_volume": "EEPROM_BEEP_LOUDNESS",
+    "spectrum_magnify": "EEPROM_SPECTRUM_MAGNIFY",
+    "sam_pll_zeta_x100": "EEPROM_SAM_PLL_STEP_RESPONSE",
+    "sam_pll_omega": "EEPROM_SAM_PLL_BANDWIDTH",
+    "sam_fmax": "EEPROM_SAM_PLL_LOCKING_RANGE",
+    "fade_leveler": "EEPROM_SAM_FADE_LEVELER",
+}
+
+
+def _load_ref_rows():
+    import pathlib
+    path = (pathlib.Path(__file__).resolve().parent.parent / "data"
+            / "ref_config.json")
+    return json.loads(path.read_text())
+
+
+_REF_DATA = _load_ref_rows()
+
+# dedupe by eeprom name keeping the LAST occurrence (the table lists
+# EEPROM_FLAGS2 twice; the later row carries the real default/range)
+_REF_ROWS: dict[str, dict] = {}
+for _r in _REF_DATA["rows"]:
+    _REF_ROWS[_r["eeprom_name"]] = _r
+
+# attach real ids to curated entries
+_ref_by_name = {r["eeprom_name"]: r for r in _REF_ROWS.values()}
+REGISTRY = [
+    dataclasses.replace(
+        e, ref_id=_ref_by_name[_CURATED_REF[e.name]]["eeprom_id"])
+    if e.name in _CURATED_REF and _CURATED_REF[e.name] in _ref_by_name
+    else e
+    for e in REGISTRY
+]
+
+# generate entries for every remaining firmware row
+_claimed = {sym for sym in _CURATED_REF.values()}
+for _r in _REF_ROWS.values():
+    if _r["eeprom_name"] in _claimed:
+        continue
+    _name = _r["eeprom_name"].lower().removeprefix("eeprom_")
+    REGISTRY.append(ConfigEntry(
+        name=_name,
+        default=int(_r["default"]),
+        min=_r["min"], max=_r["max"], typ=int,
+        doc=("calibration; " if _r["calib"] else "")
+        + f"{_r['eeprom_name']} -> {_r['target']} ({_r['type']})",
+        ref_id=_r["eeprom_id"],
+    ))
+
 _BY_NAME = {e.name: e for e in REGISTRY}
 _BY_ID = {e.eeprom_id: e for e in REGISTRY}
+
+
+# --- band/VFO memories (ui_configuration.c:545-620, 920-923) ---------------
+
+class BandMemories:
+    """Per-band VFO A/B memories: dial frequency (uint32, stored as
+    high/low 16-bit words in the reference) + demod mode word.  EEPROM id
+    layout from the imported table (EEPROM_BAND0_MODE_A + i, etc.)."""
+
+    IDS = {k: v for k, v in _REF_DATA["band_memory"]["ids"].items()}
+    NUM_BANDS = int(_REF_DATA["band_memory"].get("num_bands") or 17)
+
+    def __init__(self):
+        def _default_dial(i):
+            try:
+                from ..control.radio import BANDS
+                if i < len(BANDS):
+                    return int(BANDS[i][1])
+            except Exception:
+                pass
+            return 7_000_000 + 10_000 * i
+        # mode word: reference packs decod mode etc.; we store the demod
+        # mode index (0=lsb 1=usb 2=cw 3=am 4=sam 5=fm) like dmod_mode
+        self.dial = {v: [_default_dial(i) for i in range(self.NUM_BANDS)]
+                     for v in ("A", "B")}
+        self.mode = {v: [0] * self.NUM_BANDS for v in ("A", "B")}
+
+    # --- 16-bit word transport (CAT clone / EEPROM image) ---
+    def read_word(self, var_id: int) -> int | None:
+        for vfo, base_m, base_h, base_l in (
+                ("A", self.IDS.get("EEPROM_BAND0_MODE_A"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_HIGH_A"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_LOW_A")),
+                ("B", self.IDS.get("EEPROM_BAND0_MODE_B"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_HIGH_B"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_LOW_B"))):
+            for base, getter in (
+                    (base_m, lambda v, i: self.mode[v][i] & 0xFFFF),
+                    (base_h, lambda v, i: (self.dial[v][i] >> 16) & 0xFFFF),
+                    (base_l, lambda v, i: self.dial[v][i] & 0xFFFF)):
+                if base is not None and base <= var_id < base + self.NUM_BANDS:
+                    return getter(vfo, var_id - base)
+        return None
+
+    def write_word(self, var_id: int, value: int) -> bool:
+        value &= 0xFFFF
+        for vfo, base_m, base_h, base_l in (
+                ("A", self.IDS.get("EEPROM_BAND0_MODE_A"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_HIGH_A"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_LOW_A")),
+                ("B", self.IDS.get("EEPROM_BAND0_MODE_B"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_HIGH_B"),
+                 self.IDS.get("EEPROM_BAND0_FREQ_LOW_B"))):
+            if base_m is not None and base_m <= var_id < base_m + self.NUM_BANDS:
+                self.mode[vfo][var_id - base_m] = value
+                return True
+            if base_h is not None and base_h <= var_id < base_h + self.NUM_BANDS:
+                i = var_id - base_h
+                self.dial[vfo][i] = (self.dial[vfo][i] & 0xFFFF) | (value << 16)
+                return True
+            if base_l is not None and base_l <= var_id < base_l + self.NUM_BANDS:
+                i = var_id - base_l
+                self.dial[vfo][i] = (self.dial[vfo][i] & ~0xFFFF) | value
+                return True
+        return False
+
+    def to_dict(self) -> dict:
+        return {"dial": self.dial, "mode": self.mode}
+
+    def from_dict(self, d: dict) -> None:
+        for v in ("A", "B"):
+            if v in d.get("dial", {}):
+                vals = d["dial"][v][: self.NUM_BANDS]
+                self.dial[v][: len(vals)] = [int(x) for x in vals]
+            if v in d.get("mode", {}):
+                vals = d["mode"][v][: self.NUM_BANDS]
+                self.mode[v][: len(vals)] = [int(x) for x in vals]
 
 
 def entry_by_id(eeprom_id: int) -> ConfigEntry | None:
@@ -153,6 +309,7 @@ class Config:
 
     def __init__(self, **overrides):
         self._values = {e.name: e.default for e in REGISTRY}
+        self.band_memory = BandMemories()
         for k, v in overrides.items():
             self.set(k, v)
 
@@ -176,7 +333,8 @@ class Config:
 
     # --- persistence (EEPROM analog) ---
     def save(self, path: str) -> None:
-        blob = {"version": CONFIG_VERSION, "values": self._values}
+        blob = {"version": CONFIG_VERSION, "values": self._values,
+                "band_memory": self.band_memory.to_dict()}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(blob, f, indent=2, sort_keys=True)
@@ -190,6 +348,8 @@ class Config:
         for k, v in blob.get("values", {}).items():
             if k in _BY_NAME:          # unknown rows ignored (fw-compat)
                 cfg.set(k, v)
+        if "band_memory" in blob:
+            cfg.band_memory.from_dict(blob["band_memory"])
         return cfg
 
     def load_defaults(self) -> None:
