@@ -153,7 +153,7 @@ def _process_frame(params: NbParams, buf: jnp.ndarray) -> jnp.ndarray:
     tmp = _fir_along_last(tmp, e, ORDER + 1)
     tmp = tmp[..., :N]                            # detection signal
 
-    sigma2 = jnp.var(tmp, axis=-1)
+    sigma2 = jnp.var(tmp, axis=-1, ddof=1)   # arm_var_f32 divides by N-1
     lpc_power = jnp.sum(e[..., :ORDER] ** 2, axis=-1)
     thr = params.threshold_mult * jnp.sqrt(
         jnp.maximum(sigma2 * lpc_power, 1e-30))

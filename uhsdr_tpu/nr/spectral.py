@@ -181,7 +181,12 @@ def _frame_step(params: NrParams, carry, X):
 
     ph1y = 1.0 / (1.0 + params.pfac * jnp.exp(params.xih1r * X /
                                               jnp.maximum(xt, 1e-20)))
-    pslp = AP * pslp + (1.0 - AP) * ph1y
+    # pslp / xt / Hk_old are frozen while booting: the reference's
+    # recurrence block runs only under `first_time == 3`
+    # (`audio_nr.c:2008-2034`) — during the 20 bootstrap frames pslp
+    # stays at its 0.5 init and Hk_old at 1.0
+    not_boot = ~booting[..., None]
+    pslp = jnp.where(not_boot, AP * pslp + (1.0 - AP) * ph1y, pslp)
     ph1y = jnp.where(pslp > PSTHR, 1.0 - PNSAF, jnp.minimum(ph1y, 1.0))
     xtr = (1.0 - ph1y) * X + ph1y * xt
     xt_new = AX * xt + (1.0 - AX) * xtr
@@ -196,7 +201,7 @@ def _frame_step(params: NrParams, carry, X):
     idx = jnp.arange(nb)
     band = (idx >= params.vad_low) & (idx < params.vad_high)
     hk = jnp.where(band, hk_band, 1.0)
-    hk_old = jnp.where(band, snr_post * hk * hk, hk_old)
+    hk_old = jnp.where(not_boot & band, snr_post * hk * hk, hk_old)
     init_count = init_count + 1
     return (xt, pslp, hk_old, init_count, nest_acc), (hk, booting)
 
@@ -209,7 +214,9 @@ def process_block(params: NrParams, state: NrState, x: jnp.ndarray):
     xfull = jnp.concatenate([state.last_half, x], axis=-1)
     frames = fftutil.frame_overlap(xfull, FFT_L, HOP)     # (..., F, 256)
     nb = FFT_L // 2
-    win = jnp.asarray(fftutil.sqrt_hann(FFT_L))
+    # reference-exact SYMMETRIC sqrt-Hann (`SQRT_von_Hann_256`,
+    # audio_nr.c:76) — NOT the periodic variant
+    win = jnp.asarray(fftutil.sqrt_hann_sym(FFT_L))
 
     # ALL frame FFTs batched up front (real frames -> rfft; the axon TPU
     # backend lacks complex-input FFT) — only the elementwise noise

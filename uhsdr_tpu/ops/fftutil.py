@@ -68,6 +68,15 @@ def sqrt_hann(n: int) -> np.ndarray:
     return np.sqrt(hann(n)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def sqrt_hann_sym(n: int) -> np.ndarray:
+    # SYMMETRIC sqrt-Hann — sin(pi*i/(n-1)), zero at BOTH ends: the
+    # reference's `SQRT_von_Hann_256` table (`audio_nr.c:76`) used by the
+    # spectral NR.  Not exactly COLA at 50% overlap (the firmware lives
+    # with the ~0.8% ripple); kept for reference-exact conformance.
+    return np.sin(np.pi * np.arange(n) / (n - 1)).astype(np.float32)
+
+
 def frame_overlap(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
     """Frame (..., T) into (..., n_frames, frame_len) with the given hop.
     T must satisfy (T - frame_len) % hop == 0.

@@ -254,8 +254,10 @@ class OverlapSaveFilter:
             y = jnp.fft.irfft(X * self.H_r, n=self.nfft, axis=-1)
         y = y[..., self.taps - 1: self.taps - 1 + self.block_len]
         # taps == 1: -(taps-1) == -0 would slice the WHOLE buffer and
-        # grow the carry every call (same guard as fir_block)
-        new_carry = xfull[..., -(self.taps - 1):] if self.taps > 1 else carry
+        # grow the carry every call; return a canonical empty slice so a
+        # malformed non-empty initial carry cannot persist silently
+        new_carry = (xfull[..., -(self.taps - 1):] if self.taps > 1
+                     else xfull[..., :0])
         return y, new_carry
 
 
