@@ -48,7 +48,10 @@ def main() -> None:
 
     channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
-    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    # pinned steps/warmup (VERDICT r1 weak #3): 8 timed steps after 2
+    # warm steps keeps run-to-run spread ~2-3% (4 steps showed ~10%)
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    warm = int(os.environ.get("BENCH_WARM", "2"))
     # BASELINE flagship config: 96 kHz IQ (the north-star scale target is
     # "10k simultaneous SSB channels @96 kHz"); decimation scales so the
     # decimated audio rate matches the reference paths
@@ -82,8 +85,9 @@ def main() -> None:
 
     # warmup / compile (incl. the probe fetch path)
     state = mkstate(anchor)
-    audio, state = step(state, i_plane, q_plane)
-    np.asarray(probe(audio))
+    for _ in range(warm):
+        audio, state = step(state, i_plane, q_plane)
+        np.asarray(probe(audio))
 
     t0 = time.perf_counter()
     for _ in range(steps):

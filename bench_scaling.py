@@ -46,6 +46,9 @@ def main() -> None:
     devices = jax.devices()
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     results = []
+    artifact = {"backend": os.environ.get("SCALING_BACKEND", "cpu"),
+                "per_dev_channels": per_dev_channels, "block": block,
+                "steps": steps, "rows": []}
     for n in sizes:
         cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
                           translate_hz=6000.0, block_len=block)
@@ -69,24 +72,32 @@ def main() -> None:
         dt = time.perf_counter() - t0
         rate = C * block * steps / dt / 1e6
         results.append((n, rate))
-        print(json.dumps({"devices": n, "channels": C,
-                          "Msamples_per_s": round(rate, 1)}))
+        row = {"devices": n, "channels": C,
+               "Msamples_per_s": round(rate, 1)}
+        artifact["rows"].append(row)
+        print(json.dumps(row))
 
     if os.environ.get("SCALING_BACKEND", "cpu") == "cpu":
         # virtual devices share the same host cores: aggregate rate can't
         # grow, so efficiency is not meaningful — this mode validates that
         # the sharded pipeline (channel split + ppermute halos) compiles
         # and executes at every mesh size.
-        print(json.dumps({"mode": "cpu-validation",
-                          "meshes_validated": [n for n, _ in results],
-                          "note": "run with SCALING_BACKEND=tpu on a real "
-                                  "slice for ICI efficiency numbers"}))
+        summary = {"mode": "cpu-validation",
+                   "meshes_validated": [n for n, _ in results],
+                   "note": "run with SCALING_BACKEND=tpu on a real "
+                           "slice for ICI efficiency numbers"}
     else:
         base = results[0][1]
-        for n, rate in results[1:]:
-            eff = rate / (n * base)
-            print(json.dumps({"scaling_devices": n,
-                              "efficiency_vs_1dev": round(eff, 3)}))
+        summary = {"mode": "tpu",
+                   "efficiency_vs_1dev": {
+                       n: round(rate / (n * base), 3)
+                       for n, rate in results[1:]}}
+    artifact["summary"] = summary
+    print(json.dumps(summary))
+    out_path = os.environ.get("SCALING_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
 
 
 if __name__ == "__main__":

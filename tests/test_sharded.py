@@ -203,3 +203,39 @@ def test_sharded_channelizer_matches_single_device():
     ref_bank = channelizer.AnalysisPfb(M, prototype=bank.prototype)
     y_ref, _ = ref_bank(ref_bank.init_state(), jnp.asarray(x))
     np.testing.assert_allclose(got, np.asarray(y_ref), atol=2e-5)
+
+
+def test_sharded_front_pallas_path_matches_xla(mesh42):
+    """front_impl='pallas' routes the sharded body through the Pallas MXU
+    kernel (interpret mode on CPU) with the halo-overlap edge/body split;
+    must equal the XLA front path to f32 precision."""
+    fs = 48000
+    T = 4096                 # t_local = 2048; 2048/4 = 512 = 2*256 tiles
+    C = 64                   # C_local = 16 -> tile_c 8
+    t = np.arange(2 * T) / fs
+    rng = np.random.default_rng(3)
+    z = (0.5 * np.exp(2j * np.pi * (6000 + 700) * t)
+         + 0.01 * (rng.standard_normal(len(t))
+                   + 1j * rng.standard_normal(len(t)))).astype(np.complex64)
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                          translate_hz=6000.0, block_len=T, front_impl=impl)
+        step, init_state = rx_sharded.make_sharded_rx(cfg, mesh42)
+        state = init_state(C)
+        grid = mesh_mod.grid_sharding(mesh42)
+        got = []
+        for k in range(2):
+            blk = np.ascontiguousarray(
+                np.broadcast_to(z[k * T:(k + 1) * T], (C, T)))
+            i_p = jax.device_put(blk.real.astype(np.float32), grid)
+            q_p = jax.device_put(blk.imag.astype(np.float32), grid)
+            audio, state = step(state, i_p, q_p)
+            got.append(np.asarray(audio))
+        outs[impl] = np.concatenate(got, axis=-1)
+
+    err = outs["pallas"] - outs["xla"]
+    snr = 10 * np.log10((outs["xla"] ** 2).mean() /
+                        max((err ** 2).mean(), 1e-20))
+    assert snr > 60, snr

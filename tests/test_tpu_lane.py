@@ -1,0 +1,223 @@
+"""Real-TPU kernel-engagement lane (VERDICT round-1 item 7).
+
+Run on a TPU host:  ``UHSDR_TPU_TESTS=1 python -m pytest tests/ -m tpu -q``
+
+Each test compiles the Pallas kernel path THROUGH MOSAIC on the real chip
+and compares it on-device against the XLA/scan reference implementation
+of the same op, fetching only small f32 error probes (axon relay rules:
+f32-only transfers, no big fetches — see ARCHITECTURE.md "axon dtype
+constraints").  A tiling/dtype/VMEM regression in any kernel fails here
+instead of only in the manual tools/tpu_conformance.py run.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+def _snr_db(probe_out):
+    ref_pow, err_pow = float(probe_out[0]), float(probe_out[1])
+    return 10.0 * np.log10(max(ref_pow, 1e-30) / max(err_pow, 1e-30))
+
+
+def _probe(ref, err):
+    return jnp.stack([jnp.mean(jnp.square(ref)),
+                      jnp.mean(jnp.square(err)),
+                      jnp.float32(0), jnp.float32(0)])
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_tpu():
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs the axon TPU backend")
+
+
+def test_fir_decimate_kernel_on_chip():
+    """Pallas MXU decimating FIR (fused NCO off) vs ops.fir XLA path."""
+    from uhsdr_tpu.ops import fir
+    from uhsdr_tpu.pallas import fir as pallas_fir
+
+    C, T, decim = 64, 4096, 4
+    taps = 199
+    rng = np.random.default_rng(0)
+    h = (rng.standard_normal(taps) + 1j * rng.standard_normal(taps)
+         ).astype(np.complex64) * 0.05
+    i_np = rng.standard_normal((C, T)).astype(np.float32)
+    q_np = rng.standard_normal((C, T)).astype(np.float32)
+
+    @jax.jit
+    def both(i, q):
+        z = jax.lax.complex(i, q)
+        carry = jnp.zeros((C, taps - 1), jnp.complex64)
+        y_k, _ = pallas_fir.fir_decimate_pallas(h, carry, z, decim,
+                                                tile_c=8, tile_t=256)
+        y_r, _ = fir.fir_decimate_block(jnp.asarray(h), carry, z, decim)
+        err = y_k - y_r
+        return _probe(jnp.abs(y_r), jnp.abs(err))
+
+    out = np.asarray(both(jax.device_put(i_np), jax.device_put(q_np)))
+    # MXU matmuls at DEFAULT precision are single-pass bf16 (the perf
+    # contract the chain ships with; conformance bound is 40 dB) — the
+    # XLA path FFT-convolves in f32, so ~53 dB is the expected on-chip
+    # agreement, not a regression.  Measured 52.7 dB on v5e.
+    assert _snr_db(out) > 45, out
+
+
+def test_agc_kernel_on_chip():
+    """Fused AGC v3 kernel (C=1024 engages it) vs the scan path (C=8
+    slice dodges the C % 1024 condition) on identical rows."""
+    from uhsdr_tpu.ops import agc as agc_mod
+
+    C, T = 1024, 2048
+    params = agc_mod.make_params(12000.0, mode="med", thresh_db=60.0)
+    rng = np.random.default_rng(1)
+    x_np = (rng.standard_normal((8, T)) * 1000.0).astype(np.float32)
+    x_np = np.tile(x_np, (C // 8, 1))
+
+    @jax.jit
+    def both(x):
+        y_k, _ = agc_mod.run(params, agc_mod.init_state((C,), params), x)
+        y_r, _ = agc_mod.run(params, agc_mod.init_state((8,), params),
+                             x[:8])
+        err = y_k[:8] - y_r
+        return _probe(y_r, err)
+
+    out = np.asarray(both(jax.device_put(x_np)))
+    assert _snr_db(out) > 60, out
+
+
+def test_biquad_kernel_on_chip():
+    """Pallas biquad-cascade kernel vs the XLA dilated scan."""
+    from scipy import signal
+
+    from uhsdr_tpu.ops import iir
+
+    C, T = 128, 2048
+    sos = signal.butter(4, [0.05, 0.4], btype="band",
+                        output="sos").astype(np.float32)
+    # dispatch format: (sections, 5) [b0, b1, b2, a1, a2]
+    sos5 = np.concatenate([sos[:, :3], sos[:, 4:6]], axis=1)
+    rng = np.random.default_rng(2)
+    x_np = rng.standard_normal((C, T)).astype(np.float32)
+
+    @jax.jit
+    def both(x):
+        st = jnp.zeros((sos5.shape[0], C, 2), jnp.float32)
+        y_k, _ = iir.biquad_cascade_dispatch(sos5, st, x, impl="pallas")
+        y_r, _ = iir.biquad_cascade_dispatch(sos5, st, x, impl="xla")
+        return _probe(y_r, y_k - y_r)
+
+    out = np.asarray(both(jax.device_put(x_np)))
+    assert _snr_db(out) > 60, out
+
+
+def test_sam_pll_kernel_on_chip():
+    """SAM PLL Pallas kernel (C=1024 engages) vs the lax.scan loop."""
+    from uhsdr_tpu.demod import sam as sam_mod
+
+    C, T = 1024, 2048
+    fs = 12000.0
+    params = sam_mod.make_params(fs)
+    t = np.arange(T) / fs
+    z_r = (0.5 * (1 + 0.4 * np.sin(2 * np.pi * 300 * t))
+           * np.cos(2 * np.pi * 150.0 * t)).astype(np.float32)
+    z_i = (0.5 * (1 + 0.4 * np.sin(2 * np.pi * 300 * t))
+           * np.sin(2 * np.pi * 150.0 * t)).astype(np.float32)
+
+    @jax.jit
+    def both(ir, qi):
+        iq = jax.lax.complex(jnp.tile(ir, (C, 1)), jnp.tile(qi, (C, 1)))
+        a_k, _, _ = sam_mod.demod(params, sam_mod.init_state((C,)), iq)
+        a_r, _, _ = sam_mod.demod(params, sam_mod.init_state((8,)),
+                                  iq[:8])
+        return _probe(a_r, a_k[:8] - a_r)
+
+    out = np.asarray(both(jax.device_put(z_r), jax.device_put(z_i)))
+    assert _snr_db(out) > 60, out
+
+
+def test_full_chain_block_on_chip():
+    """One full-chain USB block with every auto kernel engaged recovers a
+    clean 700 Hz tone (the conformance oracle's signal) — end-to-end
+    Mosaic smoke at chain scale."""
+    from uhsdr_tpu.chain import rx
+
+    C, T = 1024, 8192
+    fs = 48000.0
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                      translate_hz=6000.0, block_len=T)
+    params = rx.make_params(cfg)
+    t = np.arange(2 * T) / fs
+    z = (0.5 * np.exp(2j * np.pi * (6000 + 700) * t)).astype(np.complex64)
+
+    anchor = jax.device_put(np.zeros((), np.float32))
+    state = jax.jit(lambda d: rx.init_state(cfg, params, (C,)))(anchor)
+
+    @jax.jit
+    def step(state, i, q):
+        audio, st, _ = rx.process_block(cfg, params, state,
+                                        jax.lax.complex(i, q))
+        return audio, st
+
+    for b in range(2):
+        blk = np.tile(z[b * T:(b + 1) * T], (C, 1))
+        audio, state = step(state,
+                            jax.device_put(blk.real.copy()),
+                            jax.device_put(blk.imag.copy()))
+    y = np.asarray(jax.device_get(audio))[0]
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    freqs = np.fft.rfftfreq(len(y), 1 / fs)
+    peak = freqs[spec.argmax()]
+    assert abs(peak - 700.0) < 10.0, peak
+    # tone dominates: in-band spur floor at least 30 dB down
+    inband = spec[(freqs > 100) & (freqs < 2300)]
+    tone_p = spec[np.abs(freqs - 700) < 15].max()
+    others = inband[np.abs(freqs[(freqs > 100) & (freqs < 2300)]
+                           - 700) >= 15]
+    assert 20 * np.log10(tone_p / max(others.max(), 1e-12)) > 30
+
+
+def test_sharded_step_1x1_on_chip():
+    """The sharded pipeline (halo split + Pallas body) on a 1x1 mesh
+    matches the single-device chain on the same block."""
+    from uhsdr_tpu.chain import rx
+    from uhsdr_tpu.parallel import rx_sharded
+
+    C, T = 1024, 8192
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                      translate_hz=6000.0, block_len=T)
+    params = rx.make_params(cfg)
+    taps = params.front_fir_re.shape[-1]
+    rng = np.random.default_rng(4)
+    i_np = rng.standard_normal((C, T)).astype(np.float32) * 0.3
+    q_np = rng.standard_normal((C, T)).astype(np.float32) * 0.3
+
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    step_sh, _ = rx_sharded.make_sharded_rx(cfg, mesh)
+    anchor = jax.device_put(np.zeros((), np.float32))
+
+    def _mk(_):
+        st = rx.init_state(cfg, params, (C,))
+        return st._replace(front_carry=jnp.zeros((C, 2, taps - 1),
+                                                 jnp.float32))
+
+    state_sh = jax.jit(_mk)(anchor)
+    state_sd = jax.jit(lambda d: rx.init_state(cfg, params, (C,)))(anchor)
+
+    @jax.jit
+    def step_sd(state, i, q):
+        audio, st, _ = rx.process_block(cfg, params, state,
+                                        jax.lax.complex(i, q))
+        return audio, st
+
+    i_d, q_d = jax.device_put(i_np), jax.device_put(q_np)
+    a_sh, _ = step_sh(state_sh, i_d, q_d)
+    a_sd, _ = step_sd(state_sd, i_d, q_d)
+
+    probe = jax.jit(lambda a, b: _probe(a, a - b))
+    out = np.asarray(probe(a_sd, a_sh))
+    assert _snr_db(out) > 60, out
