@@ -51,8 +51,11 @@ def test_ofdm_awgn_ber_low():
     bits = rng.integers(0, 2, (nframes, ofdm.BITS_PER_FRAME))
     mod = ofdm.OfdmModulator()
     sig = np.concatenate([mod.modulate_frame(b) for b in bits])
+    # noise scaled to the SIGNAL rms (the reference waveform is 1/M
+    # scaled, rms ~0.013 — absolute noise levels would swamp it)
+    rms = float(np.sqrt(np.mean(np.abs(sig) ** 2)))
     noise = (rng.standard_normal(len(sig)) +
-             1j * rng.standard_normal(len(sig))) * np.sqrt(0.5)
+             1j * rng.standard_normal(len(sig))) * np.sqrt(0.5) * rms
     dem = ofdm.OfdmDemodulator()
     rx, _ = dem.demod((sig + 10 ** (-6 / 20) * noise).astype(np.complex64))
     assert rx.shape[0] >= nframes - 2
@@ -91,9 +94,11 @@ def test_freedv700d_full_loopback_with_noise():
     in_rms = np.sqrt((speech ** 2).mean())
     assert 0.2 * in_rms < rms < 4.0 * in_rms
 
-    # 6 dB AWGN: FEC keeps it alive
+    # 6 dB AWGN (relative to the 1/M-scaled waveform rms): FEC keeps it
+    # alive
+    sig_rms = float(np.sqrt(np.mean(np.abs(sig) ** 2)))
     noise = (rng.standard_normal(len(sig)) +
-             1j * rng.standard_normal(len(sig))) * np.sqrt(0.5)
+             1j * rng.standard_normal(len(sig))) * np.sqrt(0.5) * sig_rms
     rx2 = FreeDv700D()
     out2 = rx2.demod((sig + 10 ** (-6 / 20) * noise).astype(np.complex64))
     assert rx2.frames_decoded >= 6

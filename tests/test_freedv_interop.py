@@ -137,3 +137,27 @@ def test_full_stack_voice_frame_roundtrip():
     assert rx.frames_decoded >= 30, rx.frames_decoded
     assert rx.parity_errors == 0, rx.parity_errors
     assert out.size > 0 and np.isfinite(out).all()
+
+
+def test_ofdm_700d_reference_modulator_interop():
+    """700D OFDM waveform interop: `uhsdr_tpu/data/ofdm_ref.npz` holds
+    30 frames of payload bits modulated by the REFERENCE's own ofdm_mod
+    (drivers/freedv/ofdm.c compiled from /root/reference by
+    tools/build_ofdm_ref.py).  Our modulator must match the waveform at
+    f32 precision and our demodulator must recover the bits with zero
+    errors."""
+    from uhsdr_tpu.modems import ofdm
+
+    d = data.freedv_ofdm()
+    bits_ref, tx = d["bits"], d["tx"]
+
+    mod = ofdm.OfdmModulator()
+    ours = np.concatenate([mod.modulate_frame(b) for b in bits_ref])
+    assert np.abs(ours - tx).max() < 1e-5       # sample-exact (f32)
+
+    dem = ofdm.OfdmDemodulator()
+    bits, snr = dem.demod(tx)
+    assert len(bits) >= 28, len(bits)
+    ber = np.mean(bits != (bits_ref[:len(bits)] & 1))
+    assert ber == 0.0, ber
+    assert snr.mean() > 40, snr.mean()

@@ -233,3 +233,43 @@ def test_fm_deemph_hpf_df2t_mapping():
     np.testing.assert_allclose(np.concatenate(ys, -1),
                                np.concatenate(ys_ref, -1),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_one_pole_blocked_matches_dilated():
+    """Blocked-matmul one-pole (MXU Toeplitz + chunk scan) vs the dilated
+    scan, including streaming state across two blocks."""
+    from uhsdr_tpu.ops import iir as iir_mod
+    rng = np.random.default_rng(0)
+    a, b = 0.995, 0.005
+    x = rng.standard_normal((4, 1024)).astype(np.float32) * 100
+    # dilated reference (jnp coefficient dodges the blocked fast path)
+    y_ref, last_ref = iir_mod.one_pole_block(
+        jnp.float32(a), jnp.float32(b), jnp.zeros((4,), jnp.float32),
+        jnp.asarray(x))
+    st = jnp.zeros((4,), jnp.float32)
+    y1, st = iir_mod._one_pole_blocked(a, b, st, jnp.asarray(x[:, :512]))
+    y2, st = iir_mod._one_pole_blocked(a, b, st, jnp.asarray(x[:, 512:]))
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    np.testing.assert_allclose(y, np.asarray(y_ref), rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(last_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_biquad_blocked_matches_dilated():
+    from scipy import signal
+    from uhsdr_tpu.ops import iir as iir_mod
+    rng = np.random.default_rng(1)
+    sos = signal.butter(4, [0.05, 0.4], btype="band", output="sos")
+    sos5 = np.concatenate([sos[:, :3], sos[:, 4:6]],
+                          axis=1).astype(np.float32)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    st0 = jnp.zeros((sos5.shape[0], 4, 2), jnp.float32)
+    y_ref, st_ref = iir_mod.biquad_cascade_block(
+        jnp.asarray(sos5), st0, jnp.asarray(x))
+    st = st0
+    y1, st = iir_mod.biquad_cascade_blocked(sos5, st, jnp.asarray(x[:, :512]))
+    y2, st = iir_mod.biquad_cascade_blocked(sos5, st, jnp.asarray(x[:, 512:]))
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    np.testing.assert_allclose(y, np.asarray(y_ref), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref),
+                               rtol=2e-4, atol=1e-4)

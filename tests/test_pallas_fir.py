@@ -159,3 +159,30 @@ def test_interp_pallas_matches_ops():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1b), np.asarray(y2b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fm_disc_pallas_matches_xla():
+    """Fused product+poly-atan2 FM discriminator kernel (interpret mode)
+    vs the XLA arctan2 path, including the carried boundary sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from uhsdr_tpu.pallas import elemwise
+
+    rng = np.random.default_rng(0)
+    C, T = 8, 1024
+    z = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))
+         ).astype(np.complex64)
+    zprev = (rng.standard_normal(C) + 1j * rng.standard_normal(C)
+             ).astype(np.complex64)
+
+    z_d = np.concatenate([zprev[:, None], z[:, :-1]], axis=-1)
+    prod = np.conj(z_d) * z
+    ref = np.arctan2(prod.imag, prod.real)
+
+    prev_col = jnp.stack([jnp.asarray(zprev.real), jnp.asarray(zprev.imag)],
+                         axis=-1)
+    got = elemwise.fm_disc_pallas(prev_col, jnp.asarray(z.real),
+                                  jnp.asarray(z.imag), tile_c=8,
+                                  tile_t=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-6)

@@ -45,11 +45,22 @@ def fade_leveler_init(batch_shape) -> FadeLevelerState:
 
 
 def fade_leveler(params: FadeLevelerParams, state: FadeLevelerState,
-                 audio: jnp.ndarray, corr: jnp.ndarray):
+                 audio: jnp.ndarray, corr: jnp.ndarray | None):
+    """corr=None means a structurally-zero corr input (plain AM): the
+    dc_insert one-pole then has the closed form dci[n] = mtauI^(n+1) *
+    dci0 — no filtering pass at all."""
     dc, dc_last = iir.one_pole_block(params.mtauR, 1.0 - params.mtauR,
                                      state.dc, audio)
-    dci, dci_last = iir.one_pole_block(params.mtauI, 1.0 - params.mtauI,
-                                       state.dc_insert, corr)
+    if corr is None:
+        T = audio.shape[-1]
+        decay = jnp.asarray(
+            np.power(np.float64(params.mtauI), np.arange(1, T + 1))
+            .astype(np.float32))
+        dci = state.dc_insert[..., None] * decay
+        dci_last = dci[..., -1]
+    else:
+        dci, dci_last = iir.one_pole_block(params.mtauI, 1.0 - params.mtauI,
+                                           state.dc_insert, corr)
     out = audio + dci - dc
     return out, FadeLevelerState(dc=dc_last, dc_insert=dci_last)
 
@@ -59,5 +70,5 @@ def demod(iq: jnp.ndarray, params: FadeLevelerParams,
     """iq: (..., T) complex at decimated rate -> (audio, new_state)."""
     env = jnp.abs(iq)
     if fade_leveler_on:
-        return fade_leveler(params, state, env, jnp.zeros_like(env))
+        return fade_leveler(params, state, env, None)
     return env, state

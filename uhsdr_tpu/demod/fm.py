@@ -145,53 +145,38 @@ def _pallas_biquads_ok(x: jnp.ndarray) -> bool:
 def demod(params: FmParams, state: FmState, iq: jnp.ndarray):
     """iq (..., T) complex64 at 48 kHz -> (audio (..., T), new_state)."""
     T = iq.shape[-1]
-    z_d = jnp.concatenate([state.z_prev[..., None], iq[..., :-1]], axis=-1)
-    prod = jnp.conj(z_d) * iq
-    angle = jnp.arctan2(jnp.imag(prod), jnp.real(prod))   # discriminator
+    # discriminator: Pallas fused product+poly-atan2 kernel off-CPU (XLA
+    # atan2 at 48 kHz measured 11.75 ms of a 23 ms demod at 8192x16k),
+    # XLA arctan2 elsewhere
+    use_disc_pk = (jax.default_backend() != "cpu" and iq.ndim == 2
+                   and iq.shape[0] % 128 == 0 and T % 512 == 0)
+    if use_disc_pk:
+        from ..pallas import elemwise
+        prev_col = jnp.stack([jnp.real(state.z_prev),
+                              jnp.imag(state.z_prev)], axis=-1)
+        angle = elemwise.fm_disc_pallas(prev_col, jnp.real(iq),
+                                        jnp.imag(iq))
+    else:
+        z_d = jnp.concatenate([state.z_prev[..., None], iq[..., :-1]],
+                              axis=-1)
+        prod = jnp.conj(z_d) * iq
+        angle = jnp.arctan2(jnp.imag(prod), jnp.real(prod))
 
     # de-emphasis LPF a[n] = a[n-1] + alpha*(angle - a[n-1]) followed by
-    # HPF b[n] = alpha*(b[n-1] + a[n] - a[n-1]): as two one-pole dilated
-    # scans this costs 2*log2(T) full HBM passes at 48 kHz; when deemph
-    # itself is not needed (no subtone detection) both fold into ONE
-    # 2-section Pallas biquad cascade (first-order sections:
-    # LPF b0=al, a1=-(1-al); HPF b0=ah, b1=-ah, a1=-ah), with the carried
-    # direct-form states mapped to DF2T: s1_lpf = (1-al)*lpf,
-    # s1_hpf = ah*(hpf_b - hpf_a); only the difference matters, so the
-    # unmapped split is stored as hpf_a=0, hpf_b=s1/ah.
+    # HPF b[n] = alpha*(b[n-1] + a[n] - a[n-1]): two one-poles — both ride
+    # the blocked-matmul fast path (ops.iir._one_pole_blocked)
     al, ah = LPF_ALPHA, HPF_ALPHA
-    use_pk = params.deltas is None and _pallas_biquads_ok(angle)
-    if use_pk:
-        from ..pallas import iir as pallas_iir
-        sos2 = np.array([[al, 0.0, 0.0, -(1.0 - al), 0.0],
-                         [ah, -ah, 0.0, -ah, 0.0]], np.float32)
-        st2 = jnp.stack([
-            jnp.stack([(1.0 - al) * state.lpf,
-                       jnp.zeros_like(state.lpf)], axis=-1),
-            jnp.stack([ah * (state.hpf_b - state.hpf_a),
-                       jnp.zeros_like(state.hpf_b)], axis=-1)], axis=0)
-        audio, st2o = pallas_iir.biquad_cascade_pallas(sos2, st2, angle,
-                                                       t_tile=128)
-        deemph = None
-        lpf_last = st2o[0, ..., 0] / np.float32(1.0 - al)
-        hpf_a_last = jnp.zeros_like(lpf_last)
-        hpf_last = st2o[1, ..., 0] / np.float32(ah)
-    else:
-        deemph, lpf_last = iir.one_pole_block(1.0 - al, al,
-                                              state.lpf, angle)
-        a_d = jnp.concatenate([state.hpf_a[..., None], deemph[..., :-1]],
-                              axis=-1)
-        diff = deemph - a_d
-        audio, hpf_last = iir.one_pole_block(ah, ah, state.hpf_b, diff)
-        hpf_a_last = deemph[..., -1]
+    deemph, lpf_last = iir.one_pole_block(1.0 - al, al,
+                                          state.lpf, angle)
+    a_d = jnp.concatenate([state.hpf_a[..., None], deemph[..., :-1]],
+                          axis=-1)
+    diff = deemph - a_d
+    audio, hpf_last = iir.one_pole_block(ah, ah, state.hpf_b, diff)
+    hpf_a_last = deemph[..., -1]
 
-    # --- squelch noise estimate ---
-    if use_pk:
-        from ..pallas import iir as pallas_iir
-        sq, sos_state = pallas_iir.biquad_cascade_pallas(
-            params.squelch_sos, state.sql_sos_state, angle, t_tile=128)
-    else:
-        sq, sos_state = iir.biquad_cascade_block(
-            jnp.asarray(params.squelch_sos), state.sql_sos_state, angle)
+    # --- squelch noise estimate (blocked-matmul cascade off-CPU) ---
+    sq, sos_state = iir.biquad_cascade_dispatch(
+        params.squelch_sos, state.sql_sos_state, angle)
     n_sub = T // SUBBLOCK
     noise = jnp.sqrt(jnp.abs(sq[..., : n_sub * SUBBLOCK : SUBBLOCK]))
     sql_avg, count, squelched, sq_seq = _squelch_scan(params, state, noise)

@@ -83,6 +83,92 @@ def biquad_block(coeffs: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
     return y, jnp.stack([c1[..., -1], c2[..., -1]], axis=-1)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _cascade_blocked_tables(sos_key: tuple, R: int):
+    """Whole-CASCADE chunk tables (f64 host simulation): the S-section
+    cascade is one LTI system, so the blocked scheme needs only ONE
+    Toeplitz contraction regardless of section count.  Basis = R input
+    impulses + 2S unit section-states; record the cascade output y and
+    every section's end state.
+
+      M  (R, R):   zero-state Toeplitz of the cascade impulse response
+      HS (2S, R):  y response to each unit section-state
+      G  (R, 2S):  all end states from an impulse at position r
+      F  (2S, 2S): all end states from each unit section-state
+    """
+    sos = np.asarray(sos_key, np.float64).reshape(-1, 5)
+    S = sos.shape[0]
+    B = R + 2 * S
+    xb = np.zeros((B, R))
+    xb[:R] = np.eye(R)
+    st = np.zeros((B, S, 2))
+    for j in range(2 * S):
+        st[R + j, j // 2, j % 2] = 1.0
+    ys = np.empty((B, R))
+    for n in range(R):
+        sig = xb[:, n].copy()
+        for k in range(S):
+            b0, b1, b2, a1, a2 = sos[k]
+            y = b0 * sig + st[:, k, 0]
+            st[:, k, 0] = b1 * sig - a1 * y + st[:, k, 1]
+            st[:, k, 1] = b2 * sig - a2 * y
+            sig = y
+        ys[:, n] = sig
+    ends = st.reshape(B, 2 * S)
+    h = ys[0]
+    idx = np.arange(R)
+    M = np.where(idx[None, :] >= idx[:, None],
+                 h[np.clip(idx[None, :] - idx[:, None], 0, R - 1)], 0.0)
+    return (M.astype(np.float32), ys[R:].astype(np.float32),
+            ends[:R].astype(np.float32), ends[R:].T.astype(np.float32))
+
+
+def biquad_cascade_blocked(sos: np.ndarray, state: jnp.ndarray,
+                           x: jnp.ndarray, R: int = 128):
+    """Blocked-matmul biquad CASCADE — one MXU Toeplitz pass for the
+    whole cascade (see `_cascade_blocked_tables`).  sos: STATIC (S, 5)
+    numpy; state (S, ..., 2) per-section DF2T states (exact streaming
+    continuity).  Drop-in for `biquad_cascade_block`."""
+    sos_np = np.asarray(sos, np.float64)
+    S = sos_np.shape[0]
+    T = x.shape[-1]
+    n = T // R
+    M_np, HS_np, G_np, F = _cascade_blocked_tables(
+        tuple(sos_np.reshape(-1).tolist()), R)
+    M, HS, G = jnp.asarray(M_np), jnp.asarray(HS_np), jnp.asarray(G_np)
+    # state (S, ..., 2) -> (..., 2S)
+    s_vec = jnp.moveaxis(state, 0, -2).reshape(
+        state.shape[1:-1] + (2 * S,))
+    xc = x.reshape(x.shape[:-1] + (n, R))
+    hi = jax.lax.Precision.HIGHEST
+    y_loc = jnp.einsum("...nr,rs->...ns", xc, M, precision=hi)
+    s_in = jnp.einsum("...nr,rj->...nj", xc, G, precision=hi)  # (..., n, 2S)
+    # chunk-carry recurrence u[c] = F u[c-1] + s_in[c] (u[-1] = s_vec) as
+    # a DILATED log-depth pass with host-precomputed F^(2^l) (a lax.scan
+    # here is launch-bound on TPU)
+    s_vec = s_vec.astype(x.dtype)
+    u = s_in.at[..., 0, :].add(
+        jnp.einsum("ij,...j->...i", F, s_vec))
+    Fd = np.asarray(F, np.float64)
+    d = 1
+    while d < n:
+        pad = [(0, 0)] * (u.ndim - 2) + [(d, 0), (0, 0)]
+        shifted = jnp.pad(u, pad)[..., :n, :]
+        u = u + jnp.einsum("ij,...nj->...ni",
+                           jnp.asarray(Fd.astype(np.float32)), shifted)
+        Fd = Fd @ Fd
+        d *= 2
+    prevs = jnp.concatenate([s_vec[..., None, :], u[..., :-1, :]],
+                            axis=-2)                   # (..., n, 2S)
+    y = y_loc + jnp.einsum("...nj,jr->...nr", prevs, HS, precision=hi)
+    new_state = jnp.moveaxis(
+        u[..., -1, :].reshape(s_vec.shape[:-1] + (S, 2)), -2, 0)
+    return y.reshape(x.shape), new_state
+
+
 def biquad_cascade_block(sos: jnp.ndarray, state: jnp.ndarray, x: jnp.ndarray):
     """Cascade of biquads.  sos: (n_sections, ..., 5); state: (n_sections, ..., 2)."""
     n_sections = sos.shape[0]
@@ -113,6 +199,14 @@ def biquad_cascade_dispatch(sos, state, x, impl: str = "auto"):
     sos = np.asarray(sos) if not isinstance(sos, jnp.ndarray) else sos
     if sos.shape[0] == 0:          # pruned-empty cascade (neutral EQ)
         return x, state
+    # blocked-matmul path: static numpy coefficients + chunking shape
+    # (see `biquad_cascade_blocked` — MXU Toeplitz instead of a sequential
+    # VMEM kernel; wins whenever T is long enough to amortize)
+    if (impl == "blocked" or (impl == "auto"
+                              and jax.default_backend() != "cpu"))\
+            and isinstance(sos, np.ndarray) and not jnp.iscomplexobj(x) \
+            and x.shape[-1] % 128 == 0 and x.shape[-1] >= 256:
+        return biquad_cascade_blocked(sos, state, x)
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() != "cpu")
     if use_pallas and x.ndim == 2:
@@ -126,6 +220,53 @@ def biquad_cascade_dispatch(sos, state, x, impl: str = "auto"):
     return biquad_cascade_block(jnp.asarray(sos), state, x)
 
 
+def _one_pole_blocked(af: float, bf: float, state: jnp.ndarray,
+                      x: jnp.ndarray, R: int = 128):
+    """Blocked-matmul one-pole: y[n] = a*y[n-1] + b*x[n], exact.
+
+    TPU-first structure: split T into R-sample chunks.  Within a chunk
+    the zero-state response is a LOWER-TRIANGULAR TOEPLITZ matmul
+    ``y_loc[s] = sum_{r<=s} b a^(s-r) x[r]`` — one (..., n, R) @ (R, R)
+    MXU contraction (HIGHEST precision: the f32 matmul costs ~R/2 flops
+    per sample, trivial).  The chunk boundary values then follow the
+    R-times-slower one-pole ``p_{c+1} = a^R p_c + y_loc[c, -1]`` (a tiny
+    T/R-step scan on (...,) vectors), and each chunk adds its carried
+    boundary via the closed form ``y += a^(s+1) * p_c``.
+
+    Replaces the earlier Pallas degenerate-biquad path: measured 9.9 ms
+    for ONE one-pole at 8192ch x 4096 on v5e (small (128,128) grid
+    tiles; launch-bound) vs ~0.5 ms for this (one MXU pass + a 32-step
+    scan).  The fade leveler / FM de-emphasis / HPF all ride this.
+    """
+    T = x.shape[-1]
+    n = T // R
+    idx = np.arange(R)
+    e = idx[None, :] - idx[:, None]          # s - r (col - row)
+    M = np.where(e >= 0, bf * np.power(af, np.clip(e, 0, None), dtype=np.float64), 0.0)
+    M = jnp.asarray(M.astype(np.float32))
+    apow = jnp.asarray(np.power(af, idx + 1.0, dtype=np.float64)
+                       .astype(np.float32))   # a^(s+1)
+    aR = np.float32(np.float64(af) ** R)
+    xc = x.reshape(x.shape[:-1] + (n, R))
+    y_loc = jnp.einsum("...nr,rs->...ns", xc, M,
+                       precision=jax.lax.Precision.HIGHEST)
+    ends = y_loc[..., -1]                            # (..., n)
+    # chunk-carry one-pole u[c] = aR*u[c-1] + ends[c] (u[-1] = state) as
+    # a DILATED log-depth pass — a lax.scan here is launch-bound on TPU
+    # (32 tiny steps measured 6+ ms)
+    u = ends.at[..., 0].add(aR * state.astype(x.dtype))
+    m = np.float64(aR)
+    d = 1
+    while d < n:
+        u = u + np.float32(m) * _shift_right(u, d)
+        m = m * m
+        d *= 2
+    prev = jnp.concatenate([state.astype(x.dtype)[..., None],
+                            u[..., :-1]], axis=-1)   # (..., n) carry-in
+    y = (y_loc + prev[..., None] * apow).reshape(x.shape)
+    return y, u[..., -1]
+
+
 def one_pole_block(a: jnp.ndarray, b: jnp.ndarray, state: jnp.ndarray,
                    x: jnp.ndarray):
     """First-order recurrence y[n] = a*y[n-1] + b*x[n] via associative scan.
@@ -134,26 +275,13 @@ def one_pole_block(a: jnp.ndarray, b: jnp.ndarray, state: jnp.ndarray,
     Returns (y (..., T), y[-1]).
     """
     T = x.shape[-1]
-    # Pallas fast path: a one-pole is a degenerate biquad (b0=b, a1=-a) —
-    # one VMEM pass instead of log2(T) HBM-level dilated passes.  Engages
-    # for STATIC python/numpy scalar coefficients, real 2D tiling shapes,
-    # off CPU (e.g. the fade leveler: 22.7 -> ~2 ms at 8192ch x 4096).
+    # blocked-matmul fast path for STATIC scalar coefficients (see
+    # _one_pole_blocked); exact, so enabled on every backend
     if (np.isscalar(a) or (isinstance(a, np.ndarray) and a.ndim == 0)) and \
        (np.isscalar(b) or (isinstance(b, np.ndarray) and b.ndim == 0)):
         af, bf = float(a), float(b)
-        if (jax.default_backend() != "cpu" and x.ndim == 2
-                and not jnp.iscomplexobj(x) and x.shape[-1] % 128 == 0
-                and x.shape[0] % min(128, x.shape[0]) == 0):
-            from ..pallas import iir as pallas_iir
-            sos = np.array([[bf, 0.0, 0.0, -af, 0.0]], np.float32)
-            # DF2T state: s1 = a * y_prev (so that y[0] = b x[0] + s1)
-            st = jnp.stack([np.float32(af) * state,
-                            jnp.zeros_like(state)], axis=-1)[None]
-            y, st_o = pallas_iir.biquad_cascade_pallas(sos, st, x,
-                                                       t_tile=128)
-            y_last = (st_o[0, ..., 0] / np.float32(af)) if af != 0.0 \
-                else y[..., -1]
-            return y, y_last
+        if not jnp.iscomplexobj(x) and T % 128 == 0 and T >= 256:
+            return _one_pole_blocked(af, bf, state, x)
     a_arr = jnp.asarray(a, x.dtype)
     c = jnp.asarray(b, x.dtype)[..., None] * x
     # fold the initial state into the first sample (same dilated-scan

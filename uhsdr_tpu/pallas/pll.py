@@ -92,45 +92,52 @@ def _make_kernel(g1: float, g2: float, om_min: float, om_max: float,
 
 
 def pll_pallas(g1: float, g2: float, om_min: float, om_max: float,
-               carry: jnp.ndarray, iq: jnp.ndarray, t_tile: int = 256):
+               carry: jnp.ndarray, iq: jnp.ndarray, t_tile: int = 256,
+               sublanes: int = 8):
     """carry: (3, C) [phs, fil_out, omega2]; iq: (C, T) complex64.
     Returns (cos_phs (C, T), sin_phs (C, T), new_carry (3, C)) where the
     per-sample phase matches `_pll_scan`'s emitted (pre-advance) phases.
-    Requires C % 1024 == 0, T % t_tile == 0."""
+    Requires C % (sublanes*128) == 0, T % t_tile == 0.
+
+    sublanes: channels packed per sequential step = sublanes*128.  The
+    per-step dependency chain is latency-bound (cos/sin/atan2), so wider
+    steps amortize it over more channels when C allows."""
     C, T = iq.shape
-    assert C % 1024 == 0, C
+    w = sublanes * 128
+    assert C % w == 0, (C, w)
     t_tile = min(t_tile, T)
     assert T % t_tile == 0, (T, t_tile)
-    n_c = C // 1024
+    n_c = C // w
     n_t = T // t_tile
+    S = sublanes
 
     def pack(a):
-        return jnp.swapaxes(a, 0, 1).reshape(T, 8 * n_c, 128)
+        return jnp.swapaxes(a, 0, 1).reshape(T, S * n_c, 128)
 
     zr3 = pack(jnp.real(iq))
     zi3 = pack(jnp.imag(iq))
-    st3 = carry.reshape(N_CARRY, 8 * n_c, 128)
+    st3 = carry.reshape(N_CARRY, S * n_c, 128)
 
     kernel = _make_kernel(g1, g2, om_min, om_max, t_tile)
     cos3, sin3, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),
         in_specs=[
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((N_CARRY, S, 128), lambda ci, ti: (0, ci, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((N_CARRY, S, 128), lambda ci, ti: (0, ci, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 8 * n_c, 128), jnp.float32),
-            jax.ShapeDtypeStruct((T, 8 * n_c, 128), jnp.float32),
-            jax.ShapeDtypeStruct((N_CARRY, 8 * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, S * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, S * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N_CARRY, S * n_c, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((N_CARRY, 8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N_CARRY, S, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=(jax.default_backend() == "cpu"),

@@ -213,7 +213,15 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh,
             return True, tile_c, jax.default_backend() == "cpu"
         return (tiles and jax.default_backend() != "cpu"), tile_c or 8, False
 
-    def step(state: rx_chain.RxState, i_plane, q_plane):
+    # The step is TWO jits chained at the Python level, NOT one fused
+    # module.  Measured on v5e (8192ch x 16k, 1x1 mesh): the fused
+    # shard_map(Pallas front) + demod_and_post module compiles but runs
+    # at 906 ms/block (vs 7.8 + 9.5 ms for the two pieces — an ~80x
+    # XLA/Mosaic composition pathology; hand-built reduced compositions
+    # of the same pair even hit Mosaic UNIMPLEMENTED errors).  Splitting
+    # costs one extra dispatch and an HBM round-trip of the decimated
+    # front output (~0.1 ms) and restores kernel-path throughput.
+    def front_step(state: rx_chain.RxState, i_plane, q_plane):
         C, T = i_plane.shape
         t_local = T // n_sp
         L = taps - 1
@@ -234,20 +242,28 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh,
                               axis=-2)
         delta = jnp.asarray(params.nco_delta)
         new_phase = state.nco_phase + delta * jnp.uint32(T)
-
-        # ---- reshard: channels over the whole device set ----
+        # reshard: channels over the whole device set
         zf = jax.lax.with_sharding_constraint(zf, all_chan)
+        return zf, new_phase, new_carry
 
-        # ---- demod + post (channel-parallel, shared with chain.rx) ----
+    def post_step(state: rx_chain.RxState, zf, new_phase, new_carry):
         state = state._replace(nco_phase=new_phase, front_carry=new_carry)
         audio48, new_state, _ = rx_chain.demod_and_post(cfg, params, state, zf)
         return audio48, new_state
 
-    jit_step = jax.jit(
-        step,
+    jit_front = jax.jit(
+        front_step,
         in_shardings=(None, grid_shard, grid_shard),
+        out_shardings=(all_chan, None, None),
+    )
+    jit_post = jax.jit(
+        post_step,
         out_shardings=(chan_shard, None),
     )
+
+    def jit_step(state, i_plane, q_plane):
+        zf, new_phase, new_carry = jit_front(state, i_plane, q_plane)
+        return jit_post(state, zf, new_phase, new_carry)
 
     def init_state(n_channels: int):
         state = rx_chain.init_state(cfg, params, (n_channels,))
