@@ -161,3 +161,29 @@ def test_ofdm_700d_reference_modulator_interop():
     ber = np.mean(bits != (bits_ref[:len(bits)] & 1))
     assert ber == 0.0, ber
     assert snr.mean() > 40, snr.mean()
+
+
+def test_ldpc_hra112_reference_code_interop():
+    """The LDPC code IS the reference's HRA_112_112: the accumulator
+    encoder satisfies the imported H, and min-sum BP decodes the
+    reference's own built-in test vector (HRA_112_112_input) to its
+    expected output (HRA_112_112_detected_data) exactly."""
+    from uhsdr_tpu.modems import ldpc
+
+    d = data.ldpc()
+    # decoder vector: whole-codeword agreement
+    bits, ok = ldpc.decode(np.asarray(d["input"]))
+    assert ok
+    np.testing.assert_array_equal(bits, d["detected"][:ldpc.K])
+
+    # encoder: random payloads produce zero-syndrome codewords under the
+    # imported H, and survive a 4 dB-ish noisy channel
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        payload = rng.integers(0, 2, ldpc.K)
+        cw = ldpc.encode(payload)
+        assert not (ldpc._H @ cw % 2).any()
+        llr = (1.0 - 2.0 * cw) * 2.0 + rng.standard_normal(ldpc.N) * 1.2
+        dec, ok = ldpc.decode(llr)
+        assert ok
+        np.testing.assert_array_equal(dec, payload)

@@ -1,110 +1,66 @@
-"""LDPC (224,112) rate-1/2 code with min-sum belief-propagation decoding.
+"""LDPC (224,112) — the reference's HRA_112_112 code, bit-interoperable.
 
 Role in the reference: `drivers/freedv/mpdecode_core.c` decodes the
-HRA_112_112 LDPC code protecting FreeDV 700D frames.  Independent
-implementation: a seeded column-weight-3 parity-check matrix built
-4-cycle-free with balanced check degrees (PEG-lite — short random codes
-without girth conditioning decode terribly under BP), decoded with
-normalized min-sum BP on log-likelihood ratios.  Encoding solves
-H x = 0 via a precomputed information-set reduction, so the SPARSE H is
-used untouched for decoding.  Same (n, k) and rate as the reference's
-code; not the same parity matrix (no interoperability, consistent with
-the rest of the FreeDV-class stack).
+HRA_112_112 LDPC code protecting FreeDV 700D frames; `HRA_112_112.c`
+carries the generated code tables.  This module builds the SAME parity
+check matrix from those tables (imported as data by
+`tools/parse_ldpc_ref.py` into `uhsdr_tpu/data/ldpc_ref.npz`):
+
+  * H = [A | S]: A (112 x 112) from `H_rows` — laid out column-major as
+    (max_row_weight=3, 112), 1-based data-bit indices per parity check;
+    S = dual-diagonal "staircase" (each parity bit also checks the
+    previous one), which is exactly what the reference's accumulator
+    encoder produces (`mpdecode_core.c:72-93`):
+        pbits[p] = (sum_i ibits[H_rows[p + i*112] - 1] + pbits[p-1]) & 1
+  * codeword = [data(112) | parity(112)];
+  * decoding: normalized min-sum belief propagation on H (the reference
+    runs full sum-product; min-sum with alpha=0.8 decodes its built-in
+    test vector `HRA_112_112_input` to `HRA_112_112_detected_data`
+    exactly — see test_freedv_interop.py).
+
+LLR convention: positive = bit 0 more likely (matches the reference's
+sign handling in mpdecode).
 """
 from __future__ import annotations
 
 import numpy as np
 
+from .. import data as refdata
+
 N = 224
 K = 112
 M = N - K
-COL_WEIGHT = 3
-_SEED = 0x700D
 
 
-def _gf2_reduce(H: np.ndarray):
-    """Row-reduce a copy of H with column pivoting.  Returns
-    (piv_cols (M,), data_cols (K,), Enc (M, K)) with parity values
-    x[piv_cols] = Enc @ x[data_cols] mod 2, or None if rank < M."""
-    R = H.astype(np.uint8).copy()
-    piv_cols = []
-    r = 0
-    for c in range(N):
-        if r == M:
-            break
-        rows = np.nonzero(R[r:, c])[0]
-        if len(rows) == 0:
-            continue
-        pr = rows[0] + r
-        R[[r, pr]] = R[[pr, r]]
-        for rr in range(M):
-            if rr != r and R[rr, c]:
-                R[rr] ^= R[r]
-        piv_cols.append(c)
-        r += 1
-    if r < M:
-        return None
-    piv_cols = np.array(piv_cols)
-    data_cols = np.array(sorted(set(range(N)) - set(piv_cols.tolist())))
-    # with pivot columns reduced to identity: x[piv[i]] = sum of
-    # R[i, data_cols] * x[data_cols]
-    Enc = R[:, data_cols].copy()
-    return piv_cols, data_cols, Enc
+def _build_h():
+    d = refdata.ldpc()
+    H_rows = np.asarray(d["H_rows"]).reshape(3, K)   # H_rows[p + i*112]
+    H = np.zeros((M, N), np.uint8)
+    for p in range(M):
+        for i in range(3):
+            H[p, int(H_rows[i, p]) - 1] = 1
+        H[p, K + p] = 1
+        if p > 0:
+            H[p, K + p - 1] = 1
+    return H, H_rows
 
 
-def _make_code(seed: int = _SEED):
-    rng = np.random.default_rng(seed)
-    for _attempt in range(200):
-        H = np.zeros((M, N), np.uint8)
-        row_deg = np.zeros(M, np.int32)
-        used_pairs: set[tuple[int, int]] = set()
-        ok = True
-        for c in rng.permutation(N):
-            chosen: list[int] = []
-            order = np.argsort(row_deg + rng.random(M) * 0.5)
-            for r in order:
-                r = int(r)
-                if any(((min(r, o), max(r, o)) in used_pairs)
-                       for o in chosen):
-                    continue
-                chosen.append(r)
-                if len(chosen) == COL_WEIGHT:
-                    break
-            if len(chosen) < COL_WEIGHT:
-                ok = False
-                break
-            for i in range(len(chosen)):
-                for j in range(i + 1, len(chosen)):
-                    a, b = chosen[i], chosen[j]
-                    used_pairs.add((min(a, b), max(a, b)))
-            H[chosen, c] = 1
-            row_deg[chosen] += 1
-        if not ok or (H.sum(axis=1) < 2).any():
-            continue
-        red = _gf2_reduce(H)
-        if red is None:
-            continue
-        piv_cols, data_cols, Enc = red
-        return H, piv_cols, data_cols, Enc
-    raise RuntimeError("LDPC construction failed")
-
-
-_H, _PIV_COLS, _DATA_COLS, _ENC = _make_code()
+_H, _H_ROWS = _build_h()
+_DATA_COLS = np.arange(K)
 _CHECK_BITS = [np.nonzero(_H[m])[0] for m in range(M)]
 
 
 def encode(data_bits: np.ndarray) -> np.ndarray:
-    """data_bits: (..., K) 0/1 -> (..., N) codeword (data bits live at
-    _DATA_COLS, parity at _PIV_COLS)."""
-    d = np.asarray(data_bits, np.uint8)
-    x = np.zeros(d.shape[:-1] + (N,), np.uint8)
-    x[..., _DATA_COLS] = d
-    x[..., _PIV_COLS] = d @ _ENC.T % 2
-    return x
+    """data_bits: (K,) 0/1 -> (N,) codeword [data | parity] via the
+    reference's accumulator encoder (mpdecode_core.c:72-93)."""
+    d = np.asarray(data_bits, np.uint8).reshape(K)
+    par = (d[_H_ROWS - 1].sum(axis=0)) & 1           # (112,) A @ d mod 2
+    pbits = np.bitwise_xor.accumulate(par.astype(np.uint8))
+    return np.concatenate([d, pbits])
 
 
 def extract_data(codeword_bits: np.ndarray) -> np.ndarray:
-    return np.asarray(codeword_bits)[..., _DATA_COLS]
+    return np.asarray(codeword_bits)[..., :K]
 
 
 def decode(llr: np.ndarray, max_iter: int = 50,
