@@ -35,7 +35,7 @@ def main() -> None:
 
     channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
-    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
     iq_rate = float(os.environ.get("BENCH_IQ_RATE", "96000"))
 
     cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
@@ -53,8 +53,9 @@ def main() -> None:
 
     def timed(step_fn, mkstate_fn, i_plane, q_plane):
         state = mkstate_fn(anchor)
-        audio, state = step_fn(state, i_plane, q_plane)
-        np.asarray(probe(audio))                      # compile + settle
+        for _ in range(2):                            # compile + settle
+            audio, state = step_fn(state, i_plane, q_plane)
+            np.asarray(probe(audio))
         t0 = time.perf_counter()
         for _ in range(steps):
             audio, state = step_fn(state, i_plane, q_plane)

@@ -175,3 +175,49 @@ def test_pll_pallas_matches_scan():
                                np.concatenate(sin_ref, -1), atol=2e-4)
     np.testing.assert_allclose(np.asarray(carry[2]), np.asarray(stt.omega2),
                                atol=1e-4)
+
+
+def test_pll_audio_pallas_matches_scan_plus_fade():
+    """Fused PLL+audio+fade-leveler kernel (SAM sideband='both' fast
+    path) vs the scan PLL + separate mix + am.fade_leveler, streamed
+    over two blocks (interpret mode)."""
+    import jax
+    from uhsdr_tpu.demod import am
+    from uhsdr_tpu.pallas import pll as pallas_pll
+    fs = 12000.0
+    params = sam.make_params(fs)
+    rng = np.random.default_rng(11)
+    C, T = 1024, 512
+    t = np.arange(2 * T) / fs
+    x = (0.8 * (1 + 0.4 * np.sin(2 * np.pi * 300 * t))[None]
+         * np.exp(2j * np.pi * 25.0 * t)[None] * np.ones((C, 1)) +
+         0.03 * (rng.standard_normal((C, 2 * T))
+                 + 1j * rng.standard_normal((C, 2 * T)))).astype(np.complex64)
+
+    # reference: scan PLL + mix + fade leveler
+    st = sam.init_state((C,))
+    fade_st = st.fade
+    ref = []
+    stt = st
+    for blk in (x[:, :T], x[:, T:]):
+        phases, _, phs_f, fil_f, om_f = sam._pll_scan(params, stt,
+                                                      jnp.asarray(blk))
+        cos_p, sin_p = np.cos(np.asarray(phases)), np.sin(np.asarray(phases))
+        corr = blk.real * cos_p + blk.imag * sin_p
+        audio, fade_st = am.fade_leveler(params.fade, fade_st,
+                                         jnp.asarray(corr),
+                                         jnp.asarray(corr))
+        ref.append(np.asarray(audio))
+        stt = stt._replace(phs=phs_f, fil_out=fil_f, omega2=om_f)
+    ref = np.concatenate(ref, -1)
+
+    carry = jnp.zeros((5, C), jnp.float32)
+    got = []
+    for blk in (x[:, :T], x[:, T:]):
+        a, carry = pallas_pll.pll_audio_pallas(
+            float(params.g1), float(params.g2), float(params.omega_min),
+            float(params.omega_max), float(params.fade.mtauR),
+            float(params.fade.mtauI), carry, jnp.asarray(blk), t_tile=256)
+        got.append(np.asarray(a))
+    got = np.concatenate(got, -1)
+    np.testing.assert_allclose(got, ref, atol=3e-4)

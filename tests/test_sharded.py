@@ -239,3 +239,18 @@ def test_sharded_front_pallas_path_matches_xla(mesh42):
     snr = 10 * np.log10((outs["xla"] ** 2).mean() /
                         max((err ** 2).mean(), 1e-20))
     assert snr > 60, snr
+
+
+def test_multihost_dcn_demo():
+    """Full sharded RX step over a CROSS-PROCESS mesh: 2 jax.distributed
+    processes x 2 CPU devices (localhost coordinator standing in for
+    DCN), per-host IQ ingest via parallel/multihost.py."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools",
+                                        "run_multihost_demo.py"), "2"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-500:]

@@ -154,8 +154,12 @@ def demod(params: FmParams, state: FmState, iq: jnp.ndarray):
         from ..pallas import elemwise
         prev_col = jnp.stack([jnp.real(state.z_prev),
                               jnp.imag(state.z_prev)], axis=-1)
+        C = iq.shape[0]
+        tile_c = 256 if C % 256 == 0 else 128    # 256x1024 probed best
+        tile_t = 1024 if T % 1024 == 0 else 512
         angle = elemwise.fm_disc_pallas(prev_col, jnp.real(iq),
-                                        jnp.imag(iq))
+                                        jnp.imag(iq), tile_c=tile_c,
+                                        tile_t=tile_t)
     else:
         z_d = jnp.concatenate([state.z_prev[..., None], iq[..., :-1]],
                               axis=-1)

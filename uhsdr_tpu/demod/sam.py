@@ -153,6 +153,23 @@ def demod(params: SamParams, state: SamState, iq: jnp.ndarray,
     # XLA scan fallback elsewhere
     use_pll_pk = (jax.default_backend() != "cpu" and iq.ndim == 2
                   and iq.shape[0] % 1024 == 0 and iq.shape[-1] % 256 == 0)
+    if use_pll_pk and sideband == "both" and fade_leveler_on:
+        # fully-fused fast path: product-detector audio + fade leveler
+        # emitted by the PLL kernel itself (one output array; no separate
+        # mix or one-pole passes)
+        from ..pallas import pll as pallas_pll
+        carry = jnp.stack([state.phs, state.fil_out, state.omega2,
+                           state.fade.dc, state.fade.dc_insert], axis=0)
+        audio, carry_out = pallas_pll.pll_audio_pallas(
+            float(params.g1), float(params.g2), float(params.omega_min),
+            float(params.omega_max), float(params.fade.mtauR),
+            float(params.fade.mtauI), carry, iq)
+        new_state = SamState(
+            phs=carry_out[0], fil_out=carry_out[1], omega2=carry_out[2],
+            ap_state=state.ap_state, ds=state.ds,
+            fade=am.FadeLevelerState(dc=carry_out[3],
+                                     dc_insert=carry_out[4]))
+        return audio, carry_out[2], new_state
     if use_pll_pk:
         from ..pallas import pll as pallas_pll
         carry = jnp.stack([state.phs, state.fil_out, state.omega2], axis=0)

@@ -91,6 +91,108 @@ def _make_kernel(g1: float, g2: float, om_min: float, om_max: float,
     return kernel
 
 
+N_CARRY_AUDIO = 5   # phs, fil_out, omega2, fade dc, fade dc_insert
+
+
+def _make_audio_kernel(g1: float, g2: float, om_min: float, om_max: float,
+                       mtauR: float, mtauI: float, t_tile: int):
+    """PLL + product-detector audio + WDSP fade leveler fused: the
+    sideband='both' SAM path needs only ``corr_re`` (already computed
+    for the phase detector) run through the two fade one-poles
+    (`AudioDriver_DemodSAM` DEMOD_SAM + `AudioDriver_FadeLeveler`,
+    `audio_driver.c:1911-1923, 2029-2056`) — one output array instead
+    of cos/sin + a separate mix + two filter passes."""
+    g1f, g2f = np.float32(g1), np.float32(g2)
+    omn, omx = np.float32(om_min), np.float32(om_max)
+    mR, mI = np.float32(mtauR), np.float32(mtauI)
+    aR, aI = np.float32(1.0 - mtauR), np.float32(1.0 - mtauI)
+
+    def kernel(zr_ref, zi_ref, st_ref, audio_ref, stout_ref, scratch):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _init():
+            scratch[:] = st_ref[:]
+
+        def step(t, carry):
+            phs, fil_out, omega2, dc, dci = carry
+            c = jnp.cos(phs)
+            s = jnp.sin(phs)
+            zr = zr_ref[t]
+            zi = zi_ref[t]
+            corr_re = zr * c + zi * s
+            corr_im = zi * c - zr * s
+            err = _atan2(corr_im, corr_re)
+            del_out = fil_out
+            omega2 = jnp.clip(omega2 + g2f * err, omn, omx)
+            fil_out = g1f * err + omega2
+            phs = jnp.mod(phs + del_out, _TWO_PI)
+            dc = mR * dc + aR * corr_re
+            dci = mI * dci + aI * corr_re
+            audio_ref[t] = corr_re + dci - dc
+            return (phs, fil_out, omega2, dc, dci)
+
+        sc = scratch[:]
+        carry = jax.lax.fori_loop(0, t_tile, step,
+                                  (sc[0], sc[1], sc[2], sc[3], sc[4]))
+        new_sc = jnp.stack(carry, axis=0)
+        scratch[:] = new_sc
+        stout_ref[:] = new_sc
+
+    return kernel
+
+
+def pll_audio_pallas(g1: float, g2: float, om_min: float, om_max: float,
+                     mtauR: float, mtauI: float,
+                     carry: jnp.ndarray, iq: jnp.ndarray,
+                     t_tile: int = 256, sublanes: int = 8):
+    """Fused SAM 'both'-sideband demod: carry (5, C) [phs, fil_out,
+    omega2, dc, dc_insert]; iq (C, T) complex64.  Returns
+    (audio (C, T) f32, new_carry (5, C))."""
+    C, T = iq.shape
+    w = sublanes * 128
+    assert C % w == 0, (C, w)
+    t_tile = min(t_tile, T)
+    assert T % t_tile == 0, (T, t_tile)
+    n_c = C // w
+    n_t = T // t_tile
+    S = sublanes
+
+    def pack(a):
+        return jnp.swapaxes(a, 0, 1).reshape(T, S * n_c, 128)
+
+    zr3 = pack(jnp.real(iq))
+    zi3 = pack(jnp.imag(iq))
+    st3 = carry.reshape(N_CARRY_AUDIO, S * n_c, 128)
+
+    kernel = _make_audio_kernel(g1, g2, om_min, om_max, mtauR, mtauI,
+                                t_tile)
+    audio3, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_c, n_t),
+        in_specs=[
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((N_CARRY_AUDIO, S, 128), lambda ci, ti: (0, ci, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_tile, S, 128), lambda ci, ti: (ti, ci, 0)),
+            pl.BlockSpec((N_CARRY_AUDIO, S, 128), lambda ci, ti: (0, ci, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S * n_c, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N_CARRY_AUDIO, S * n_c, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N_CARRY_AUDIO, S, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=(jax.default_backend() == "cpu"),
+    )(zr3, zi3, st3)
+
+    audio = jnp.swapaxes(audio3.reshape(T, C), 0, 1)
+    return audio, st_out.reshape(N_CARRY_AUDIO, C)
+
+
 def pll_pallas(g1: float, g2: float, om_min: float, om_max: float,
                carry: jnp.ndarray, iq: jnp.ndarray, t_tile: int = 256,
                sublanes: int = 8):

@@ -70,12 +70,29 @@ class ChannelFleet:
         Returns the per-group audio arrays WITHOUT fetching to host — the
         production serving path, where decoded outputs (text, S-meter,
         squelch flags) are reduced on-device and only scalars leave the
-        chip.  Groups are dispatched back-to-back so XLA pipelines them.
-        """
-        outs = []
-        for g, (gi, gq) in zip(self.groups, planes):
-            audio, g.state, _ = g.chain(g.state, i=gi, q=gq)
-            outs.append(audio)
+        chip.  ALL groups run inside ONE jit (`_fused_step`): at fleet
+        group sizes (~1k channels) each separately-dispatched chain pays
+        a ~4-5 ms fixed cost on the axon relay — six dispatches were
+        ~60% of the whole fleet block (measured 2128 aggregate Ms/s as 6
+        jits vs the fused step's single fixed cost)."""
+        if not hasattr(self, "_fused_step"):
+            chains = [g.chain for g in self.groups]
+
+            def fused(states, planes_in):
+                outs, new_states = [], []
+                for chain, st, (gi, gq) in zip(chains, states, planes_in):
+                    audio, st2, _ = rx.process_block(
+                        chain.cfg, chain.params, st,
+                        jax.lax.complex(gi, gq))
+                    outs.append(audio)
+                    new_states.append(st2)
+                return outs, new_states
+
+            self._fused_step = jax.jit(fused)
+        states = [g.state for g in self.groups]
+        outs, new_states = self._fused_step(states, planes)
+        for g, st in zip(self.groups, new_states):
+            g.state = st
         return outs
 
     @property

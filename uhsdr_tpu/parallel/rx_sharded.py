@@ -242,8 +242,9 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh,
                               axis=-2)
         delta = jnp.asarray(params.nco_delta)
         new_phase = state.nco_phase + delta * jnp.uint32(T)
-        # reshard: channels over the whole device set
-        zf = jax.lax.with_sharding_constraint(zf, all_chan)
+        if mesh.size > 1:
+            # reshard: channels over the whole device set
+            zf = jax.lax.with_sharding_constraint(zf, all_chan)
         return zf, new_phase, new_carry
 
     def post_step(state: rx_chain.RxState, zf, new_phase, new_carry):
@@ -251,15 +252,23 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh,
         audio48, new_state, _ = rx_chain.demod_and_post(cfg, params, state, zf)
         return audio48, new_state
 
-    jit_front = jax.jit(
-        front_step,
-        in_shardings=(None, grid_shard, grid_shard),
-        out_shardings=(all_chan, None, None),
-    )
-    jit_post = jax.jit(
-        post_step,
-        out_shardings=(chan_shard, None),
-    )
+    if mesh.size > 1:
+        jit_front = jax.jit(
+            front_step,
+            in_shardings=(None, grid_shard, grid_shard),
+            out_shardings=(all_chan, None, None),
+        )
+        jit_post = jax.jit(
+            post_step,
+            out_shardings=(chan_shard, None),
+        )
+    else:
+        # 1x1 mesh: sharding annotations are semantic no-ops but push
+        # the executable down a dramatically slower axon dispatch path
+        # (measured 175 vs ~7000 Msamples/s for the same computation);
+        # plain jits restore kernel-path throughput
+        jit_front = jax.jit(front_step)
+        jit_post = jax.jit(post_step)
 
     def jit_step(state, i_plane, q_plane):
         zf, new_phase, new_carry = jit_front(state, i_plane, q_plane)
