@@ -64,3 +64,28 @@ def test_agc_off_fixed_gain():
     y, _ = agc.run(params, state, x)
     np.testing.assert_allclose(np.asarray(y),
                                np.asarray(params.fixed_gain), rtol=1e-6)
+
+
+def test_per_channel_agc_thresholds():
+    """Per-channel AGC parameter diversity (VERDICT r1 weak #7): a
+    single batched run with (C,)-shaped thresh/slope equals C separate
+    scalar-param runs channel-for-channel."""
+    fs = 12000.0
+    rng = np.random.default_rng(4)
+    T = 2048
+    x_np = (rng.standard_normal((4, T)) * 800.0).astype(np.float32)
+    threshs = np.array([40.0, 55.0, 70.0, 85.0])
+    slopes = np.array([2.0, 6.0, 6.0, 10.0])
+
+    pb = agc.make_params(fs, mode="med", thresh_db=threshs,
+                         slope_db=slopes)
+    yb, _ = agc.run(pb, agc.init_state((4,), pb), jnp.asarray(x_np))
+    yb = np.asarray(yb)
+
+    for c in range(4):
+        pc = agc.make_params(fs, mode="med", thresh_db=float(threshs[c]),
+                             slope_db=float(slopes[c]))
+        yc, _ = agc.run(pc, agc.init_state((1,), pc),
+                        jnp.asarray(x_np[c:c + 1]))
+        np.testing.assert_allclose(yb[c], np.asarray(yc)[0],
+                                   rtol=1e-5, atol=1e-4)

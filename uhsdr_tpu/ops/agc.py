@@ -72,6 +72,14 @@ def make_params(fs: float, mode: str = "med", thresh_db: float = 60.0,
                 slope_db: float = 6.0, hang_thresh_db: float = -30.0,
                 tau_hang_decay: float = 0.100, hang_enable: bool = False,
                 remove_dc: bool = False) -> AgcParams:
+    """thresh_db / slope_db / hang_thresh_db may be (C,)-shaped numpy
+    arrays for PER-CHANNEL AGC settings (the reference's per-channel
+    menu state, one batched chain instead of one chain per setting) —
+    the derived fields then broadcast against the channel axis in the
+    scan path; the Pallas kernel paths require scalars and fall back."""
+    thresh_db = np.asarray(thresh_db, np.float64)
+    slope_db = np.asarray(slope_db, np.float64)
+    hang_thresh_db = np.asarray(hang_thresh_db, np.float64)
     p = MODE_PRESETS[mode]
     tau_attack = 0.001
     n_tau = 4
@@ -95,19 +103,21 @@ def make_params(fs: float, mode: str = "med", thresh_db: float = 60.0,
     out_target = out_targ * (1.0 - np.exp(-float(n_tau))) * 0.9999
     min_volts = out_target / (var_gain * max_gain)
     tmpA = np.log10(out_target / (max_input * var_gain * max_gain))
-    if tmpA == 0.0:
-        tmpA = 1e-16
+    tmpA = np.where(tmpA == 0.0, 1e-16, tmpA)
     slope_constant = (out_target * (1.0 - 1.0 / var_gain)) / tmpA
 
-    if max_input > min_volts:
-        convert = 10.0 ** (hang_thresh_db / 20.0)
-        tmpB = max((convert - min_volts) / (max_input - min_volts), 1e-8)
-        hang_thresh = 1.0 + 0.125 * np.log10(tmpB)
-    else:
-        hang_thresh = 1.0
+    convert = 10.0 ** (hang_thresh_db / 20.0)
+    tmpB = np.maximum((convert - min_volts) / (max_input - min_volts),
+                      1e-8)
+    hang_thresh = np.where(max_input > min_volts,
+                           1.0 + 0.125 * np.log10(tmpB), 1.0)
     tmpC = 10.0 ** ((hang_thresh - 1.0) / 0.125)
     hang_level = (max_input * tmpC + (out_target / (var_gain * max_gain))
                   * (1.0 - tmpC)) * 0.637
+
+    def f32c(v):
+        return (np.asarray(v, np.float32) if np.ndim(v) > 0
+                else np.float32(v))
 
     return AgcParams(
         attack_buffsize=attack_buffsize,
@@ -118,14 +128,14 @@ def make_params(fs: float, mode: str = "med", thresh_db: float = 60.0,
         fast_backmult=np.float32(fast_backmult),
         hang_backmult=np.float32(hang_backmult),
         out_target=np.float32(out_target),
-        min_volts=np.float32(min_volts),
-        slope_constant=np.float32(slope_constant),
+        min_volts=f32c(min_volts),
+        slope_constant=f32c(slope_constant),
         inv_max_input=np.float32(1.0 / max_input),
-        hang_level=np.float32(hang_level),
+        hang_level=f32c(hang_level),
         hang_time_samples=np.int32(int(p["hangtime"] * fs)),
         hang_enable=hang_enable,
         pop_ratio=np.float32(pop_ratio),
-        fixed_gain=np.float32(fixed_gain),
+        fixed_gain=f32c(fixed_gain),
         remove_dc=remove_dc,
         agc_off=(mode == "off"),
     )
@@ -211,10 +221,24 @@ def _sliding_max_ahead(absx: jnp.ndarray, w: int) -> jnp.ndarray:
     return m[..., : absx.shape[-1]]
 
 
+def _scalar_params(params: AgcParams) -> bool:
+    """True when every derived gain-law field is a scalar (the Pallas
+    kernels close over Python floats; per-channel arrays take the
+    broadcasting scan path)."""
+    return all(np.ndim(v) == 0 for v in
+               (params.min_volts, params.slope_constant,
+                params.hang_level, params.fixed_gain))
+
+
+def _chan(v):
+    """Broadcast a per-channel (C,) param against a (..., T) signal."""
+    return v[..., None] if np.ndim(v) > 0 else v
+
+
 def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     """x: (..., T) audio at decimated rate. Returns (y, new_state)."""
     if params.agc_off:
-        y = x * params.fixed_gain
+        y = x * _chan(params.fixed_gain)
         return y, state
 
     T = x.shape[-1]
@@ -225,7 +249,8 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # the v2 path's pack transposes, XLA max passes and mult/log10 HBM
     # passes all disappear (see pallas/agc.py `_make_fused_kernel`).
     if (jax.default_backend() != "cpu" and x.ndim == 2
-            and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w):
+            and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w
+            and _scalar_params(params)):
         from ..pallas import agc as pallas_agc
         pp = _pallas_params(params, params.hang_time_samples, fused=True)
         carry = _machine_carry(state)
@@ -328,7 +353,8 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # scans for them only run on the fallback path.
     T_steps = ring_max.shape[-1]
     use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
-                  and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
+                  and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0
+                  and _scalar_params(params))
     if use_pallas:
         from ..pallas import agc as pallas_agc
         pp = _pallas_params(params, hang_time, fused=False)
@@ -359,7 +385,7 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
         volts_t = jnp.moveaxis(volts_seq, 0, -1)
 
     vo = jnp.minimum(jnp.log10(params.inv_max_input * volts_t), 0.0)
-    mult = (params.out_target - params.slope_constant * vo) / volts_t
+    mult = (params.out_target - _chan(params.slope_constant) * vo) / volts_t
     y = out_delayed * mult
 
     dc_state = state.dc
