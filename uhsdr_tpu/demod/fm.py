@@ -137,11 +137,6 @@ def _squelch_scan(params: FmParams, state: FmState, noise_samples: jnp.ndarray):
     return sql_avg, count, squelched, jnp.moveaxis(sq_seq, 0, -1)
 
 
-def _pallas_biquads_ok(x: jnp.ndarray) -> bool:
-    return (jax.default_backend() != "cpu" and x.ndim == 2
-            and x.shape[-1] % 128 == 0 and x.shape[0] % min(128, x.shape[0]) == 0)
-
-
 def demod(params: FmParams, state: FmState, iq: jnp.ndarray):
     """iq (..., T) complex64 at 48 kHz -> (audio (..., T), new_state)."""
     T = iq.shape[-1]
