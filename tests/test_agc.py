@@ -89,3 +89,102 @@ def test_per_channel_agc_thresholds():
                         jnp.asarray(x_np[c:c + 1]))
         np.testing.assert_allclose(yb[c], np.asarray(yc)[0],
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_per_channel_agc_kernel_path():
+    """VERDICT r2 item 5: (C,)-shaped gain-law params must run INSIDE the
+    Pallas kernel (VMEM parameter rows), not fall back.  The kernel is
+    exercised directly (interpret mode on CPU) with per-channel rows and
+    must match the scan path channel-for-channel."""
+    import jax
+    from uhsdr_tpu.pallas import agc as pallas_agc
+
+    fs = 12000.0
+    C, T = 1024, 512
+    rng = np.random.default_rng(7)
+    x_np = (rng.standard_normal((C, T)) * 600.0).astype(np.float32)
+    threshs = np.linspace(40.0, 85.0, C)
+    slopes = np.linspace(2.0, 10.0, C)
+
+    params = agc.make_params(fs, mode="med", thresh_db=threshs,
+                             slope_db=slopes)
+    assert not agc._scalar_params(params)
+    state = agc.init_state((C,), params)
+
+    # scan reference (the CPU fallback path)
+    y_ref, _ = agc.run(params, state, jnp.asarray(x_np))
+
+    # fused kernel with per-channel VMEM rows — the off-CPU dispatch
+    pp = agc._pallas_params(params, params.hang_time_samples, fused=True,
+                            scalar=False)
+    carry = agc._machine_carry(state)
+    chan = agc._chan_rows(params, C, True)
+    y_k, carry_out, _ = pallas_agc.agc_pallas_fused(
+        pp, carry, state.delay, jnp.asarray(x_np), t_tile=256, chan=chan)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    # and the dispatch itself engages the kernel off-CPU WITH the
+    # per-channel rows: probe run() with a faked non-cpu backend and a
+    # recording stub in place of the kernel
+    import uhsdr_tpu.ops.agc as agc_mod
+    seen = {}
+
+    class _Probe(Exception):
+        pass
+
+    def stub(pp_, carry_, delay_, x_, t_tile=256, sub=8, chan=None):
+        seen["chan"] = chan
+        raise _Probe
+
+    orig_backend = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        pallas_agc.agc_pallas_fused, orig = stub, pallas_agc.agc_pallas_fused
+        try:
+            agc_mod.run(params, state, jnp.asarray(x_np))
+            raise AssertionError("kernel dispatch did not engage")
+        except _Probe:
+            pass
+        finally:
+            pallas_agc.agc_pallas_fused = orig
+    finally:
+        jax.default_backend = orig_backend
+    assert seen["chan"] is not None and seen["chan"].shape == (3, C)
+
+
+def test_per_channel_agc_machine_kernel():
+    """The non-fused machine kernel (sharded/v2 path) with per-channel
+    [min_volts, hang_level] rows matches the scan machine."""
+    from uhsdr_tpu.pallas import agc as pallas_agc
+
+    fs = 12000.0
+    C, T = 1024, 512
+    rng = np.random.default_rng(8)
+    x_np = (rng.standard_normal((C, T)) * 600.0).astype(np.float32)
+    threshs = np.linspace(40.0, 85.0, C)
+
+    params = agc.make_params(fs, mode="med", thresh_db=threshs,
+                             hang_enable=True)
+    state = agc.init_state((C,), params)
+    y_ref, _ = agc.run(params, state, jnp.asarray(x_np))
+
+    # reproduce run()'s v2 decomposition with the kernel machine
+    import jax.numpy as jnp2
+    xfull = jnp2.concatenate([state.delay, jnp2.asarray(x_np)], axis=-1)
+    w = params.attack_buffsize
+    abs_full = jnp2.abs(xfull)
+    ring_max = agc._sliding_max_ahead(abs_full, w)[..., :T]
+    abs_out = abs_full[..., :T]
+    pp = agc._pallas_params(params, float(params.hang_time_samples),
+                            fused=False, scalar=False)
+    carry = agc._machine_carry(state)
+    chan = agc._chan_rows(params, C, False)
+    volts_t, _ = pallas_agc.agc_scan_pallas(pp, carry, ring_max, abs_out,
+                                            t_tile=256, chan=chan)
+    vo = jnp2.minimum(jnp2.log10(params.inv_max_input * volts_t), 0.0)
+    mult = (params.out_target - agc._chan(params.slope_constant) * vo) \
+        / volts_t
+    y_k = xfull[..., :T] * mult
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-3)

@@ -3,16 +3,22 @@
 the firmware-exact scalar oracle (`tests/golden/ref_chain.py`).
 
 Runs BOTH chains per mode:
-  * refchain — the reference-exact chain (imported coefficient tables,
-    firmware stage structure).  SNR here = implementation fidelity.
-  * product  — the fast fused chain (`chain.rx`).  SNR here includes the
-    documented scipy filter-redesign divergence; the in-band tone-level
-    delta is reported separately.
+  * product  — the SHIPPED chain (`chain.rx`, default front="ref"): the
+    chain `bench.py` times, with the firmware's imported front tables
+    (stage A decimator + stage B Hilbert pair for narrow SSB/CW) and the
+    post lattices as exact transfer functions.  SNR is RAW (sample-
+    aligned, no lag/gain compensation) — the chain is reference-exact,
+    so none is needed.  On the TPU backend this is the Pallas/MXU kernel
+    path; the bound reflects one-bf16-pass MXU rounding (pallas/fir
+    `_PREC` note).
+  * refchain — the serial conformance twin (`chain.refchain`).  SNR here
+    = pure f32 implementation fidelity (no MXU involved on CPU).
 
-Emits one JSON artifact (default CONFORMANCE_r02.json) for the judge,
+Emits one JSON artifact (default CONFORMANCE_r03.json) for the judge,
 and a human-readable table on stdout.
 
-Usage: python tools/conformance_ref.py [--out CONFORMANCE_r02.json] [--backend cpu|tpu]
+Usage: python tools/conformance_ref.py [--out CONFORMANCE_r03.json]
+                                       [--backend cpu|tpu]
 """
 from __future__ import annotations
 
@@ -28,7 +34,7 @@ import jax  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="CONFORMANCE_r02.json")
+    ap.add_argument("--out", default="CONFORMANCE_r03.json")
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
 
@@ -39,73 +45,41 @@ def main() -> int:
 
     from tests.golden import ref_chain as gold  # noqa: E402
     from tests.test_conformance_ref import (  # noqa: E402
-        CASES, FS, SKIP, make_iq, run_jax_chain, snr_db)
+        CASES, PRODUCT_CASES, make_iq, run_jax_chain, run_product_chain,
+        snr_db)
     from uhsdr_tpu.chain import refchain  # noqa: E402
     from uhsdr_tpu.chain import rx as rx_mod  # noqa: E402
 
+    refchain_bounds = {(m, b): bd for m, b, _, bd in CASES}
     rows = []
-    for mode, bw, sel, bound in CASES:
+    for mode, bw, sel, bound in PRODUCT_CASES:
         iq = make_iq(mode)
         ref, _ = gold.ref_rx_chain(iq, mode, bw, select_id=sel)
 
-        cfg = refchain.RefRxConfig(mode=mode, bw_key=bw, select_id=sel)
-        out = run_jax_chain(cfg, iq)
-        s_exact = snr_db(ref, out)
+        # the shipped chain, default config (= what bench.py times)
+        pcfg = rx_mod.RxConfig(mode=mode, bw_key=bw, ref_select_id=sel,
+                               block_len=4096)
+        assert pcfg.use_ref_front
+        pout = run_product_chain(pcfg, iq)
+        s_prod = snr_db(ref, pout)
 
-        # product chain (where the bw exists in the product registry)
-        s_prod = None
-        tone_delta_db = None
-        try:
-            pcfg = rx_mod.RxConfig(mode=mode, bw_key=bw, block_len=4096,
-                                   front_impl="xla")
-            chain = rx_mod.RxChain(pcfg)
-            state = chain.init_state(batch_shape=(1,))
-            outs = []
-            for st in range(0, len(iq), pcfg.block_len):
-                audio, state, _ = chain(state,
-                                        iq=iq[st:st + pcfg.block_len][None, :])
-                outs.append(np.asarray(audio)[0])
-            pout = np.concatenate(outs)
-            if pout.ndim > 1:
-                pout = pout[0]
-            # the product chain's redesigned filters have different group
-            # delay than the reference tables, so raw sample-aligned SNR
-            # is delay-dominated; report the best-lag, optimal-gain SNR
-            # (the standard waveform-conformance measure for re-designed
-            # linear-phase paths)
-            r_seg = ref[SKIP:]
-            p_seg = pout[SKIP:]
-            lags = np.arange(-256, 257)
-            corr = [float(np.dot(r_seg[256:-256],
-                                 p_seg[256 + l:len(p_seg) - 256 + l]))
-                    for l in lags]
-            lag = int(lags[int(np.argmax(np.abs(corr)))])
-            rr = r_seg[256:-256]
-            pp = p_seg[256 + lag:len(p_seg) - 256 + lag]
-            g = float(np.dot(rr, pp) / max(np.dot(pp, pp), 1e-30))
-            err = rr - g * pp
-            s_prod = 10 * np.log10(np.mean(rr ** 2)
-                                   / (np.mean(err ** 2) + 1e-30))
-            # in-band RMS level delta (filter-redesign divergence)
-            r = np.sqrt(np.mean(ref[SKIP:] ** 2))
-            p = np.sqrt(np.mean(pout[SKIP:] ** 2))
-            tone_delta_db = float(20 * np.log10(p / r))
-        except (KeyError, ValueError):
-            pass
+        s_exact = None
+        if (mode, bw) in refchain_bounds:
+            cfg = refchain.RefRxConfig(mode=mode, bw_key=bw, select_id=sel)
+            out = run_jax_chain(cfg, iq)
+            s_exact = snr_db(ref, out)
 
         rows.append({
             "mode": mode, "bw": bw, "select_id": sel,
-            "snr_refchain_db": round(float(s_exact), 1),
+            "snr_product_db": round(float(s_prod), 1),
             "bound_db": bound,
-            "passed": bool(s_exact >= bound),
-            "snr_product_aligned_db": (round(float(s_prod), 1)
-                                       if s_prod is not None else None),
-            "product_level_delta_db": (round(tone_delta_db, 2)
-                                       if tone_delta_db is not None else None),
+            "passed": bool(s_prod >= bound),
+            "snr_refchain_db": (round(float(s_exact), 1)
+                                if s_exact is not None else None),
         })
-        print(f"{mode:4s} {bw:8s} refchain {s_exact:6.1f} dB "
-              f"(bound {bound})  product "
-              f"{'%6.1f' % s_prod if s_prod is not None else '   n/a'} dB")
+        print(f"{mode:4s} {bw:8s} product {s_prod:6.1f} dB (bound {bound})"
+              f"  refchain "
+              f"{'%6.1f' % s_exact if s_exact is not None else '   n/a'} dB")
 
     artifact = {
         "oracle": "tests/golden/ref_chain.py (float64 scalar port, "
@@ -113,14 +87,14 @@ def main() -> int:
         "backend": args.backend,
         "signal": "mode-matched synthetic IQ + noise, 2 s @48k, "
                   "transient skip 0.5 s (tests/test_conformance_ref.py)",
-        "notes": "snr_refchain_db: reference-exact chain (imported "
-                 "coefficient tables, firmware stage structure) vs the "
-                 "float64 oracle — implementation fidelity. "
-                 "snr_product_aligned_db: fast fused product chain vs the "
-                 "same oracle, best-lag + optimal-gain compensated "
-                 "(its scipy-redesigned filters legitimately differ in "
-                 "group delay/ripple; see test_product_vs_reference for "
-                 "the tone-level bounds).",
+        "notes": "snr_product_db: the SHIPPED chain (chain.rx, default "
+                 "front='ref' — the same chain bench.py times) vs the "
+                 "float64 oracle, RAW sample-aligned SNR.  On backend="
+                 "'tpu' all Pallas/MXU kernels are engaged and the "
+                 "residual is one-bf16-pass MXU rounding (~54-56 dB); on "
+                 "'cpu' the XLA f32 paths reach ~90+ dB. "
+                 "snr_refchain_db: the serial conformance twin "
+                 "(chain.refchain) — pure f32 fidelity.",
         "rows": rows,
         "all_passed": all(r["passed"] for r in rows),
     }

@@ -36,12 +36,14 @@ from ..demod import ssb as ssb_mod
 from ..nr import blanker as nb_mod
 from ..nr import spectral as nr_mod
 from ..ops import agc as agc_mod
-from ..ops import design, fir, iir, iqcorr, lms, nco
+from ..ops import design, fir, iir, iqcorr, latconv, lms, nco
 from ..pallas import fir as pallas_fir
 from . import eq as eq_mod
 from . import filterpaths
 
 IQ_RATE = 48000.0
+
+_EMPTY_SOS = np.zeros((0, 5), np.float32)
 
 # reference tap counts: filters.h:9-16 — RX 89/199, AM lowpass 89
 RX_TAPS_HI = 199
@@ -91,6 +93,14 @@ class RxConfig:
                                    # audio_driver.c:2618,2770-2777)
     bw_key: str = "2P3KHZ"
     path_name: str | None = None   # sub-path; None = first applicable
+    front: str = "ref"             # "ref": front filters + post lattices are
+                                   # the firmware's EXACT imported tables
+                                   # (iq_rx_filter.c / fir_rx_decimate_*.c /
+                                   # iir_*.c via uhsdr_tpu.data) — the chain
+                                   # that is benchmarked IS the chain that
+                                   # is conformant; "scipy": the legacy
+                                   # redesigned single-stage front
+    ref_select_id: int | None = None  # FilterPathInfo row selector (ref)
     translate_hz: float = 6000.0   # reference: ±6k/±12k (audio_driver.c:445)
     block_len: int = 4096          # 48 kHz samples per block
     high_taps: bool = True         # 199- vs 89-tap front filter
@@ -127,6 +137,31 @@ class RxConfig:
         return filterpaths.find_path(self.mode, self.bw_key, self.path_name)
 
     @property
+    def use_ref_front(self) -> bool:
+        """Reference-table front engaged (iq/ssbstereo are beyond-reference
+        conveniences with no imported-table analog — they keep the scipy
+        designs)."""
+        return (self.front == "ref"
+                and self.mode in ("usb", "lsb", "cw", "am", "sam", "fm"))
+
+    @property
+    def ref_path(self) -> dict:
+        """The firmware FilterPathInfo row (audio_filter.c:147-928)."""
+        return refdata.find_path(self.mode, self.bw_key,
+                                 select_id=self.ref_select_id)
+
+    @property
+    def rate_mult(self) -> int:
+        """iq_rate / 48 kHz — >48k captures pre-decimate by this factor
+        through a fused wideband anti-alias so the per-path chain runs at
+        the reference's rates."""
+        k = self.iq_rate / IQ_RATE
+        if k != int(k) or k < 1:
+            raise ValueError(f"iq_rate must be a multiple of 48 kHz, "
+                             f"got {self.iq_rate}")
+        return int(k)
+
+    @property
     def n_audio(self) -> int:
         """1 (mono) or 2: IQ-as-stereo, LSB/USB stereo, SAM stereo —
         the reference's USE_TWO_CHANNEL_AUDIO modes (audio_driver.c:2618)."""
@@ -140,7 +175,9 @@ class RxConfig:
     def decim(self) -> int:
         # scale the path's 48k-based decimation so the decimated audio
         # rate is rate-independent (96 kHz IQ -> /8 instead of /4)
-        return int(self.path.decim * self.iq_rate / IQ_RATE)
+        base = self.ref_path["decim"] if self.use_ref_front \
+            else self.path.decim
+        return int(base * self.iq_rate / IQ_RATE)
 
     @property
     def fs_dec(self) -> float:
@@ -174,6 +211,10 @@ class RxParams(NamedTuple):
     post_scale: float             # firmware-level output scaling
     eq1_sos: np.ndarray           # decimated-rate EQ cascade (biquad1)
     eq2_sos: np.ndarray           # 48k treble shelf (biquad2)
+    # --- front="ref" extras (None/empty otherwise) ---
+    front2_re: Any = None         # stage-B Hilbert-combine FIR @fs_dec
+    front2_im: Any = None         #   (narrow SSB/CW: i_rx_new ∓ j·q_rx_new)
+    aa_sos: np.ndarray = _EMPTY_SOS   # post-interp anti-alias lattice→SOS
 
 
 class RxState(NamedTuple):
@@ -192,9 +233,161 @@ class RxState(NamedTuple):
     interp_carry: jnp.ndarray
     eq1: jnp.ndarray
     eq2: jnp.ndarray
+    front2_carry: Any = None
+    aa: Any = None
+
+
+def _upsample(h: np.ndarray, k: int) -> np.ndarray:
+    """Zero-stuff h by k (the multirate noble identity's rate lift)."""
+    if k == 1:
+        return h
+    u = np.zeros(k * (len(h) - 1) + 1, h.dtype)
+    u[::k] = h
+    return u
+
+
+def _rate_adapt_front(h: np.ndarray, k: int, iq_rate: float) -> np.ndarray:
+    """Lift a 48k-rate front filter to a k·48k input rate: the fused
+    (wideband anti-alias) ⊛ upsample_k(h) is ONE decimating filter at the
+    capture rate — decimate-by-k then h then decimate-by-R equals this
+    filter then decimate-by-(kR), exactly (noble identity).  The
+    anti-alias only has to kill h's spectral images around multiples of
+    48 kHz (transition 20k→40k), so it stays short."""
+    if k == 1:
+        return h
+    hb = design.lowpass_fir(32 * k - 1, 20000.0, iq_rate)
+    return np.convolve(hb, _upsample(h, k))
+
+
+def _sos5(sos6: np.ndarray) -> np.ndarray:
+    """scipy (n,6) SOS -> the chain's normalized (n,5) [b0 b1 b2 a1 a2]."""
+    sos6 = np.asarray(sos6, np.float64)
+    sos6 = sos6 / sos6[:, 3:4]
+    return np.concatenate([sos6[:, :3], sos6[:, 4:]],
+                          axis=1).astype(np.float32)
+
+
+def _lattice_sos5(name: str | None) -> np.ndarray:
+    if name is None:
+        return _EMPTY_SOS
+    pk, pv = refdata.lattice(name)
+    return _sos5(latconv.lattice_to_sos(pk, pv))
+
+
+def _make_params_ref(cfg: RxConfig) -> RxParams:
+    """Front + post products from the firmware's imported tables.
+
+    Front structure (audio_driver.c:2718-2812, audio_filter.c:1134-1226):
+      narrow SSB/CW: decimate IQ (FirRxDecimate[_sideband_supp]) -> Hilbert
+        pair at fs_dec -> I±Q.  Stage A here is the real decimator (complex
+        in/out, NCO fused); stage B (``front2``) is the Hilbert pair fused
+        into ONE complex FIR g = h_i ∓ j·h_q whose real response IS I±Q
+        (Re(z⊛g) = i⊛h_i ± q⊛h_q), run at fs_dec in `demod_and_post`.
+      wide SSB: Hilbert at 48k -> I±Q -> decimate audio.  Because the
+        decimator D is real it commutes with Re(·), so the whole front is
+        ONE complex decimating FIR g_h ⊛ D with real output.
+      AM/SAM: the per-path AM lowpass IS the decimator (both planes).
+      FM: the 89-tap lowpass at 48k, no decimation.
+    Post chain: PreFilter / anti-alias lattices run as their EXACT
+    transfer functions converted to SOS cascades (`ops.latconv`), and the
+    interpolator uses the firmware's taps, so no gain fudge is needed —
+    `post_scale` is the firmware's bare constant.
+    """
+    rp = cfg.ref_path
+    k = cfg.rate_mult
+    mode = cfg.mode
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+
+    front2 = None
+    sgn = 1.0 if mode == "lsb" else -1.0      # g = h_i ∓ j·h_q
+    if mode in ("am", "sam", "fm"):
+        front = refdata.fir(rp["fir_i"], rp["fir_numtaps"]).astype(complex)
+    elif refdata.uses_decimated_iq(rp, mode):   # narrow SSB/CW
+        front = refdata.decimator(rp["dec"]).astype(complex)
+        front2 = (refdata.fir(rp["fir_i"], rp["fir_numtaps"])
+                  + 1j * sgn * refdata.fir(rp["fir_q"], rp["fir_numtaps"]))
+    else:                                       # wide SSB
+        g_h = (refdata.fir(rp["fir_i"], rp["fir_numtaps"])
+               + 1j * sgn * refdata.fir(rp["fir_q"], rp["fir_numtaps"]))
+        front = np.convolve(g_h, refdata.decimator(rp["dec"]))
+    front = _rate_adapt_front(front, k, cfg.iq_rate)
+
+    fs_dec = cfg.fs_dec                  # rate-independent (decim scales)
+    if mode == "fm":
+        fs_dec = IQ_RATE                 # ref FM chain runs at 48 kHz
+
+    interp_fir = np.zeros(1, np.float64)
+    if rp["interpolate"] is not None:
+        h_int, _ = refdata.interpolator(rp["interpolate"], rp["decim"])
+        if k > 1:
+            # lift the 48k-out interpolator to the capture rate: extra
+            # zero-stuff by k compensated by a gain-k image filter
+            hb = design.lowpass_fir(32 * k - 1, 20000.0, cfg.iq_rate) * k
+            h_int = np.convolve(hb, _upsample(h_int, k))
+        interp_fir = h_int
+    aa_sos = _EMPTY_SOS
+    if rp["antialias"] is not None:
+        assert k == 1, "post anti-alias lattice is 48k-rate only"
+        aa_sos = _lattice_sos5(rp["antialias"])
+
+    post_scale = _reference_post_scale_exact(cfg)
+
+    nr_params = None
+    if cfg.nr_enable:
+        lo, hi = cfg.path.audio_band
+        nr_params = nr_mod.make_params(fs_dec, lo, hi,
+                                       alpha=0.799 + cfg.nr_strength / 1000.0)
+    fm_params = None
+    if mode == "fm":
+        fm_params = fm_mod.make_params(IQ_RATE, cfg.sql_threshold,
+                                       cfg.subtone_hz)
+    notch_params = (lms.notch_params() if cfg.notch_enable
+                    and not cfg.leaky_notch else None)
+    leaky_params = None
+    if cfg.leaky_nr_enable or (cfg.notch_enable and cfg.leaky_notch):
+        leaky_params = lms.leaky_lms_params(
+            notch=cfg.notch_enable and cfg.leaky_notch)
+
+    return RxParams(
+        nco_delta=nco.freq_to_delta(-cfg.translate_hz, cfg.iq_rate),
+        front_fir_re=f32(front.real),
+        front_fir_im=f32(front.imag),
+        audio_sos=_lattice_sos5(rp["pre"]),
+        interp_fir=f32(interp_fir),
+        agc=agc_mod.make_params(fs_dec, mode=cfg.agc_mode,
+                                thresh_db=cfg.agc_thresh_db,
+                                remove_dc=mode in ("am", "sam")),
+        fade=am_mod.fade_leveler_params(cfg.fs_dec),
+        sam=sam_mod.make_params(cfg.fs_dec),
+        fm=fm_params,
+        nr=nr_params,
+        nb=nb_mod.make_params(cfg.nb_setting) if cfg.nb_enable else None,
+        notch=notch_params,
+        leaky=leaky_params,
+        iq_gain=1.0,
+        iq_phase=0.0,
+        post_scale=post_scale,
+        eq1_sos=eq_mod.rx_biquad1_sos(cfg.eq, fs_dec),
+        eq2_sos=eq_mod.rx_biquad2_sos(cfg.eq, cfg.iq_rate),
+        front2_re=f32(front2.real) if front2 is not None else None,
+        front2_im=f32(front2.imag) if front2 is not None else None,
+        aa_sos=aa_sos,
+    )
+
+
+def _reference_post_scale_exact(cfg: RxConfig) -> float:
+    """Firmware post-AGC scaling, exact (audio_driver.c:2517-2527,
+    :1494-1495) — used with the reference interpolator tables."""
+    if cfg.mode == "fm":
+        return FM_RX_SCALING_5K if cfg.fm_dev5 else FM_RX_SCALING_2K5
+    base = (POST_AGC_GAIN_SCALING_DECIMATE_4 if cfg.ref_path["decim"] == 4
+            else POST_AGC_GAIN_SCALING_DECIMATE_2)
+    return base * (0.5 if cfg.mode in ("am", "sam") else 0.333)
 
 
 def make_params(cfg: RxConfig) -> RxParams:
+    if cfg.use_ref_front:
+        return _make_params_ref(cfg)
     path = cfg.path
     taps = RX_TAPS_HI if cfg.high_taps else RX_TAPS_LO
     lo, hi = path.audio_band
@@ -299,13 +492,19 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
             jnp.float32),
         eq1=jnp.zeros((params.eq1_sos.shape[0],) + bs_post + (2,), jnp.float32),
         eq2=jnp.zeros((params.eq2_sos.shape[0],) + bs_post + (2,), jnp.float32),
+        front2_carry=(fir.init_carry(bs, params.front2_re.shape[-1],
+                                     jnp.complex64)
+                      if params.front2_re is not None else None),
+        aa=jnp.zeros((params.aa_sos.shape[0],) + bs_post + (2,), jnp.float32),
     )
 
 
-def _biquad_cascade(cfg: RxConfig, sos, state, x):
+def _biquad_cascade(cfg: RxConfig, sos, state, x, precise: bool = False):
     """Biquad cascade dispatch (shared Pallas/XLA rule,
-    `ops.iir.biquad_cascade_dispatch`)."""
-    return iir.biquad_cascade_dispatch(sos, state, x, impl=cfg.iir_impl)
+    `ops.iir.biquad_cascade_dispatch`).  precise=True pins the
+    conformance-critical sequential path (ref lattice-derived cascades)."""
+    impl = "precise" if (precise and cfg.iir_impl == "auto") else cfg.iir_impl
+    return iir.biquad_cascade_dispatch(sos, state, x, impl=impl)
 
 
 def _tune_offset_delta(offset_hz, fs: float) -> jnp.ndarray:
@@ -366,9 +565,12 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     # (777 -> 1340 Msamples/s at 8192ch x 16k on v5e; the front FIR is
     # ~85% of chain time on the XLA FFT path).  The earlier remote-AOT
     # compile blowup no longer reproduces (41 s cold, in-session).
+    # FM stays at 48 kHz (ref decim 1; only the >48k capture pre-decimation
+    # applies); all other modes decimate by cfg.decim in the front kernel
+    fm_decim = (cfg.decim if cfg.use_ref_front else 1) \
+        if cfg.mode == "fm" else cfg.decim
     use_pallas = cfg.front_impl != "xla" and cfg.mode != "ssbstereo"
     if use_pallas and cfg.front_impl == "auto":
-        fm_decim = 1 if cfg.mode == "fm" else cfg.decim
         use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
                       and z.shape[0] % 8 == 0
                       and (z.shape[-1] // fm_decim) % 256 == 0)
@@ -401,13 +603,17 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     if cfg.mode == "fm":
         if use_pallas:
             C = z.shape[0]
-            tile_c = next((tc for tc in (128, 8) if C % tc == 0), 8)
+            tmax = 128 // pallas_fir.TILE_C_DIV
+            tile_c = next((tc for tc in (tmax, 8) if C % tc == 0), 8)
             zf, front_carry = pallas_fir.fir_decimate_pallas(
                 np.asarray(params.front_fir_re)
                 + 1j * np.asarray(params.front_fir_im),
-                state.front_carry, z, 1, tile_c=tile_c, tile_t=256,
+                state.front_carry, z, fm_decim, tile_c=tile_c, tile_t=256,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
                      if fuse_nco else None))
+        elif fm_decim > 1:
+            zf, front_carry = fir.fir_decimate_block(
+                front_fir, state.front_carry, z, fm_decim)
         else:
             zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
         state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
@@ -423,18 +629,26 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
         C = z.shape[0]
         # VMEM budget: the kernel holds ~6 slab-sized f32 buffers of
         # (tile_c, tile_t*decim + pad); 256-wide channel tiles overflow the
-        # 16 MB scoped limit at decim 8 (96 kHz IQ) — halve there
-        tile_c_max = 256 if cfg.decim <= 4 else 128
-        tile_c = next((tc for tc in (tile_c_max, 128, 8) if C % tc == 0), 8)
+        # 16 MB scoped limit at decim 8 (96 kHz IQ) — halve there, and
+        # halve again for the high-precision MXU passes (pallas.fir._PREC)
+        tile_c_max = (256 if cfg.decim <= 4 else 128) // pallas_fir.TILE_C_DIV
+        tile_c = next((tc for tc in (tile_c_max, 128, 64, 8)
+                       if tc <= tile_c_max and C % tc == 0), 8)
+        # high-precision MXU passes stage extra copies of the tap matrix:
+        # at decim 8 the (tile_t*decim+pad, tile_t) matrix must shrink too
+        tile_t = 128 if (cfg.decim >= 8 and pallas_fir.TILE_C_DIV > 1) \
+            else 256
         # SSB demod is exactly Re(analytic signal): the kernel skips the
         # imaginary-part matmuls (half its MXU work) and hands the real
         # audio straight to the post chain (demod_and_post passes real
-        # input through for ssb modes)
-        real_out = cfg.mode in ("usb", "lsb", "cw")
+        # input through for ssb modes).  With the ref two-stage front the
+        # Hilbert combine happens in stage B, so stage A stays complex.
+        real_out = (cfg.mode in ("usb", "lsb", "cw")
+                    and params.front2_re is None)
         zf, front_carry = pallas_fir.fir_decimate_pallas(
             np.asarray(params.front_fir_re)
             + 1j * np.asarray(params.front_fir_im),
-            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=256,
+            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=tile_t,
             nco=(state.nco_phase.reshape(-1)[0], delta) if fuse_nco else None,
             real_out=real_out)
     else:
@@ -447,28 +661,47 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
     return demod_and_post(cfg, params, state, zf, taps_out)
 
 
-def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
-                   zf: jnp.ndarray, taps_out: dict | None = None):
-    """Demodulation + decimated-domain post-processing, shared between the
-    single-chip chain and the sharded pipeline (`parallel.rx_sharded`,
-    which computes the front end under `shard_map` with halo exchange and
-    hands the decimated analytic signal here).  The front-end fields of
-    ``state`` (iqcorr/nco_phase/front_carry) must already be updated by the
-    caller.  Returns (audio48, new_state, taps)."""
+def demod_pre_agc(cfg: RxConfig, params: RxParams, state: RxState,
+                  zf: jnp.ndarray, taps_out: dict | None = None):
+    """Stage B + demodulation + notch/leaky LMS + audio bandpass —
+    everything up to (excluding) the WDSP AGC.  Split out of
+    `demod_and_post` so mixed-mode fleets can run ONE batched AGC kernel
+    across same-rate groups (`parallel.fleet` cross-group stage
+    batching); for FM this is the full-rate discriminator + FM_RX_SCALING
+    (the reference applies AGC after the scale, audio_driver.c:2824-2836).
+    Returns (audio_at_agc_input, new_state, taps)."""
     if taps_out is None:
         taps_out = {}
 
-    # --- FM: full-rate discriminator; the reference then applies
-    # FM_RX_SCALING + WDSP AGC + treble biquad2 at 48 kHz
-    # (audio_driver.c:2824-2836) ---
     if cfg.mode == "fm":
         audio, fm_state = fm_mod.demod(params.fm, state.fm, zf)
         audio = audio * np.float32(params.post_scale)
-        audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
-        audio, eq2_state = _biquad_cascade(cfg, params.eq2_sos, state.eq2,
-                                           audio)
-        return audio, state._replace(fm=fm_state, agc=agc_state,
-                                     eq2=eq2_state), taps_out
+        return audio, state._replace(fm=fm_state), taps_out
+
+    # --- ref-front stage B: the firmware's Hilbert pair at fs_dec fused
+    # into one complex FIR with real output (= I±Q sideband combine,
+    # audio_driver.c:2748-2790); stage A delivered the decimated IQ ---
+    front2_carry = state.front2_carry
+    if params.front2_re is not None:
+        g2_np = (np.asarray(params.front2_re)
+                 + 1j * np.asarray(params.front2_im))
+        use_pallas2 = (jax.default_backend() != "cpu" and zf.ndim == 2
+                       and zf.shape[0] % 8 == 0
+                       and zf.shape[-1] % 256 == 0
+                       and 256 >= g2_np.shape[-1] - 1)
+        if use_pallas2:
+            C = zf.shape[0]
+            tmax = 256 // pallas_fir.TILE_C_DIV
+            tile_c = next((tc for tc in (tmax, 128, 64, 8)
+                           if tc <= tmax and C % tc == 0), 8)
+            zf, front2_carry = pallas_fir.fir_decimate_pallas(
+                g2_np, state.front2_carry, zf, 1, tile_c=tile_c,
+                tile_t=256, real_out=True)
+        else:
+            g2 = jax.lax.complex(jnp.asarray(params.front2_re),
+                                 jnp.asarray(params.front2_im))
+            y2, front2_carry = fir.fir_block(g2, state.front2_carry, zf)
+            zf = jnp.real(y2)
 
     # --- demodulation at decimated rate ---
     fade_state = state.fade
@@ -506,11 +739,28 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
                                                audio)
 
     audio, sos_state = _biquad_cascade(cfg, params.audio_sos,
-                                       state.audio_sos_state, audio)
+                                       state.audio_sos_state, audio,
+                                       precise=cfg.use_ref_front)
 
-    # scale into the AGC's expected input range (reference feeds ADC-scaled
-    # samples, max_input 4096)
-    audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
+    new_state = state._replace(
+        audio_sos_state=sos_state, fade=fade_state, sam=sam_state,
+        notch=notch_state, leaky=leaky_state, front2_carry=front2_carry)
+    return audio, new_state, taps_out
+
+
+def post_after_agc(cfg: RxConfig, params: RxParams, state: RxState,
+                   audio: jnp.ndarray, taps_out: dict | None = None):
+    """Post-AGC half of the chain: noise blanker, spectral NR, post-AGC
+    gain scaling, EQ biquad1, interpolation to the IQ rate, anti-alias
+    lattice, treble biquad2.  (FM: treble biquad2 only — the FM chain
+    stays at 48 kHz.)  Returns (audio48, new_state, taps)."""
+    if taps_out is None:
+        taps_out = {}
+
+    if cfg.mode == "fm":
+        audio, eq2_state = _biquad_cascade(cfg, params.eq2_sos, state.eq2,
+                                           audio)
+        return audio, state._replace(eq2=eq2_state), taps_out
 
     # --- LPC impulse noise blanker (alt_noise_blanking, runs on the NR
     # input in the reference: audio_nr.c:357-366) ---
@@ -540,22 +790,42 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
                          and audio.shape[-1] % 512 == 0)
     if use_pallas_interp:
         C = audio.shape[0]
-        tile_c = 256 if C % 256 == 0 else (128 if C % 128 == 0 else 8)
+        tmax = 256 // pallas_fir.TILE_C_DIV
+        tile_c = next((tc for tc in (tmax, 128, 64, 8)
+                       if tc <= tmax and C % tc == 0), 8)
         audio48, interp_carry = pallas_fir.fir_interpolate_pallas(
             params.interp_fir, state.interp_carry, audio, cfg.decim,
             tile_c=tile_c, tile_t_in=512)
     else:
         audio48, interp_carry = fir.fir_interpolate_block(
             params.interp_fir, state.interp_carry, audio, cfg.decim)
+    # post-interpolation anti-alias lattice (audio_driver.c:2583), as its
+    # exact transfer function in SOS form (ops.latconv)
+    aa_state = state.aa
+    if params.aa_sos.shape[0]:
+        audio48, aa_state = _biquad_cascade(cfg, params.aa_sos, state.aa,
+                                            audio48, precise=True)
     audio48, eq2_state = _biquad_cascade(cfg, params.eq2_sos, state.eq2,
                                          audio48)
 
     new_state = state._replace(
-        audio_sos_state=sos_state, agc=agc_state, fade=fade_state,
-        sam=sam_state, nr=nr_state, nb=nb_state, notch=notch_state,
-        leaky=leaky_state, interp_carry=interp_carry, eq1=eq1_state,
-        eq2=eq2_state)
+        nr=nr_state, nb=nb_state, interp_carry=interp_carry,
+        eq1=eq1_state, eq2=eq2_state, aa=aa_state)
     return audio48, new_state, taps_out
+
+
+def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
+                   zf: jnp.ndarray, taps_out: dict | None = None):
+    """Demodulation + decimated-domain post-processing, shared between the
+    single-chip chain and the sharded pipeline (`parallel.rx_sharded`,
+    which computes the front end under `shard_map` with halo exchange and
+    hands the decimated analytic signal here).  The front-end fields of
+    ``state`` (iqcorr/nco_phase/front_carry) must already be updated by the
+    caller.  Returns (audio48, new_state, taps)."""
+    audio, state, taps_out = demod_pre_agc(cfg, params, state, zf, taps_out)
+    audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
+    state = state._replace(agc=agc_state)
+    return post_after_agc(cfg, params, state, audio, taps_out)
 
 
 class RxChain:

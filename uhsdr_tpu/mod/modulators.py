@@ -87,7 +87,8 @@ def _analytic_fir(fir_re, fir_im, carry, audio):
     if use_pallas:
         from ..pallas import fir as pallas_fir
         h_np = np.asarray(fir_re) + 1j * np.asarray(fir_im)
-        tile_c = 128 if audio.shape[0] % 128 == 0 else 8
+        tmax = 128 // pallas_fir.TILE_C_DIV
+        tile_c = next((tc for tc in (tmax, 8) if audio.shape[0] % tc == 0), 8)
         return pallas_fir.fir_real_analytic_pallas(
             h_np, carry, audio, tile_c=tile_c, tile_t=512)
     h = jax.lax.complex(jnp.asarray(fir_re), jnp.asarray(fir_im))
@@ -103,7 +104,8 @@ def ssb_modulate(params: SsbModParams, state: SsbModState, audio: jnp.ndarray):
                   and audio.shape[0] % 8 == 0 and audio.shape[-1] % 512 == 0)
     if use_pallas:
         from ..pallas import fir as pallas_fir
-        tile_c = 128 if audio.shape[0] % 128 == 0 else 8
+        tmax = 128 // pallas_fir.TILE_C_DIV
+        tile_c = next((tc for tc in (tmax, 8) if audio.shape[0] % tc == 0), 8)
         z, carry = pallas_fir.fir_real_analytic_pallas(
             np.asarray(params.fir_re) + 1j * np.asarray(params.fir_im),
             state.carry, audio, tile_c=tile_c, tile_t=512,

@@ -167,9 +167,14 @@ def init_state(batch_shape, params: AgcParams) -> AgcState:
 
 
 def _pallas_params(params: AgcParams, hang_time: float,
-                   fused: bool) -> dict:
+                   fused: bool, scalar: bool = True) -> dict:
     """AgcParams -> the Pallas kernels' scalar-parameter dict (one place
-    so the two kernel call sites can't desynchronize)."""
+    so the two kernel call sites can't desynchronize).  When scalar is
+    False, the per-channel gain-law fields (min_volts / slope_constant /
+    hang_level) travel as VMEM rows instead (`_chan_rows`) and their
+    dict slots hold unused placeholders."""
+    def fl(v):
+        return 0.0 if (not scalar and np.ndim(v) > 0) else float(v)
     pp = dict(attack_mult=float(params.attack_mult),
               fast_decay_mult=float(params.fast_decay_mult),
               decay_mult=float(params.decay_mult),
@@ -177,13 +182,13 @@ def _pallas_params(params: AgcParams, hang_time: float,
               fast_backmult=float(params.fast_backmult),
               hang_backmult=float(params.hang_backmult),
               pop_ratio=float(params.pop_ratio),
-              hang_level=float(params.hang_level),
+              hang_level=fl(params.hang_level),
               hang_time=float(hang_time),
               hang_enable=bool(params.hang_enable),
-              min_volts=float(params.min_volts))
+              min_volts=fl(params.min_volts))
     if fused:
         pp.update(out_target=float(params.out_target),
-                  slope_constant=float(params.slope_constant),
+                  slope_constant=fl(params.slope_constant),
                   inv_max_input=float(params.inv_max_input))
     return pp
 
@@ -222,12 +227,22 @@ def _sliding_max_ahead(absx: jnp.ndarray, w: int) -> jnp.ndarray:
 
 
 def _scalar_params(params: AgcParams) -> bool:
-    """True when every derived gain-law field is a scalar (the Pallas
-    kernels close over Python floats; per-channel arrays take the
-    broadcasting scan path)."""
+    """True when every derived gain-law field is a scalar.  Per-channel
+    (C,) arrays stay ON the kernel path — they are passed to the kernels
+    as VMEM-resident parameter rows (`chan`); this predicate only selects
+    which calling convention to use."""
     return all(np.ndim(v) == 0 for v in
                (params.min_volts, params.slope_constant,
                 params.hang_level, params.fixed_gain))
+
+
+def _chan_rows(params: AgcParams, C: int, fused: bool):
+    """(3, C) [min_volts, slope_constant, hang_level] (fused kernel) or
+    (2, C) [min_volts, hang_level] (machine kernel) per-channel blocks."""
+    fields = ((params.min_volts, params.slope_constant, params.hang_level)
+              if fused else (params.min_volts, params.hang_level))
+    return jnp.stack([jnp.broadcast_to(
+        jnp.asarray(v, jnp.float32), (C,)) for v in fields])
 
 
 def _chan(v):
@@ -249,13 +264,15 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # the v2 path's pack transposes, XLA max passes and mult/log10 HBM
     # passes all disappear (see pallas/agc.py `_make_fused_kernel`).
     if (jax.default_backend() != "cpu" and x.ndim == 2
-            and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w
-            and _scalar_params(params)):
+            and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w):
         from ..pallas import agc as pallas_agc
-        pp = _pallas_params(params, params.hang_time_samples, fused=True)
+        scalar = _scalar_params(params)
+        pp = _pallas_params(params, params.hang_time_samples, fused=True,
+                            scalar=scalar)
         carry = _machine_carry(state)
         y, carry_out, new_delay = pallas_agc.agc_pallas_fused(
-            pp, carry, state.delay, x)
+            pp, carry, state.delay, x,
+            chan=None if scalar else _chan_rows(params, x.shape[0], True))
         dc_state = state.dc
         if params.remove_dc:
             y, dc_state = iir.dc_blocker_block(0.9999, dc_state, y)
@@ -353,14 +370,16 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # scans for them only run on the fallback path.
     T_steps = ring_max.shape[-1]
     use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
-                  and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0
-                  and _scalar_params(params))
+                  and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
     if use_pallas:
         from ..pallas import agc as pallas_agc
-        pp = _pallas_params(params, hang_time, fused=False)
+        scalar = _scalar_params(params)
+        pp = _pallas_params(params, hang_time, fused=False, scalar=scalar)
         carry = _machine_carry(state)
         volts_t, carry_out = pallas_agc.agc_scan_pallas(
-            pp, carry, ring_max, abs_out)
+            pp, carry, ring_max, abs_out,
+            chan=None if scalar else _chan_rows(params, ring_max.shape[0],
+                                                False))
         volts_f, save_f, hang_f, decay_f, st_f, fba_last, hba_last = (
             carry_out[0], carry_out[1], carry_out[2], carry_out[3],
             carry_out[4], carry_out[5], carry_out[6])

@@ -201,14 +201,21 @@ def biquad_cascade_dispatch(sos, state, x, impl: str = "auto"):
         return x, state
     # blocked-matmul path: static numpy coefficients + chunking shape
     # (see `biquad_cascade_blocked` — MXU Toeplitz instead of a sequential
-    # VMEM kernel; wins whenever T is long enough to amortize)
+    # VMEM kernel; wins whenever T is long enough to amortize).
+    # impl="precise" excludes it: the chunk-boundary state propagation
+    # through f32 powers of the companion matrix limits high-Q cascades
+    # to ~50 dB output SNR (measured on the reference lattice-derived
+    # SOS), while the sequential forms hold 90-105 dB — conformance-
+    # critical stages (the ref PreFilter/anti-alias) use "precise".
     if (impl == "blocked" or (impl == "auto"
                               and jax.default_backend() != "cpu"))\
             and isinstance(sos, np.ndarray) and not jnp.iscomplexobj(x) \
             and x.shape[-1] % 128 == 0 and x.shape[-1] >= 256:
         return biquad_cascade_blocked(sos, state, x)
-    use_pallas = impl == "pallas" or (
+    use_pallas = impl in ("pallas", "precise") or (
         impl == "auto" and jax.default_backend() != "cpu")
+    if impl == "precise" and jax.default_backend() == "cpu":
+        use_pallas = False         # sequential scan is the CPU precise path
     if use_pallas and x.ndim == 2:
         C, T = x.shape
         t_tile = min(128, T)

@@ -33,10 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 N_CARRY = 7   # volts, save_volts, hang_counter, decay_type, state, fba, hba
 
 
-def _make_machine_step(pp):
+def _make_machine_step(pp, hang_level=None, min_volts=None):
     """The per-sample 5-state machine body, shared by both kernels.
     Returns step(carry_tuple, rm, ax) -> (new_carry_tuple, new_volts).
-    pp: dict of python-float params closed over at trace time."""
+    pp: dict of python-float params closed over at trace time.
+    hang_level/min_volts: optional (sub, 128) VMEM arrays overriding the
+    scalar params — PER-CHANNEL gain-law diversity (the reference's
+    per-channel menu state, audio_agc.c:563-574) without leaving the
+    kernel path."""
     f32 = np.float32
     attack = f32(pp["attack_mult"])
     fast_d = f32(pp["fast_decay_mult"])
@@ -45,10 +49,10 @@ def _make_machine_step(pp):
     fast_bm = f32(pp["fast_backmult"])
     hang_bm = f32(pp["hang_backmult"])
     pop_ratio = f32(pp["pop_ratio"])
-    hang_level = f32(pp["hang_level"])
+    hang_level = f32(pp["hang_level"]) if hang_level is None else hang_level
     hang_time = f32(pp["hang_time"])
     hang_en = f32(1.0 if pp["hang_enable"] else 0.0)
-    min_volts = f32(pp["min_volts"])
+    min_volts = f32(pp["min_volts"]) if min_volts is None else min_volts
     one = f32(1.0)
 
     def step(carry, rm, ax):
@@ -117,10 +121,15 @@ def _make_machine_step(pp):
     return step
 
 
-def _make_kernel(pp, t_tile: int):
-    machine_step = _make_machine_step(pp)
-
-    def kernel(rm_ref, ax_ref, st_ref, y_ref, stout_ref, scratch):
+def _make_kernel(pp, t_tile: int, chan: bool = False):
+    def kernel(rm_ref, ax_ref, st_ref, *rest):
+        if chan:
+            pc_ref, y_ref, stout_ref, scratch = rest
+            machine_step = _make_machine_step(pp, hang_level=pc_ref[1],
+                                              min_volts=pc_ref[0])
+        else:
+            y_ref, stout_ref, scratch = rest
+            machine_step = _make_machine_step(pp)
         ti = pl.program_id(1)
 
         @pl.when(ti == 0)
@@ -145,7 +154,7 @@ def _make_kernel(pp, t_tile: int):
     return kernel
 
 
-def _make_fused_kernel(pp, t_tile: int, w: int):
+def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False):
     """v3: the WHOLE AGC op in one kernel — |x|, the look-ahead sliding
     max (dilated max on the VMEM slab), the 5-state machine AND the
     log-domain gain application.  The slab trick: xfull (= delay ++ x) at
@@ -158,14 +167,18 @@ def _make_fused_kernel(pp, t_tile: int, w: int):
     """
     f32 = np.float32
     out_target = f32(pp["out_target"])
-    slope_constant = f32(pp["slope_constant"])
     inv_max_input = f32(pp["inv_max_input"])
-    min_volts = f32(pp["min_volts"])
 
-    machine_step = _make_machine_step(pp)
-
-    def kernel(xc_ref, xp_ref, dl_ref, st_ref, y_ref, stout_ref,
-               scratch, rm_s, od_s):
+    def kernel(xc_ref, xp_ref, dl_ref, st_ref, *rest):
+        if chan:
+            pc_ref, y_ref, stout_ref, scratch, rm_s, od_s = rest
+            machine_step = _make_machine_step(pp, hang_level=pc_ref[2],
+                                              min_volts=pc_ref[0])
+            slope_constant = pc_ref[1]
+        else:
+            y_ref, stout_ref, scratch, rm_s, od_s = rest
+            machine_step = _make_machine_step(pp)
+            slope_constant = f32(pp["slope_constant"])
         ti = pl.program_id(1)
 
         @pl.when(ti == 0)
@@ -207,12 +220,17 @@ def _make_fused_kernel(pp, t_tile: int, w: int):
 
 
 def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
-                     x: jnp.ndarray, t_tile: int = 256, sub: int = 8):
+                     x: jnp.ndarray, t_tile: int = 256, sub: int = 8,
+                     chan: jnp.ndarray | None = None):
     """Full AGC op (delay line, look-ahead max, 5-state machine, gain).
     carry: (7, C); delay: (C, w) f32 (the carried delay-line tail);
     x: (C, T) f32.  Returns (y (C, T), new_carry (7, C), new_delay).
     Requires C % (sub*128) == 0 (or C % 1024 with sub reduced), T % t_tile
     == 0, t_tile >= w.
+
+    chan: optional (3, C) f32 per-channel gain-law parameters
+    [min_volts, slope_constant, hang_level] — VMEM-resident rows, the
+    kernel path for per-channel AGC settings (audio_agc.c:563-574).
 
     sub = channel sublanes per sequential step.  In principle packing
     more channels per step divides the sequential length, but sub=16
@@ -235,17 +253,24 @@ def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
     dl3 = pack(delay, w)
     st3 = carry.reshape(N_CARRY, sub * n_c, 128)
 
-    kernel = _make_fused_kernel(pp, t_tile, w)
+    in_specs = [
+        pl.BlockSpec((t_tile, sub, 128), lambda ci, ti: (ti, ci, 0)),
+        pl.BlockSpec((t_tile, sub, 128),
+                     lambda ci, ti: (jnp.maximum(ti - 1, 0), ci, 0)),
+        pl.BlockSpec((w, sub, 128), lambda ci, ti: (0, ci, 0)),
+        pl.BlockSpec((N_CARRY, sub, 128), lambda ci, ti: (0, ci, 0)),
+    ]
+    operands = [x3, x3, dl3, st3]
+    if chan is not None:
+        in_specs.append(pl.BlockSpec((3, sub, 128),
+                                     lambda ci, ti: (0, ci, 0)))
+        operands.append(chan.reshape(3, sub * n_c, 128))
+
+    kernel = _make_fused_kernel(pp, t_tile, w, chan=chan is not None)
     y3, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),
-        in_specs=[
-            pl.BlockSpec((t_tile, sub, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((t_tile, sub, 128),
-                         lambda ci, ti: (jnp.maximum(ti - 1, 0), ci, 0)),
-            pl.BlockSpec((w, sub, 128), lambda ci, ti: (0, ci, 0)),
-            pl.BlockSpec((N_CARRY, sub, 128), lambda ci, ti: (0, ci, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((t_tile, sub, 128), lambda ci, ti: (ti, ci, 0)),
             pl.BlockSpec((N_CARRY, sub, 128), lambda ci, ti: (0, ci, 0)),
@@ -260,7 +285,7 @@ def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=(jax.default_backend() == "cpu"),
-    )(x3, x3, dl3, st3)
+    )(*operands)
     y = jnp.swapaxes(y3.reshape(T, C), 0, 1)
     new_delay = jnp.concatenate([delay, x], axis=-1)[..., -w:] if T < w \
         else x[..., -w:]
@@ -268,12 +293,15 @@ def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
 
 
 def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
-                    absx: jnp.ndarray, t_tile: int = 256):
+                    absx: jnp.ndarray, t_tile: int = 256,
+                    chan: jnp.ndarray | None = None):
     """Run the AGC machine.  carry: (7, C) — volts, save_volts,
     hang_counter, decay_type, state, fast_backaverage, hang_backaverage;
     rm (look-ahead ring max) and absx (delayed |x|): (C, T) f32.
     Returns (volts (C, T), new_carry (7, C)).
     Requires C % 1024 == 0 (8 sublanes x 128 lanes) and T % t_tile == 0.
+
+    chan: optional (2, C) f32 per-channel [min_volts, hang_level].
 
     t_tile=256 keeps the input/output (t_tile, 8, 128) f32 blocks with
     double buffering inside the 16 MB VMEM budget.
@@ -290,15 +318,22 @@ def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
     rm3, ax3 = pack(rm), pack(absx)
     st3 = carry.reshape(N_CARRY, 8 * n_c, 128)
 
-    kernel = _make_kernel(pp, t_tile)
+    in_specs = [
+        pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+        pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
+        pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
+    ]
+    operands = [rm3, ax3, st3]
+    if chan is not None:
+        in_specs.append(pl.BlockSpec((2, 8, 128),
+                                     lambda ci, ti: (0, ci, 0)))
+        operands.append(chan.reshape(2, 8 * n_c, 128))
+
+    kernel = _make_kernel(pp, t_tile, chan=chan is not None)
     y3, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),
-        in_specs=[
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
-            pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((t_tile, 8, 128), lambda ci, ti: (ti, ci, 0)),
             pl.BlockSpec((N_CARRY, 8, 128), lambda ci, ti: (0, ci, 0)),
@@ -311,6 +346,6 @@ def agc_scan_pallas(pp: dict, carry: jnp.ndarray, rm: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=(jax.default_backend() == "cpu"),
-    )(rm3, ax3, st3)
+    )(*operands)
     volts = jnp.swapaxes(y3.reshape(T, C), 0, 1)
     return volts, st_out.reshape(N_CARRY, C)

@@ -32,6 +32,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# MXU pass precision for the tap matmuls.  DEFAULT (one bf16 pass with
+# f32 accumulation) holds full-chain conformance at ~54-56 dB vs the
+# float64 oracle — above the >=50 dB bound — at full MXU rate.
+# Precision.HIGHEST (multi-pass f32) lifts conformance to ~90 dB but
+# measured 6,352 vs 11,771 Msamples/s on the flagship bench (-46%), and
+# its staging VMEM forces halved tiles (TILE_C_DIV) — so DEFAULT ships.
+# Flip to HIGHEST for verification runs; TILE_C_DIV adapts the callers'
+# channel tiles automatically.
+_PREC = jax.lax.Precision.DEFAULT
+TILE_C_DIV = 2 if _PREC != jax.lax.Precision.DEFAULT else 1
+
 
 def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
                 hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
@@ -56,12 +67,12 @@ def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
         xi = xi.astype(mxu_dtype)
         hr = hr.astype(mxu_dtype)
         hi = hi.astype(mxu_dtype)
-    rr = jnp.dot(xr, hr, preferred_element_type=jnp.float32)
-    ii = jnp.dot(xi, hi, preferred_element_type=jnp.float32)
+    rr = jnp.dot(xr, hr, preferred_element_type=jnp.float32, precision=_PREC)
+    ii = jnp.dot(xi, hi, preferred_element_type=jnp.float32, precision=_PREC)
     or_ref[:] = rr - ii
     if oi_ref is not None:
-        ri = jnp.dot(xr, hi, preferred_element_type=jnp.float32)
-        ir = jnp.dot(xi, hr, preferred_element_type=jnp.float32)
+        ri = jnp.dot(xr, hi, preferred_element_type=jnp.float32, precision=_PREC)
+        ir = jnp.dot(xi, hr, preferred_element_type=jnp.float32, precision=_PREC)
         oi_ref[:] = ri + ir
 
 
@@ -109,12 +120,12 @@ def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
         xi_rot = xi_rot.astype(mxu_dtype)
         hr = hr.astype(mxu_dtype)
         hi = hi.astype(mxu_dtype)
-    rr = jnp.dot(xr_rot, hr, preferred_element_type=jnp.float32)
-    ii = jnp.dot(xi_rot, hi, preferred_element_type=jnp.float32)
+    rr = jnp.dot(xr_rot, hr, preferred_element_type=jnp.float32, precision=_PREC)
+    ii = jnp.dot(xi_rot, hi, preferred_element_type=jnp.float32, precision=_PREC)
     or_ref[:] = rr - ii
     if oi_ref is not None:
-        ri = jnp.dot(xr_rot, hi, preferred_element_type=jnp.float32)
-        ir = jnp.dot(xi_rot, hr, preferred_element_type=jnp.float32)
+        ri = jnp.dot(xr_rot, hi, preferred_element_type=jnp.float32, precision=_PREC)
+        ir = jnp.dot(xi_rot, hr, preferred_element_type=jnp.float32, precision=_PREC)
         oi_ref[:] = ri + ir
 
 
@@ -262,8 +273,8 @@ def _fir_real_kernel(nco_ref, x_ref, p_ref, c_ref, hr_ref, hi_ref,
     W = x_ref.shape[1]
     tail = jnp.where(ti == 0, c_ref[:], p_ref[:])
     x = jnp.concatenate([tail, x_ref[:]], axis=1)       # (TC, K)
-    yr = jnp.dot(x, hr_ref[:], preferred_element_type=jnp.float32)
-    yi = jnp.dot(x, hi_ref[:], preferred_element_type=jnp.float32)
+    yr = jnp.dot(x, hr_ref[:], preferred_element_type=jnp.float32, precision=_PREC)
+    yi = jnp.dot(x, hi_ref[:], preferred_element_type=jnp.float32, precision=_PREC)
     if conj:
         yi = -yi
     if use_nco:
@@ -350,7 +361,7 @@ def _interp_kernel(x_ref, p_ref, c_ref, h_ref, o_ref, *, pad_left: int):
     W = x_ref.shape[1]
     tail = jnp.where(ti == 0, c_ref[:], p_ref[:, W - pad_left:])
     x = jnp.concatenate([tail, x_ref[:]], axis=1)       # (TC, K)
-    o_ref[:] = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32, precision=_PREC)
 
 
 def _build_interp_tap_matrix(h: np.ndarray, interp: int, tile_t_in: int,

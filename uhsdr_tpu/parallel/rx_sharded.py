@@ -99,12 +99,17 @@ def _front_end_local(params, cfg, n_sp: int, t_local: int, use_pallas: bool,
     """
     taps = params.front_fir_re.shape[-1]
     L = taps - 1
-    decim = 1 if cfg.mode == "fm" else cfg.decim
+    decim = ((cfg.decim if cfg.use_ref_front else 1)
+             if cfg.mode == "fm" else cfg.decim)
     E = -(-L // decim)
     sp_idx = jax.lax.axis_index("sp")
     delta = jnp.asarray(params.nco_delta)
     translating = bool(np.asarray(params.nco_delta) != 0)
-    real_out = cfg.mode in ("usb", "lsb", "cw")
+    # ref two-stage front: stage A stays complex; the Hilbert combine
+    # (stage B) runs channel-sharded inside demod_and_post after the
+    # reshard, where time is unsharded — no extra halo exchange needed
+    real_out = (cfg.mode in ("usb", "lsb", "cw")
+                and params.front2_re is None)
     h_np = (np.asarray(params.front_fir_re)
             + 1j * np.asarray(params.front_fir_im))
 
@@ -195,7 +200,8 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh,
     n_sp = mesh.shape["sp"]
     n_dp = mesh.shape["dp"]
     taps = params.front_fir_re.shape[-1]
-    decim = 1 if cfg.mode == "fm" else cfg.decim
+    decim = ((cfg.decim if cfg.use_ref_front else 1)
+             if cfg.mode == "fm" else cfg.decim)
     chan_shard = mesh_mod.channel_sharding(mesh)
     grid_shard = mesh_mod.grid_sharding(mesh)
     all_chan = jax.sharding.NamedSharding(mesh, P(("dp", "sp"), None))
@@ -203,7 +209,8 @@ def make_sharded_rx(cfg: rx_chain.RxConfig, mesh: jax.sharding.Mesh,
     def _resolve_pallas(C_local: int, t_local: int):
         if cfg.front_impl == "xla":
             return False, 8, False
-        tile_c = next((tc for tc in (128, 8) if C_local % tc == 0), None)
+        tmax = 128 // pallas_fir.TILE_C_DIV
+        tile_c = next((tc for tc in (tmax, 8) if C_local % tc == 0), None)
         tiles = (tile_c is not None
                  and (t_local // decim) % 256 == 0
                  and 256 * decim >= -(-(taps - 1) // 128) * 128)
