@@ -108,12 +108,49 @@ def _make_text_decoder(mode: str, fs_dec: float):
     raise ValueError(f"no text decoder for mode {mode}")
 
 
+def _cmd_rx_freedv(args) -> int:
+    """FreeDV as a radio RX mode (`freedv_uhsdr.c:166-320` role): the
+    48k capture is NCO-translated, rate-converted /6 to the 8 kHz modem,
+    demodulated (FDMDV+Golay+vocoder or OFDM+LDPC+vocoder), and the
+    recovered speech is interpolated x6 back to 48 kHz audio out."""
+    from .io import ingest
+    from .modems import freedv as fdv
+
+    radio = fdv.FreeDvRadioMode(args.mode, args.block,
+                                translate_hz=args.translate)
+    out = []
+    nblocks = 0
+    with ingest.IqIngest(args.input, args.block) as src:
+        while True:
+            blk = src.next_block()
+            if blk is None:
+                break
+            audio = radio.rx_block(blk[0], blk[1])
+            if audio.size:
+                out.append(audio)
+            nblocks += 1
+            if args.max_blocks and nblocks >= args.max_blocks:
+                break
+    audio = (np.concatenate(out) if out else np.zeros(0, np.float32))
+    if args.out:
+        ingest.write_audio_wav(args.out, audio)
+    metrics = {"blocks": nblocks, "samples": int(audio.size),
+               "audio_rms": (float(np.sqrt(np.mean(audio ** 2)))
+                             if audio.size else 0.0)}
+    metrics.update(radio.stats)
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_rx(args) -> int:
     import jax.numpy as jnp
 
     from .chain import rx
     from .io import ingest
     from .spectrum import scope
+
+    if args.mode in ("freedv1600", "freedv700d"):
+        return _cmd_rx_freedv(args)
 
     # digital text modes ride the SSB chain with the decoder on the
     # decimated tap
@@ -239,6 +276,36 @@ def cmd_tx(args) -> int:
     from .modems import cw_text
 
     fs = 48000
+    if args.mode in ("freedv1600", "freedv700d"):
+        # digital voice TX (`tx_processor.c:601-714` role): 48k speech ->
+        # /6 -> vocoder+FEC+modem -> 8k IQ -> x6 -> translated 48k IQ out
+        from .modems import freedv as fdv
+        if args.audio_in:
+            import wave
+            with wave.open(args.audio_in) as w:
+                raw = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+                if w.getnchannels() == 2:
+                    raw = raw[0::2]
+                speech = raw.astype(np.float32) / 32768.0
+        else:
+            t = np.arange(fs * 2) / fs
+            speech = (0.3 * (np.sin(2 * np.pi * 700 * t)
+                             + np.sin(2 * np.pi * 1200 * t))
+                      ).astype(np.float32)
+        radio = fdv.FreeDvRadioMode(args.mode, 4800,
+                                    translate_hz=args.translate)
+        iqs = []
+        n = (len(speech) // 4800) * 4800
+        for k in range(0, n, 4800):
+            iq = radio.tx_block(speech[k:k + 4800])
+            if iq.size:
+                iqs.append(iq)
+        iq = (np.concatenate(iqs) if iqs
+              else np.zeros(0, np.complex64)) * 0.5
+        ingest.write_iq_wav(args.out, iq.astype(np.complex64))
+        print(json.dumps({"samples": int(iq.size), "out": args.out,
+                          "mode": args.mode}))
+        return 0
     if args.mode == "cw":
         env = cw_text.text_to_keying(args.text or "CQ TEST", args.wpm, fs)
         audio = env
@@ -393,7 +460,8 @@ def main(argv=None) -> int:
     rxp.add_argument("--out", default="")
     rxp.add_argument("--mode", default="usb",
                      choices=["usb", "lsb", "cw", "am", "sam", "fm",
-                              "rtty", "psk", "iq", "ssbstereo", "samstereo"])
+                              "rtty", "psk", "iq", "ssbstereo", "samstereo",
+                              "freedv1600", "freedv700d"])
     rxp.add_argument("--decode", action="store_true",
                      help="run the digital text decoder (cw/rtty/psk)")
     rxp.add_argument("--bw", default="2P3KHZ")
@@ -433,7 +501,7 @@ def main(argv=None) -> int:
     txp.add_argument("--out", required=True)
     txp.add_argument("--mode", default="usb",
                      choices=["usb", "lsb", "am", "fm", "cw", "rtty",
-                              "psk"])
+                              "psk", "freedv1600", "freedv700d"])
     txp.add_argument("--text", default="")
     txp.add_argument("--wpm", type=float, default=20.0)
     txp.add_argument("--audio-in", default="")
@@ -451,7 +519,8 @@ def main(argv=None) -> int:
     sv.add_argument("--dial", type=int, default=0,
                     help="initial dial frequency (0 = capture center)")
     sv.add_argument("--mode", default="usb",
-                    choices=["usb", "lsb", "cw", "am", "sam", "fm"])
+                    choices=["usb", "lsb", "cw", "am", "sam", "fm",
+                             "freedv1600", "freedv700d"])
     sv.add_argument("--bw", default="2P3KHZ")
     sv.add_argument("--translate", type=float, default=6000.0)
     sv.add_argument("--agc", default="med")

@@ -124,10 +124,21 @@ class RadioServer(cat_mod.Radio):
         self._tx_text.append(text)
 
     # ---- pump ------------------------------------------------------------
+    def _build_freedv(self):
+        """FreeDV as a serve mode: the host-side deferred modem path (the
+        reference's PendSV role, `freedv_uhsdr.c:166-320`); the scope tap
+        still sees the raw IQ."""
+        from ..modems import freedv as fdv
+        c = self.serve_cfg
+        return fdv.FreeDvRadioMode(self.mode, c.block_len,
+                                   translate_hz=c.translate_hz, fs=c.fs)
+
     def _build_rx(self):
         import jax.numpy as jnp  # noqa: F401  (ensures jax on pump thread)
         c = self.serve_cfg
-        chain_mode = {"rtty": "usb", "psk": "usb"}.get(self.mode, self.mode)
+        chain_mode = {"rtty": "usb", "psk": "usb",
+                      "freedv1600": "usb",
+                      "freedv700d": "usb"}.get(self.mode, self.mode)
         with self._lock:
             bw = self._bw_key
         cfg = rx.RxConfig(mode=chain_mode, bw_key=bw,
@@ -179,11 +190,14 @@ class RadioServer(cat_mod.Radio):
                 + 0.45 * np.sin(2 * np.pi * 1900.0 * t)).astype(np.float32)
 
     def _pump(self):
+        import jax
         import jax.numpy as jnp
         c = self.serve_cfg
         sink = None
         try:
             chain, state, sc_params, sc_state = self._build_rx()
+            fdv_radio = (self._build_freedv()
+                         if self.mode.startswith("freedv") else None)
             tx_chain = tx_state = None
             power_mw, _ = meter.resolve_power_level(
                 c.tx_power_level, self.mode)
@@ -197,6 +211,9 @@ class RadioServer(cat_mod.Radio):
                     if self._pending_chain.is_set():
                         self._pending_chain.clear()
                         chain, state, sc_params, sc_state = self._build_rx()
+                        fdv_radio = (self._build_freedv()
+                                     if self.mode.startswith("freedv")
+                                     else None)
                         tx_chain = tx_state = None
                         power_mw, _ = meter.resolve_power_level(
                             c.tx_power_level, self.mode)
@@ -228,16 +245,28 @@ class RadioServer(cat_mod.Radio):
                             break
                         i_p, q_p = blk
                         offset = float(self.dial_hz - c.center_hz)
-                        audio, state, taps = chain(
-                            state, i=jnp.asarray(i_p[None]),
-                            q=jnp.asarray(q_p[None]),
-                            tune_offset_hz=offset)
-                        sc_out, sc_state = scope.process(
-                            sc_params, sc_state, taps["spectrum_iq"])
-                        audio_np = np.asarray(audio, np.float32)[0]
-                        self.audio_blocks.append(audio_np)
-                        if sink is not None:
-                            sink.push(audio_np)
+                        if fdv_radio is not None:
+                            # digital-voice mode: deferred host modem path
+                            audio_np = fdv_radio.rx_block(
+                                i_p, q_p, extra_offset_hz=offset)
+                            zraw = jax.jit(jax.lax.complex)(
+                                jnp.asarray(i_p[None]),
+                                jnp.asarray(q_p[None]))
+                            sc_out, sc_state = scope.process(
+                                sc_params, sc_state, zraw)
+                            self.freedv_stats = fdv_radio.stats
+                        else:
+                            audio, state, taps = chain(
+                                state, i=jnp.asarray(i_p[None]),
+                                q=jnp.asarray(q_p[None]),
+                                tune_offset_hz=offset)
+                            sc_out, sc_state = scope.process(
+                                sc_params, sc_state, taps["spectrum_iq"])
+                            audio_np = np.asarray(audio, np.float32)[0]
+                        if audio_np.size:   # freedv yields whole
+                            self.audio_blocks.append(audio_np)  # frames
+                            if sink is not None:
+                                sink.push(audio_np)
                         self.dbm = float(np.asarray(sc_out["dbm"])[0])
                         self.s_meter = float(np.asarray(
                             scope.dbm_to_s_units(sc_out["dbm"]))[0])

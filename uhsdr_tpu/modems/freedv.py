@@ -321,3 +321,103 @@ def freedv_rx_block(conv: RateConverter, modem: FreeDvModem,
     iq8 = conv.down(iq_48k)
     speech = modem.demod(np.asarray(iq8))
     return conv.up(jnp.asarray(speech))
+
+
+class FreeDvRadioMode:
+    """FreeDV as a selectable MODE OF THE RADIO — the reference's
+    IRQ-side glue (`AudioDriver_RxProcessorFreeDV` `audio_driver.c:
+    1330-1470`: tap the TRANSLATED 48k IQ, rate-convert /6, hand to the
+    deferred modem, upsample the 8k speech x6 back into the audio path)
+    plus the TX mirror (`tx_processor.c:601-714`).  Used by `cli rx/tx
+    --mode freedv1600|freedv700d`, `serve`, and the fleet's FreeDV group
+    (`parallel.fleet.FreeDvFleetGroup`).
+
+    The NCO translate runs on-device with a carried uint32 phase (the
+    chain front's FreqShift role); the modem itself is host-side numpy —
+    the analog of the reference running it in PendSV off the hot path.
+    """
+
+    MODES = ("freedv1600", "freedv700d")
+
+    def __init__(self, mode: str, block_len: int,
+                 translate_hz: float = 0.0, fs: float = IQ_RATE):
+        from ..ops import nco as nco_mod
+        assert mode in self.MODES, mode
+        assert block_len % RATIO == 0
+        self.mode = mode
+        self.modem = FreeDv1600() if mode == "freedv1600" else FreeDv700D()
+        self.conv = RateConverter(block_len)
+        self._nco = nco_mod
+        self._translate = float(translate_hz)
+        self._fs = float(fs)
+        self._phase = None
+        self._up_tails: dict = {}
+        self._tx_n = 0
+
+    def _translate_block(self, i_p: np.ndarray, q_p: np.ndarray,
+                         extra_offset_hz: float = 0.0):
+        z = jax.lax.complex(jnp.asarray(i_p, jnp.float32),
+                            jnp.asarray(q_p, jnp.float32))
+        f = self._translate + float(extra_offset_hz)
+        if f == 0.0:
+            return z
+        if self._phase is None:
+            self._phase = jnp.zeros(z.shape[:-1], jnp.uint32)
+        delta = jnp.broadcast_to(
+            jnp.asarray(self._nco.freq_to_delta(-f, self._fs)),
+            self._phase.shape)
+        z, self._phase = self._nco.mix(z, self._phase, delta)
+        return z
+
+    def _up48(self, x_new: np.ndarray, key: str) -> np.ndarray:
+        """Streaming x6 polyphase interpolation of a VARIABLE-length 8k
+        chunk (numpy — modem output lengths vary per block, which would
+        retrace a jitted path).  `key` names the carried tail (separate
+        streams for RX speech and TX I/Q planes)."""
+        h = np.asarray(self.conv.h_int, np.float64)
+        carry = self._up_tails.setdefault(key, np.zeros(0, np.float64))
+        x = np.concatenate([carry, np.asarray(x_new, np.float64)])
+        keep = (len(h) + RATIO - 1) // RATIO
+        if len(x) <= keep:
+            self._up_tails[key] = x
+            return np.zeros(0, np.float32)
+        up = np.zeros(len(x) * RATIO)
+        up[::RATIO] = x
+        y = np.convolve(up, h)[: len(x) * RATIO]
+        valid = y[keep * RATIO:]
+        self._up_tails[key] = x[-keep:]
+        return valid.astype(np.float32)
+
+    # ---- RX: one 48k IQ block -> 48k speech (variable length) ----
+    def rx_block(self, i_p: np.ndarray, q_p: np.ndarray,
+                 extra_offset_hz: float = 0.0) -> np.ndarray:
+        z = self._translate_block(i_p, q_p, extra_offset_hz)
+        iq8 = self.conv.down(z)
+        speech8 = self.modem.demod(np.asarray(iq8).reshape(-1))
+        return self._up48(speech8, "rx")
+
+    # ---- TX: 48k speech block -> 48k IQ (variable length) ----
+    def tx_block(self, speech_48k: np.ndarray) -> np.ndarray:
+        z = self.conv.down(jax.lax.complex(
+            jnp.asarray(speech_48k, jnp.float32),
+            jnp.zeros_like(jnp.asarray(speech_48k, jnp.float32))))
+        speech8 = np.asarray(jnp.real(z)).reshape(-1)
+        iq8 = self.modem.mod(speech8)
+        i48 = self._up48(iq8.real, "tx_i")
+        q48 = self._up48(iq8.imag, "tx_q")
+        iq48 = (i48 + 1j * q48).astype(np.complex64)
+        if self._translate != 0.0 and len(iq48):
+            n = self._tx_n + np.arange(len(iq48))
+            self._tx_n += len(iq48)
+            iq48 = (iq48 * np.exp(2j * np.pi * self._translate * n
+                                  / self._fs)).astype(np.complex64)
+        return iq48
+
+    @property
+    def stats(self) -> dict:
+        m = self.modem
+        out = {"frames_decoded": getattr(m, "frames_decoded", 0),
+               "parity_errors": getattr(m, "parity_errors", 0)}
+        if hasattr(m, "snr_db"):
+            out["snr_db"] = float(m.snr_db)
+        return out
