@@ -34,9 +34,13 @@ def main() -> None:
                     translate_hz=6000.0, block_len=block),
         rx.RxConfig(mode="cw", bw_key="500HZ", path_name="750Hz",
                     translate_hz=6000.0, block_len=block),
-        rx.RxConfig(mode="am", bw_key="5P0KHZ", path_name="AM/SAM",
+        # AM/SAM on the /4 paths (fs_dec 12 kHz like the SSB/CW groups)
+        # so five of six groups share one AGC rate class — the fleet step
+        # then runs their sequential AGC machine as ONE kernel invocation
+        # (cross-group stage batching, parallel/fleet.py)
+        rx.RxConfig(mode="am", bw_key="2P5KHZ", path_name="AM/SAM",
                     translate_hz=6000.0, block_len=block),
-        rx.RxConfig(mode="sam", bw_key="5P0KHZ", path_name="AM/SAM",
+        rx.RxConfig(mode="sam", bw_key="2P3KHZ", path_name="AM/SAM",
                     translate_hz=6000.0, block_len=block),
         rx.RxConfig(mode="fm", bw_key="5P0KHZ", path_name="FM",
                     translate_hz=6000.0, block_len=block),

@@ -1,0 +1,135 @@
+"""Codec2 1300-mode vocoder interop (VERDICT r2 item 2).
+
+The REFERENCE's own codec (drivers/freedv/codec2.c + its DSP sources,
+compiled from /root/reference via tools/gen_codec2_ref.c) encodes
+synthetic speech to 52-bit frames and decodes them; this repo's
+independent decoder (`modems/codec2_1300.py`) consumes the SAME bit
+stream and must reproduce the reference decoder's waveform — including
+its LCG-driven unvoiced phases, which requires the PRNG sequence, the
+consumption order, and even the reference's float32 `L = PI/Wo`
+truncation (PI/Wo_min = 79.999998 -> 79) to match.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/mchf-eclipse/drivers/freedv"
+
+SRCS = ["codec2.c", "sine.c", "nlp.c", "lpc.c", "lsp.c", "quantise.c",
+        "interp.c", "phase.c", "postfilter.c", "pack.c", "codebook.c",
+        "codebookd.c", "codebookjvm.c", "codebookge.c", "kiss_fft.c",
+        "kiss_fftr.c", "codec2_fft.c", "newamp1.c", "newamp2.c",
+        "mbest.c", "codebooknewamp1.c", "codebooknewamp1_energy.c",
+        "codebooknewamp2.c", "codebooknewamp2_energy.c", "c2wideband.c",
+        "codebookmel.c", "codebooklspmelvq.c", "dct2.c"]
+
+
+def _make_speech(n_frames: int = 50) -> np.ndarray:
+    """Speech-like: pitched buzz with drifting f0, AM envelope, noise
+    bursts (voiced/unvoiced alternation exercises the PRNG paths)."""
+    fs = 8000
+    n = 320 * n_frames
+    t = np.arange(n) / fs
+    f0 = 110 + 30 * np.sin(2 * np.pi * 0.7 * t)
+    phase = np.cumsum(2 * np.pi * f0 / fs)
+    voiced = np.sin(2 * np.pi * 1.1 * t) > -0.3
+    sig = (np.sin(phase) + 0.5 * np.sin(2 * phase)
+           + 0.3 * np.sin(3 * phase)) * 6000
+    rng = np.random.default_rng(0)
+    sig = np.where(voiced, sig, 1500 * rng.standard_normal(n))
+    sig = sig * (0.6 + 0.4 * np.sin(2 * np.pi * 2.3 * t))
+    return sig.astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    if shutil.which("gcc") is None or not os.path.isdir(REF):
+        pytest.skip("reference tree or gcc unavailable")
+    td = tmp_path_factory.mktemp("c2ref")
+    exe = str(td / "gen")
+    subprocess.run(
+        ["gcc", "-O2", f"-I{REF}", "-o", exe,
+         os.path.join(REPO, "tools", "gen_codec2_ref.c")]
+        + [os.path.join(REF, s) for s in SRCS] + ["-lm"],
+        check=True, capture_output=True)
+    _make_speech().tofile(td / "speech_in.i16")
+    subprocess.run([exe], cwd=td, check=True, capture_output=True)
+    bits = np.fromfile(td / "enc_bits.u8", np.uint8).reshape(-1, 7)
+    b52 = np.unpackbits(bits, axis=1)[:, :52]
+    dec_pcm = np.fromfile(td / "dec_pcm.i16", np.int16)
+    feat = np.fromfile(td / "feat.f32", np.float32).reshape(-1, 23)
+    return b52, dec_pcm, feat
+
+
+def test_decoder_matches_reference_waveform(golden):
+    """Reference-encoded bits -> our decoder == reference decoder output
+    (sample-aligned SNR; the PRNG tracking makes even the unvoiced noise
+    phases match)."""
+    from uhsdr_tpu.modems.codec2_1300 import Codec2Decoder1300
+
+    b52, ref_pcm, _ = golden
+    dec = Codec2Decoder1300()
+    ours = np.concatenate([dec.decode_frame(b52[i])
+                           for i in range(len(b52))]).astype(np.float64)
+    ref = ref_pcm[: len(ours)].astype(np.float64)
+    err = ref - ours
+    snr = 10 * np.log10(np.mean(ref ** 2) / (np.mean(err ** 2) + 1e-12))
+    assert snr >= 25.0, f"decoder SNR vs reference {snr:.1f} dB"
+
+    # and segment-level: the decoder must TRACK, not just average out
+    seg_snrs = []
+    for s in range(0, len(ref) - 320, 320):
+        r, e = ref[s:s + 320], err[s:s + 320]
+        if np.mean(r ** 2) > 100.0:
+            seg_snrs.append(10 * np.log10(np.mean(r ** 2)
+                                          / (np.mean(e ** 2) + 1e-12)))
+    assert np.median(seg_snrs) >= 30.0, np.median(seg_snrs)
+    assert min(seg_snrs) >= 10.0, min(seg_snrs)
+
+
+def test_parameter_recovery_exact(golden):
+    """Unpack + dequantise + LSP->LPC against the reference's own
+    per-subframe feature dump (lsps, e, Wo, voicing, ak)."""
+    import uhsdr_tpu.modems.codec2_1300 as c2
+
+    b52, _, feat = golden
+    _, cb_bits = c2._lsp_codebooks()
+    for fi in range(min(20, len(b52))):
+        up = c2._BitUnpacker(b52[fi])
+        [up.take(1) for _ in range(4)]
+        Wo3 = c2.decode_wo(up.take(c2.WO_BITS))
+        e3 = c2.decode_energy(up.take(c2.E_BITS))
+        idx = [up.take(cb_bits[i]) for i in range(10)]
+        lsps3 = c2.bw_expand_lsps(
+            c2.check_lsp_order(c2.decode_lsps_scalar(idx)))
+        ak = c2.lsp_to_lpc(lsps3)
+        r = feat[fi * 4 + 3]
+        np.testing.assert_allclose(Wo3, r[11], rtol=1e-5)
+        np.testing.assert_allclose(e3, r[10], rtol=1e-4)
+        np.testing.assert_allclose(lsps3, r[:10], atol=1e-5)
+        np.testing.assert_allclose(ak[1:], r[13:23], atol=1e-4)
+
+
+def test_freedv1600_codec2_path_on_recorded_iq():
+    """The firmware's recorded 1600 IQ through FreeDv1600 with the
+    codec2 vocoder: real off-air FreeDV now decodes to the reference's
+    SPEECH, not just its bits."""
+    from uhsdr_tpu import data
+    from uhsdr_tpu.modems import freedv
+
+    iq = data.freedv("test_iq")
+    iq = iq / (np.max(np.abs(iq)) + 1e-9)
+    rx = freedv.FreeDv1600(vocoder="codec2")
+    out = rx.demod(iq.astype(np.complex128))
+    assert rx.frames_decoded >= 60
+    assert out.size > 0 and np.isfinite(out).all()
+    # decoded speech at a sane int16-scale level (the recorded vector is
+    # a real codec2 bit stream, so the decoder output is actual speech)
+    rms = np.sqrt(np.mean(out.astype(np.float64) ** 2))
+    assert 10.0 < rms < 20000.0, rms

@@ -521,16 +521,15 @@ def _tune_offset_delta(offset_hz, fs: float) -> jnp.ndarray:
             + lo.astype(jnp.uint32))
 
 
-def process_block(cfg: RxConfig, params: RxParams, state: RxState,
+def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                   iq: jnp.ndarray, tune_offset_hz=None):
-    """iq: (..., block_len) complex64 @48k.  Returns (audio48k, new_state, taps_dict).
-
-    tune_offset_hz: optional TRACED f32 scalar — an extra frequency shift
-    added to the compile-time translate NCO.  This is the live-retune path
-    (the reference's LO step, `RadioManagement_ChangeFrequency`
-    `radio_management.c:679`): dial changes re-run the same compiled chain
-    with a new scalar instead of recompiling, emulating the LO move as a
-    baseband shift of the capture."""
+    """Front half of the chain: IQ correction, clip/spectrum taps, NCO
+    translate, and the stage-A decimating FIR kernel.  Returns
+    (zf, new_state, taps_dict) where zf is the decimated front output
+    (real audio when the Hilbert combine is fused into stage A, complex
+    IQ otherwise).  `process_block` = process_front + demod_and_post;
+    fleets call the halves separately to batch post stages across groups
+    (`parallel.fleet`)."""
     taps_out = {}
     front_fir = jax.lax.complex(jnp.asarray(params.front_fir_re),
                                 jnp.asarray(params.front_fir_im))
@@ -618,7 +617,7 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
             zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
         state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                                front_carry=front_carry)
-        return demod_and_post(cfg, params, state, zf, taps_out)
+        return zf, state, taps_out
 
     # --- analytic bandpass + decimate ---
     if cfg.mode == "ssbstereo":
@@ -658,6 +657,21 @@ def process_block(cfg: RxConfig, params: RxParams, state: RxState,
 
     state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                            front_carry=front_carry)
+    return zf, state, taps_out
+
+
+def process_block(cfg: RxConfig, params: RxParams, state: RxState,
+                  iq: jnp.ndarray, tune_offset_hz=None):
+    """iq: (..., block_len) complex64 @48k.  Returns (audio48k, new_state, taps_dict).
+
+    tune_offset_hz: optional TRACED f32 scalar — an extra frequency shift
+    added to the compile-time translate NCO.  This is the live-retune path
+    (the reference's LO step, `RadioManagement_ChangeFrequency`
+    `radio_management.c:679`): dial changes re-run the same compiled chain
+    with a new scalar instead of recompiling, emulating the LO move as a
+    baseband shift of the capture."""
+    zf, state, taps_out = process_front(cfg, params, state, iq,
+                                        tune_offset_hz=tune_offset_hz)
     return demod_and_post(cfg, params, state, zf, taps_out)
 
 
@@ -678,9 +692,17 @@ def demod_pre_agc(cfg: RxConfig, params: RxParams, state: RxState,
         audio = audio * np.float32(params.post_scale)
         return audio, state._replace(fm=fm_state), taps_out
 
-    # --- ref-front stage B: the firmware's Hilbert pair at fs_dec fused
-    # into one complex FIR with real output (= I±Q sideband combine,
-    # audio_driver.c:2748-2790); stage A delivered the decimated IQ ---
+    zf, state = stage_b(cfg, params, state, zf)
+    return _demod_sos_pre_agc(cfg, params, state, zf, taps_out)
+
+
+def stage_b(cfg: RxConfig, params: RxParams, state: RxState,
+            zf: jnp.ndarray):
+    """Ref-front stage B: the firmware's Hilbert pair at fs_dec fused
+    into one complex FIR with real output (= I±Q sideband combine,
+    audio_driver.c:2748-2790); stage A delivered the decimated IQ.
+    No-op when the front has no second stage.  Exposed separately so
+    mixed-mode fleets can batch it across same-filter groups."""
     front2_carry = state.front2_carry
     if params.front2_re is not None:
         g2_np = (np.asarray(params.front2_re)
@@ -702,7 +724,13 @@ def demod_pre_agc(cfg: RxConfig, params: RxParams, state: RxState,
                                  jnp.asarray(params.front2_im))
             y2, front2_carry = fir.fir_block(g2, state.front2_carry, zf)
             zf = jnp.real(y2)
+    return zf, state._replace(front2_carry=front2_carry)
 
+
+def _demod_sos_pre_agc(cfg: RxConfig, params: RxParams, state: RxState,
+                       zf: jnp.ndarray, taps_out: dict):
+    """Demod + notch/leaky + audio bandpass (post-stage-B part of
+    `demod_pre_agc`)."""
     # --- demodulation at decimated rate ---
     fade_state = state.fade
     sam_state = state.sam
@@ -744,7 +772,7 @@ def demod_pre_agc(cfg: RxConfig, params: RxParams, state: RxState,
 
     new_state = state._replace(
         audio_sos_state=sos_state, fade=fade_state, sam=sam_state,
-        notch=notch_state, leaky=leaky_state, front2_carry=front2_carry)
+        notch=notch_state, leaky=leaky_state)
     return audio, new_state, taps_out
 
 
@@ -762,6 +790,16 @@ def post_after_agc(cfg: RxConfig, params: RxParams, state: RxState,
                                            audio)
         return audio, state._replace(eq2=eq2_state), taps_out
 
+    audio, state, taps_out = post_to_dec(cfg, params, state, audio,
+                                         taps_out)
+    return interp_stage(cfg, params, state, audio, taps_out)
+
+
+def post_to_dec(cfg: RxConfig, params: RxParams, state: RxState,
+                audio: jnp.ndarray, taps_out: dict):
+    """Decimated-rate post-AGC stages: noise blanker, spectral NR,
+    post-AGC gain scaling, EQ biquad1 (everything before interpolation).
+    Exposed for the fleet's cross-group interpolation batching."""
     # --- LPC impulse noise blanker (alt_noise_blanking, runs on the NR
     # input in the reference: audio_nr.c:357-366) ---
     nb_state = state.nb
@@ -780,7 +818,14 @@ def post_after_agc(cfg: RxConfig, params: RxParams, state: RxState,
     audio, eq1_state = _biquad_cascade(cfg, params.eq1_sos, state.eq1, audio)
 
     taps_out["audio_dec"] = audio   # decimated-rate tap (modem decoders)
+    return audio, state._replace(nr=nr_state, nb=nb_state,
+                                 eq1=eq1_state), taps_out
 
+
+def interp_stage(cfg: RxConfig, params: RxParams, state: RxState,
+                 audio: jnp.ndarray, taps_out: dict):
+    """Interpolation back to the IQ rate + anti-alias lattice + treble
+    biquad2 — the final 48 kHz stages."""
     # --- interpolation back to 48 kHz + treble shelf (biquad2) ---
     # Pallas single-matmul polyphase kernel off-CPU (the XLA path
     # materializes a sub_len-wide frame tensor; measured 16 ms in-chain
@@ -809,8 +854,7 @@ def post_after_agc(cfg: RxConfig, params: RxParams, state: RxState,
                                          audio48)
 
     new_state = state._replace(
-        nr=nr_state, nb=nb_state, interp_carry=interp_carry,
-        eq1=eq1_state, eq2=eq2_state, aa=aa_state)
+        interp_carry=interp_carry, eq2=eq2_state, aa=aa_state)
     return audio48, new_state, taps_out
 
 

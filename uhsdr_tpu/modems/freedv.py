@@ -99,13 +99,22 @@ class FreeDv1600:
     itself: both 2-symbol phases are scored by Golay syndrome weight.
     """
 
-    def __init__(self):
+    def __init__(self, vocoder: str = "lpc"):
+        """vocoder: "codec2" — the reference's CODEC2_MODE_1300 decode
+        path (`modems/codec2_1300.py`), bit-interoperable with real
+        off-air FreeDV speech (what `FreeDvRadioMode` uses for RX); or
+        "lpc" (default for symmetric loopback until the codec2 encoder
+        lands) — this repo's independent LPC-10-class vocoder both ways."""
+        from . import codec2_1300
         from . import fdmdv as fdmdv_mod
         from . import golay
         from . import vocoder as vocoder_mod
         self._fdmdv = fdmdv_mod
         self._golay = golay
         self._voc = vocoder_mod
+        self.vocoder_impl = vocoder
+        self._c2dec = (codec2_1300.Codec2Decoder1300()
+                       if vocoder == "codec2" else None)
         self.modulator = fdmdv_mod.FdmdvModulator()
         self.demodulator = fdmdv_mod.FdmdvDemodulator()
         self.vocoder = vocoder_mod.Vocoder()
@@ -187,10 +196,16 @@ class FreeDv1600:
                 frame_codeword(b64)[None, :])
             self.parity_errors += int(ncorr[0])
             slots[GOLAY_DATA_POS] = data[0]       # FEC-corrected
-            cbits = unpack_codec_bits(slots)
             self.text_bits_rx.append(int(b64[63]))
-            frame = self._voc.decode_frame_bits(cbits)
-            speech.append(self.vocoder.synth.synthesize(frame))
+            if self._c2dec is not None:
+                # the real over-the-air payload IS Codec2 1300: decode
+                # the 52 frame slots directly (codec2.c:1249-1360)
+                pcm = self._c2dec.decode_frame(slots)
+                speech.append(pcm.astype(np.float32))   # int16-scale floats
+            else:
+                cbits = unpack_codec_bits(slots)
+                frame = self._voc.decode_frame_bits(cbits)
+                speech.append(self.vocoder.synth.synthesize(frame))
             self.frames_decoded += 1
         if not speech:
             return np.zeros(0, np.float32)
@@ -345,7 +360,9 @@ class FreeDvRadioMode:
         assert mode in self.MODES, mode
         assert block_len % RATIO == 0
         self.mode = mode
-        self.modem = FreeDv1600() if mode == "freedv1600" else FreeDv700D()
+        # RX decodes the real over-the-air Codec2 payload
+        self.modem = (FreeDv1600(vocoder="codec2")
+                      if mode == "freedv1600" else FreeDv700D())
         self.conv = RateConverter(block_len)
         self._nco = nco_mod
         self._translate = float(translate_hz)
