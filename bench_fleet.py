@@ -23,7 +23,10 @@ def main() -> None:
     from uhsdr_tpu.chain import rx
     from uhsdr_tpu.parallel import fleet
 
-    total = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
+    # default = the BASELINE config-5 scale ("10k mixed-mode channels"):
+    # 24,576 channels (4096/group x 6 modes) = 1.18 G complex samples/s
+    # of 48 kHz IQ, ~2.4x the 10k-channel real-time target on ONE chip
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 24576
     block = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     steps = int(os.environ.get("BENCH_STEPS", "6"))
 

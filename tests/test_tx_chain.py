@@ -60,7 +60,11 @@ def test_am_tx_carrier_and_sidebands():
     fs = 48000
     n = fs
     t = np.arange(n) / fs
-    audio = 0.5 * np.sin(2 * np.pi * 800 * t)
+    # ~30% modulation: the ref front uses the firmware's absolute levels
+    # (AM_CARRIER_LEVEL=5100 counts, unit audio = int16 full scale), so
+    # 0.5 full-scale audio would drive ~100% modulation where carrier >
+    # 2x sideband no longer holds
+    audio = 0.1 * np.sin(2 * np.pi * 800 * t)
     chain = tx.TxChain(tx.TxConfig(mode="am", translate_hz=6000.0,
                                    compressor=False))
     z = run_tx(chain, audio)[0][10000:]

@@ -81,9 +81,33 @@ def main() -> int:
               f"  refchain "
               f"{'%6.1f' % s_exact if s_exact is not None else '   n/a'} dB")
 
+    # ---- TX rows (VERDICT r2 item 7): the shipped TX chain (chain.tx,
+    # default front="ref") vs the float64/float32 scalar port of
+    # TxProcessor_Run (tests/golden/ref_tx.py) ----
+    from tests.golden import ref_tx as gold_tx  # noqa: E402
+    from tests.test_tx_conformance import (  # noqa: E402
+        INT16_FS, make_voice, run_chain)
+    from tests.test_tx_conformance import snr_db as tx_snr_db  # noqa: E402
+
+    tx_rows = []
+    audio_u = make_voice()
+    for mode in ("usb", "lsb", "am", "fm"):
+        ref_iq = gold_tx.ref_tx_chain(audio_u.astype(np.float64) * INT16_FS,
+                                      mode)
+        out = run_chain(mode, audio_u) * INT16_FS
+        s = tx_snr_db(ref_iq, out)
+        tx_rows.append({"mode": mode, "snr_tx_db": round(float(s), 1),
+                        "bound_db": 50.0, "passed": bool(s >= 50.0)})
+        print(f"TX {mode:4s} {s:6.1f} dB (bound 50.0)")
+
     artifact = {
         "oracle": "tests/golden/ref_chain.py (float64 scalar port, "
                   "reference coefficient tables from uhsdr_tpu/data)",
+        "tx_oracle": "tests/golden/ref_tx.py (TxProcessor_Run scalar "
+                     "port: SOPRANO/2k7_FM lattices, iq_tx_wide Hilbert "
+                     "pair, level-2 ALC, AM carrier 5100, FM DDS-table "
+                     "phase accumulator)",
+        "tx_rows": tx_rows,
         "backend": args.backend,
         "signal": "mode-matched synthetic IQ + noise, 2 s @48k, "
                   "transient skip 0.5 s (tests/test_conformance_ref.py)",
@@ -96,7 +120,7 @@ def main() -> int:
                  "snr_refchain_db: the serial conformance twin "
                  "(chain.refchain) — pure f32 fidelity.",
         "rows": rows,
-        "all_passed": all(r["passed"] for r in rows),
+        "all_passed": all(r["passed"] for r in rows + tx_rows),
     }
     pathlib.Path(args.out).write_text(json.dumps(artifact, indent=1))
     print(f"wrote {args.out}  all_passed={artifact['all_passed']}")

@@ -32,6 +32,27 @@ OUT_DIR = REPO / "uhsdr_tpu" / "data"
 FLOAT_RE = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
 
 
+def _strip_if0(text: str) -> str:
+    """Remove `#if 0 ... [#else kept] ... #endif` regions (keeps the
+    active #else branch)."""
+    out = []
+    stack = []          # per open #if: emitting?
+    for line in text.splitlines(keepends=True):
+        s = line.strip()
+        if s.startswith("#if"):
+            stack.append(not s.startswith("#if 0"))
+            continue
+        if s.startswith("#else") and stack:
+            stack[-1] = not stack[-1]
+            continue
+        if s.startswith("#endif") and stack:
+            stack.pop()
+            continue
+        if all(stack):
+            out.append(line)
+    return "".join(out)
+
+
 def strip_comments(text: str) -> str:
     text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
     text = re.sub(r"//[^\n]*", " ", text)
@@ -253,6 +274,37 @@ def main():
         if len(fir_i) < row["fir_numtaps"]:
             raise RuntimeError(
                 f"{row['fir_i']} has {len(fir_i)} taps < {row['fir_numtaps']}")
+
+    # --- TX Hilbert pair (iq_tx_wide, filters/iq_tx_filter.c) ---
+    # the file carries obsolete variants inside `#if 0` blocks; the ACTIVE
+    # descriptor is the `#else` branch (fir 201-tap wide pair,
+    # `AudioFilter_SetTxHilbertFIR` audio_filter.c:1230-1249 always
+    # selects iq_tx_wide)
+    tx_text = (filters_dir / "iq_tx_filter.c").read_text()
+    tx_text = _strip_if0(tx_text)
+    m = re.search(r"iq_tx_wide\s*=\s*\{(.*?)\n\s*\};", tx_text, re.S)
+    if not m:
+        raise RuntimeError("iq_tx_wide not found")
+    body = m.group(1)
+    mi = re.search(r"\.i\s*=\s*\(const float32_t\[\]\)\s*\{(.*?)\}",
+                   body, re.S)
+    mq = re.search(r"\.q\s*=\s*\(const float32_t\[\]\)\s*\{(.*?)\}",
+                   body, re.S)
+    arrays["iq_tx_wide_i"] = parse_float_list(mi.group(1))
+    arrays["iq_tx_wide_q"] = parse_float_list(mq.group(1))
+    assert len(arrays["iq_tx_wide_i"]) == len(arrays["iq_tx_wide_q"]) == 201, (
+        len(arrays["iq_tx_wide_i"]), len(arrays["iq_tx_wide_q"]))
+
+    # --- soft DDS sine table (softdds/dds_table.c, int16 full wave) —
+    # the FM TX phase-accumulator modulator indexes it directly
+    # (tx_processor.c:575-588)
+    dds_text = strip_comments(
+        (ref / "drivers" / "audio" / "softdds" / "dds_table.c").read_text())
+    m = re.search(r"DDS_TABLE\[DDS_TBL_SIZE\]\s*=\s*\{(.*?)\};",
+                  dds_text, re.S)
+    vals = [int(v) for v in re.findall(r"-?\d+", m.group(1))]
+    assert len(vals) == 1024, len(vals)
+    arrays["dds_table"] = np.array(vals, np.float64)
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "ref_filters.npz",

@@ -62,6 +62,34 @@ def ssb_params(f_lo: float = 150.0, f_hi: float = 2850.0,
                         nco.freq_to_delta(translate_hz, IQ_RATE), lsb)
 
 
+def _tx_hilbert_pair():
+    from .. import data as refdata
+    return (refdata.fir("iq_tx_wide_i").astype(np.float32),
+            refdata.fir("iq_tx_wide_q").astype(np.float32))
+
+
+def ssb_params_ref(translate_hz: float = 6000.0,
+                   lsb: bool = False) -> SsbModParams:
+    """The firmware's 201-tap TX Hilbert pair (filters/iq_tx_filter.c
+    iq_tx_wide) as the analytic filter.  The firmware computes
+    I = a (*) h_i, Q = a (*) h_q (pair swapped for LSB,
+    tx_processor.c:478-480); its h_q LEADS h_i by +90 deg, so in the
+    i+jq buffer domain USB content sits BELOW the translate frequency —
+    the mcHF's QSE (TX mixer) wiring flips the spectrum between the DAC
+    and the antenna, where it emerges as proper USB.  This framework's
+    capture convention is the RX one (usb = above carrier), so that
+    hardware flip is applied here as a conjugation of the pair:
+    usb -> h_i - j h_q, lsb -> h_q - j h_i.  The conformance oracle
+    (tests/golden/ref_tx.py) keeps the firmware's literal buffer math and
+    the test conjugates at the comparison — one wiring convention,
+    documented once."""
+    h_i, h_q = _tx_hilbert_pair()
+    re, im = (h_q, -h_i) if lsb else (h_i, -h_q)
+    return SsbModParams(re, np.ascontiguousarray(im),
+                        nco.freq_to_delta(translate_hz, IQ_RATE), False)
+
+
+
 class SsbModState(NamedTuple):
     carry: jnp.ndarray      # (..., taps-1) f32 audio history
     phase: jnp.ndarray      # (...,) uint32
@@ -143,6 +171,14 @@ def am_params(translate_hz: float = 6000.0,
                        carrier_level)
 
 
+def am_params_ref(translate_hz: float = 6000.0) -> AmModParams:
+    """Reference AM: TX Hilbert pair + AM_CARRIER_LEVEL=5100 DAC counts
+    (audio_driver.h:429) — count-domain audio (ref front)."""
+    h_i, h_q = _tx_hilbert_pair()
+    return AmModParams(h_i, h_q, nco.freq_to_delta(translate_hz, IQ_RATE),
+                       5100.0)
+
+
 def am_init(batch_shape) -> SsbModState:
     return ssb_init(batch_shape)
 
@@ -167,17 +203,27 @@ class FmModParams(NamedTuple):
     subtone_delta: np.ndarray | None   # uint32 DDS for subaudible tone
     subtone_scale: np.float32
     swap_iq: bool             # negative translate
+    table_quant: bool = False  # quantize phase to the firmware's 10-bit
+                               # DDS table grid (tx_processor.c:585-588,
+                               # softdds/dds_table.c) — the ref-front
+                               # conformance mode
 
 
 def fm_mod_params(translate_hz: float = 6000.0, dev_5khz: bool = False,
-                  subtone_hz: float = 0.0) -> FmModParams:
+                  subtone_hz: float = 0.0,
+                  count_domain: bool = False) -> FmModParams:
+    """count_domain: audio arrives in int16-count units (the ref-front
+    chain scales to the firmware's domain), so the accumulator step is
+    the bare FM_MOD_SCALING=16 (tx_processor.c:498) and the phase is
+    quantized to the DDS table grid."""
     mult = 2.0 if dev_5khz else 1.0
     word = int(((1 << FM_MOD_ACC_BITS) * abs(translate_hz)) // IQ_RATE)
     sub = nco.freq_to_delta(subtone_hz, IQ_RATE) if subtone_hz > 0 else None
+    scale = 16.0 if count_domain else FM_MOD_SCALING_2K5
     return FmModParams(np.int32(word),
-                       np.float32(FM_MOD_SCALING_2K5 * mult),
+                       np.float32(scale * mult),
                        sub, np.float32(FM_SUBAUDIBLE_SCALE * mult),
-                       translate_hz < 0)
+                       translate_hz < 0, table_quant=count_domain)
 
 
 class FmModState(NamedTuple):
@@ -197,11 +243,27 @@ def fm_mod_init(batch_shape) -> FmModState:
 
 def fm_modulate(params: FmModParams, state: FmModState, audio: jnp.ndarray):
     """audio (..., T) -> (iq complex64, new_state)."""
-    # 6 dB/oct pre-emphasis: b[n] = alpha*(b[n-1] + a[n] - a[n-1])
-    a_d = jnp.concatenate([state.hpf_a[..., None], audio[..., :-1]], axis=-1)
-    diff = audio - a_d
-    pre, hpf_b = iir.one_pole_block(FM_TX_HPF_ALPHA, FM_TX_HPF_ALPHA,
-                                    state.hpf_b, diff)
+    if params.table_quant:
+        # REF-EXACT sequential pre-emphasis (tx_processor.c:543-552):
+        # the phase accumulator truncates every sample, so the blocked
+        # associative scan's different f32 summation order would flip
+        # truncation decisions and integrate into phase noise
+        def pe_step(carry, x):
+            b_prev, a_prev = carry
+            b = np.float32(FM_TX_HPF_ALPHA) * (b_prev + x - a_prev)
+            return (b, x), b
+
+        xt = jnp.moveaxis(audio, -1, 0)
+        (hpf_b, _), pre_t = jax.lax.scan(pe_step,
+                                         (state.hpf_b, state.hpf_a), xt)
+        pre = jnp.moveaxis(pre_t, 0, -1)
+    else:
+        # 6 dB/oct pre-emphasis: b[n] = alpha*(b[n-1] + a[n] - a[n-1])
+        a_d = jnp.concatenate([state.hpf_a[..., None], audio[..., :-1]],
+                              axis=-1)
+        diff = audio - a_d
+        pre, hpf_b = iir.one_pole_block(FM_TX_HPF_ALPHA, FM_TX_HPF_ALPHA,
+                                        state.hpf_b, diff)
     sub_phase = state.sub_phase
     if params.subtone_delta is not None:
         tone, sub_phase = nco.tone(state.sub_phase,
@@ -210,23 +272,59 @@ def fm_modulate(params: FmModParams, state: FmModState, audio: jnp.ndarray):
                                    audio.shape[-1])
         pre = pre + tone * params.subtone_scale
 
-    # integer phase accumulation, exact (reference 16-bit accumulator)
-    steps = (params.freq_word +
-             jnp.round(pre * params.mod_scale).astype(jnp.int32))
-    acc = state.accum[..., None] + jnp.cumsum(steps, axis=-1)
-    acc_wrapped = jnp.bitwise_and(acc, (1 << FM_MOD_ACC_BITS) - 1)
+    # integer phase accumulation, exact (reference 16-bit accumulator).
+    # ref mode: the firmware's `acc += word + a*scale` converts the FLOAT
+    # sum back to uint EVERY sample — with an integer acc that is exactly
+    # floor(word + a*scale) per step (the fractional residue is dropped,
+    # not carried), which biases the carrier by ~ -0.5 LSB/sample; round()
+    # here would diverge from it as a growing phase ramp
+    if params.table_quant:
+        # REF-EXACT accumulator: C does `acc = (uint32)((float)acc + word
+        # + a*scale) % 2^16` — the f32 SUM (magnitude up to ~73k, ULP
+        # 0.0078) is truncated each sample, so this must run as a
+        # sequential f32 recurrence, not a cumsum of rounded steps
+        rhs = np.float32(float(params.freq_word)) + pre * params.mod_scale
+
+        def acc_step(acc_f, r):
+            s = jnp.floor(acc_f + r)
+            s = jnp.mod(s, np.float32(1 << FM_MOD_ACC_BITS))
+            return s, s
+
+        rt = jnp.moveaxis(rhs, -1, 0)
+        acc_last, acc_t = jax.lax.scan(acc_step,
+                                       state.accum.astype(jnp.float32), rt)
+        acc_f = jnp.moveaxis(acc_t, 0, -1)
+        # the firmware indexes a 1024-entry sine table with acc >> 6 —
+        # reproduce the 10-bit phase grid exactly (the remaining delta
+        # vs the oracle is the table's int16 amplitude rounding, ~-90 dB)
+        acc_wrapped = (jnp.floor(acc_f / 64.0) * 64.0).astype(jnp.int32)
+        acc_final = acc_last.astype(jnp.int32)
+    else:
+        steps = (params.freq_word +
+                 jnp.round(pre * params.mod_scale).astype(jnp.int32))
+        acc = state.accum[..., None] + jnp.cumsum(steps, axis=-1)
+        acc_wrapped = jnp.bitwise_and(acc, (1 << FM_MOD_ACC_BITS) - 1)
+        acc_final = acc[..., -1] & ((1 << FM_MOD_ACC_BITS) - 1)
     ph = acc_wrapped.astype(jnp.float32) * np.float32(
         2.0 * np.pi / (1 << FM_MOD_ACC_BITS))
     # z = i + jq = e^{j ph}: positive accumulator step -> positive
     # (upper-side) frequency.  The reference's sin/cos(+90 deg) table pair
     # with its i/q swap for negative shifts encodes the same two cases.
-    i_s = jnp.cos(ph)
-    q_s = jnp.sin(ph)
+    # Ref mode reproduces the firmware's exact table convention:
+    # i = DDS[idx] = sin(th), q = DDS[idx + 3N/4] = -cos(th)
+    # (tx_processor.c:585-588, softdds_phase_shift90) — a constant -pi/2
+    # rotation relative to the e^{j th} form.
+    if params.table_quant:
+        i_s = jnp.sin(ph)
+        q_s = -jnp.cos(ph)
+    else:
+        i_s = jnp.cos(ph)
+        q_s = jnp.sin(ph)
     if params.swap_iq:
         i_s, q_s = q_s, i_s
     iq = jax.lax.complex(i_s, q_s) * np.float32(FM_MOD_AMPLITUDE_SCALING)
     return iq, FmModState(hpf_a=audio[..., -1], hpf_b=hpf_b,
-                          accum=acc[..., -1] & ((1 << FM_MOD_ACC_BITS) - 1),
+                          accum=acc_final,
                           sub_phase=sub_phase)
 
 

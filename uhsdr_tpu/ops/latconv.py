@@ -55,15 +55,62 @@ def lattice_to_tf(pk: np.ndarray, pv: np.ndarray,
     return b, a
 
 
+def lattice_to_ss(pk: np.ndarray, pv: np.ndarray):
+    """(pk, pv) -> exact state-space (A, B, C, D).
+
+    The CMSIS lattice recurrence (`ops.lattice`) is LINEAR in
+    (state, input), so one pass per basis vector reads the matrices off
+    exactly — no identification involved.  This conditions far better
+    than Prony for the near-unit-circle poles of the TX voice lattices
+    (|p| up to 0.9985)."""
+    pk = np.asarray(pk, np.float64)
+    pv = np.asarray(pv, np.float64)
+    N = len(pk)
+
+    def step(g, x):
+        f = x
+        acc = 0.0
+        new_g = np.empty(N + 1)
+        for m in range(N):
+            g_old = g[m]
+            f = f - pk[m] * g_old
+            gn = f * pk[m] + g_old
+            acc += gn * pv[m]
+            new_g[m] = gn
+        acc += f * pv[N]
+        new_g[N] = f
+        return new_g[1:], acc
+
+    A = np.zeros((N, N))
+    C = np.zeros((1, N))
+    for j in range(N):
+        e = np.zeros(N)
+        e[j] = 1.0
+        A[:, j], C[0, j] = step(e, 0.0)
+    B, D = step(np.zeros(N), 1.0)
+    return A, B.reshape(N, 1), C, np.array([[D]])
+
+
 @functools.lru_cache(maxsize=None)
 def _lattice_to_sos_cached(pk_bytes: bytes, pv_bytes: bytes,
                            n: int) -> np.ndarray:
     pk = np.frombuffer(pk_bytes, np.float64)
     pv = np.frombuffer(pv_bytes, np.float64)
-    b, a = lattice_to_tf(pk, pv)
-    if not np.all(np.abs(np.roots(a)) < 1.0):
-        raise ValueError("lattice_to_sos: identified poles not stable")
-    sos = signal.tf2sos(b, a)
+    A, B, C, D = lattice_to_ss(pk, pv)
+    # zpk via EIGENVALUES (scipy's ss2zpk goes through characteristic
+    # polynomials, which lose precision for the clustered near-unit-
+    # circle poles of the narrow lattices): poles = eig(A); with D != 0
+    # the zeros are eig(A - B D^-1 C) and the leading gain is H(inf) = D
+    d = float(D[0, 0])
+    p = np.linalg.eigvals(A)
+    if abs(d) > 1e-12:
+        z = np.linalg.eigvals(A - (B / d) @ C)
+        k = d
+    else:
+        z, p, k = signal.ss2zpk(A, B, C, D)
+    if not np.all(np.abs(p) < 1.0):
+        raise ValueError("lattice_to_sos: poles not stable")
+    sos = signal.zpk2sos(z, p, k)
     # verification: SOS cascade vs the scalar lattice on white noise
     rng = np.random.default_rng(0)
     x = rng.standard_normal(8192)

@@ -65,18 +65,21 @@ def iir_lattice_block(pk: np.ndarray, pv: np.ndarray, state: jnp.ndarray,
     return jnp.moveaxis(ys, 0, -1), g
 
 
-def iir_lattice_ref(pk, pv, x, state=None):
-    """Scalar NumPy port (float64) — the conformance oracle counterpart.
-    Returns (y, final_state)."""
-    pk = np.asarray(pk, np.float64)
-    pv = np.asarray(pv, np.float64)
+def iir_lattice_ref(pk, pv, x, state=None, dtype=np.float64):
+    """Scalar NumPy port — the conformance oracle counterpart.
+    dtype=np.float32 reproduces the firmware's float arithmetic exactly
+    (needed where a downstream quantizer integrates rounding decisions,
+    e.g. the FM TX phase accumulator).  Returns (y, final_state)."""
+    pk = np.asarray(pk, dtype)
+    pv = np.asarray(pv, dtype)
     N = len(pk)
-    g = np.zeros(N) if state is None else np.asarray(state, np.float64).copy()
-    y = np.empty(len(x))
-    for n, xn in enumerate(np.asarray(x, np.float64)):
+    g = np.zeros(N, dtype) if state is None \
+        else np.asarray(state, dtype).copy()
+    y = np.empty(len(x), dtype)
+    for n, xn in enumerate(np.asarray(x, dtype)):
         f = xn
         acc = 0.0
-        new_g = np.empty(N + 1)
+        new_g = np.empty(N + 1, dtype)
         for m in range(N):
             g_old = g[m]
             f = f - pk[m] * g_old

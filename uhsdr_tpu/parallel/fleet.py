@@ -79,34 +79,6 @@ def _merge_agc_params(plist: list, sizes: list[int]) -> agc_mod.AgcParams:
     return p0._replace(remove_dc=False, **merged)
 
 
-def _cat_states(states: list, sizes: list[int]):
-    """Concatenate per-group state pytrees along each leaf's CHANNEL axis
-    (the first axis whose size equals the group's channel count)."""
-    c0 = sizes[0]
-
-    def cat(*xs):
-        ax = next(i for i, d in enumerate(xs[0].shape) if d == c0)
-        return jnp.concatenate(xs, axis=ax)
-
-    return jax.tree.map(cat, *states)
-
-
-def _split_state(state, sizes: list[int]):
-    """Inverse of `_cat_states`: slice the merged pytree back into
-    per-group pytrees."""
-    total = sum(sizes)
-    offs = np.cumsum([0] + sizes)
-
-    def split_leaf(x, g):
-        ax = next(i for i, d in enumerate(x.shape) if d == total)
-        sl = [slice(None)] * x.ndim
-        sl[ax] = slice(int(offs[g]), int(offs[g + 1]))
-        return x[tuple(sl)]
-
-    return [jax.tree.map(lambda x: split_leaf(x, g), state)
-            for g in range(len(sizes))]
-
-
 def _group_by(keyfn, n: int) -> dict:
     out: dict = {}
     for k in range(n):
@@ -129,14 +101,27 @@ def _make_stage_batched_step(chains: list):
         concat for free; AM/SAM differ per bandwidth and stay solo.
       * stage B (Hilbert-combine FIR at fs_dec): usb/cw share the exact
         g = h_i - j*h_q filter (lsb is the conjugate and stays solo).
+      * PreFilter SOS: groups with the same table concat.
       * WDSP AGC: one sequential 5-state kernel per rate class, with
-        per-channel gain-law rows when settings differ (`_merge_agc_params`).
+        per-channel gain-law rows when settings differ
+        (`_merge_agc_params`).
       * interpolation: every /4 path uses the same FirRxInterpolate
         table — all such groups concat.
 
-    Demod (SAM PLL, fade leveler) and the per-bandwidth PreFilter SOS
-    remain per group.
+    IMPORTANT COST RULE (measured): concat/slice ONLY the state leaves a
+    stage actually advances.  A full-pytree merge+split at every stage
+    boundary (~30 leaves x groups of tiny slice/concat kernels) costs
+    more than the batching saves (~20 ms of launch overhead per block);
+    the per-stage leaf sets here are 1-3 arrays each.
     """
+
+    def _cat(arrs):
+        return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, axis=0)
+
+    def _slices(sizes):
+        offs = np.cumsum([0] + sizes)
+        return [slice(int(offs[j]), int(offs[j + 1]))
+                for j in range(len(sizes))]
 
     def fused(states, planes_in):
         n = len(chains)
@@ -153,8 +138,7 @@ def _make_stage_batched_step(chains: list):
                     np.asarray(p.nco_delta).tobytes(), c.decim,
                     c.mode == "fm", c.front_impl,
                     planes_in[k][0].shape[-1],
-                    p.front2_re is None and c.mode in ("usb", "lsb", "cw"),
-                    jax.tree.structure(st[k]))
+                    p.front2_re is None and c.mode in ("usb", "lsb", "cw"))
 
         zfs = [None] * n
         for key, idxs in _group_by(akey, n).items():
@@ -163,18 +147,21 @@ def _make_stage_batched_step(chains: list):
                     zfs[k], st[k], _ = rx.process_front(
                         cfgs[k], prms[k], st[k],
                         jax.lax.complex(*planes_in[k]))
-            else:
-                sizes = [planes_in[k][0].shape[0] for k in idxs]
-                m = _cat_states([st[k] for k in idxs], sizes)
-                gi = jnp.concatenate([planes_in[k][0] for k in idxs], 0)
-                gq = jnp.concatenate([planes_in[k][1] for k in idxs], 0)
-                zf, m, _ = rx.process_front(cfgs[idxs[0]], prms[idxs[0]],
-                                            m, jax.lax.complex(gi, gq))
-                offs = np.cumsum([0] + sizes)
-                parts = _split_state(m, sizes)
-                for j, k in enumerate(idxs):
-                    zfs[k] = zf[int(offs[j]):int(offs[j + 1])]
-                    st[k] = parts[j]
+                continue
+            sizes = [planes_in[k][0].shape[0] for k in idxs]
+            k0 = idxs[0]
+            m = st[k0]._replace(
+                nco_phase=_cat([st[k].nco_phase for k in idxs]),
+                front_carry=_cat([st[k].front_carry for k in idxs]),
+                iqcorr=None)
+            gi = _cat([planes_in[k][0] for k in idxs])
+            gq = _cat([planes_in[k][1] for k in idxs])
+            zf, m, _ = rx.process_front(cfgs[k0], prms[k0], m,
+                                        jax.lax.complex(gi, gq))
+            for sl, k in zip(_slices(sizes), idxs):
+                zfs[k] = zf[sl]
+                st[k] = st[k]._replace(nco_phase=m.nco_phase[sl],
+                                       front_carry=m.front_carry[sl])
 
         # ---------- stage B: fused Hilbert pair at fs_dec ----------
         def bkey(k):
@@ -182,31 +169,29 @@ def _make_stage_batched_step(chains: list):
             if p.front2_re is None or cfgs[k].mode == "fm":
                 return None
             return ("B", p.front2_re.tobytes(), p.front2_im.tobytes(),
-                    zfs[k].shape[-1], jax.tree.structure(st[k]))
+                    zfs[k].shape[-1])
 
         for key, idxs in _group_by(bkey, n).items():
             if key is None:
-                for k in idxs:
-                    if prms[k].front2_re is not None \
-                            and cfgs[k].mode != "fm":
-                        zfs[k], st[k] = rx.stage_b(cfgs[k], prms[k],
-                                                   st[k], zfs[k])
                 continue
             if len(idxs) == 1:
                 k = idxs[0]
                 zfs[k], st[k] = rx.stage_b(cfgs[k], prms[k], st[k], zfs[k])
                 continue
             sizes = [zfs[k].shape[0] for k in idxs]
-            m = _cat_states([st[k] for k in idxs], sizes)
-            zf = jnp.concatenate([zfs[k] for k in idxs], 0)
-            zf, m = rx.stage_b(cfgs[idxs[0]], prms[idxs[0]], m, zf)
-            offs = np.cumsum([0] + sizes)
-            parts = _split_state(m, sizes)
-            for j, k in enumerate(idxs):
-                zfs[k] = zf[int(offs[j]):int(offs[j + 1])]
-                st[k] = parts[j]
+            k0 = idxs[0]
+            m = st[k0]._replace(
+                front2_carry=_cat([st[k].front2_carry for k in idxs]))
+            zf, m = rx.stage_b(cfgs[k0], prms[k0], m, _cat([zfs[k]
+                                                            for k in idxs]))
+            for sl, k in zip(_slices(sizes), idxs):
+                zfs[k] = zf[sl]
+                st[k] = st[k]._replace(front2_carry=m.front2_carry[sl])
 
         # ---------- demod + PreFilter SOS (per group) ----------
+        # (rx._demod_sos_pre_agc advances fade/sam/notch/leaky/sos state;
+        # ssb demod is a no-op so the SOS kernel is the only real work —
+        # same-bandwidth groups share its table via the A/B concats above)
         pre = [None] * n
         for k in range(n):
             if cfgs[k].mode == "fm":
@@ -218,13 +203,6 @@ def _make_stage_batched_step(chains: list):
             pre[k] = audio
 
         # ---------- AGC: one sequential kernel per rate class ----------
-        def finish_agc(k, y_g, agc_g):
-            if prms[k].agc.remove_dc:
-                y_g, dc_g = iir_ops.dc_blocker_block(0.9999, agc_g.dc, y_g)
-                agc_g = agc_g._replace(dc=dc_g)
-            st[k] = st[k]._replace(agc=agc_g)
-            return y_g
-
         post_in = [None] * n
         for key, idxs in _group_by(
                 lambda k: _agc_batch_key(prms[k], pre[k]), n).items():
@@ -239,15 +217,17 @@ def _make_stage_batched_step(chains: list):
             merged_s = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0),
                 *[st[k].agc for k in idxs])
-            y_cat, agc_cat = agc_mod.run(
-                merged_p, merged_s, jnp.concatenate([pre[k] for k in idxs],
-                                                    axis=0))
-            off = 0
-            for k, sz in zip(idxs, sizes):
-                sl = slice(off, off + sz)
-                off += sz
-                post_in[k] = finish_agc(
-                    k, y_cat[sl], jax.tree.map(lambda x: x[sl], agc_cat))
+            y_cat, agc_cat = agc_mod.run(merged_p, merged_s,
+                                         _cat([pre[k] for k in idxs]))
+            for sl, k in zip(_slices(sizes), idxs):
+                agc_g = jax.tree.map(lambda x: x[sl], agc_cat)
+                y_g = y_cat[sl]
+                if prms[k].agc.remove_dc:
+                    y_g, dc_g = iir_ops.dc_blocker_block(0.9999, agc_g.dc,
+                                                         y_g)
+                    agc_g = agc_g._replace(dc=dc_g)
+                st[k] = st[k]._replace(agc=agc_g)
+                post_in[k] = y_g
 
         # ---------- decimated-rate post (scale/EQ1/NR — per group) ------
         dec_audio = [None] * n
@@ -264,7 +244,7 @@ def _make_stage_batched_step(chains: list):
                 return None
             return ("I", p.interp_fir.tobytes(), c.decim,
                     p.aa_sos.tobytes(), p.eq2_sos.tobytes(),
-                    dec_audio[k].shape[-1], jax.tree.structure(st[k]))
+                    dec_audio[k].shape[-1])
 
         outs = [None] * n
         for key, idxs in _group_by(ikey, n).items():
@@ -283,15 +263,26 @@ def _make_stage_batched_step(chains: list):
                                                     st[k], dec_audio[k], {})
                 continue
             sizes = [dec_audio[k].shape[0] for k in idxs]
-            m = _cat_states([st[k] for k in idxs], sizes)
-            a = jnp.concatenate([dec_audio[k] for k in idxs], 0)
-            a48, m, _ = rx.interp_stage(cfgs[idxs[0]], prms[idxs[0]],
-                                        m, a, {})
-            offs = np.cumsum([0] + sizes)
-            parts = _split_state(m, sizes)
-            for j, k in enumerate(idxs):
-                outs[k] = a48[int(offs[j]):int(offs[j + 1])]
-                st[k] = parts[j]
+            k0 = idxs[0]
+            m = st[k0]._replace(
+                interp_carry=_cat([st[k].interp_carry for k in idxs]),
+                eq2=_cat([jnp.moveaxis(st[k].eq2, 1, 0) for k in idxs])
+                if st[k0].eq2.shape[0] else st[k0].eq2,
+                aa=_cat([jnp.moveaxis(st[k].aa, 1, 0) for k in idxs])
+                if st[k0].aa.shape[0] else st[k0].aa)
+            if st[k0].eq2.shape[0]:
+                m = m._replace(eq2=jnp.moveaxis(m.eq2, 0, 1))
+            if st[k0].aa.shape[0]:
+                m = m._replace(aa=jnp.moveaxis(m.aa, 0, 1))
+            a48, m, _ = rx.interp_stage(cfgs[k0], prms[k0], m,
+                                        _cat([dec_audio[k] for k in idxs]),
+                                        {})
+            for sl, k in zip(_slices(sizes), idxs):
+                st[k] = st[k]._replace(
+                    interp_carry=m.interp_carry[sl],
+                    eq2=m.eq2[:, sl] if m.eq2.shape[0] else st[k].eq2,
+                    aa=m.aa[:, sl] if m.aa.shape[0] else st[k].aa)
+                outs[k] = a48[sl]
 
         return outs, st
 
@@ -346,6 +337,33 @@ class ChannelFleet:
         a ~4-5 ms fixed cost on the axon relay — six dispatches were
         ~60% of the whole fleet block (measured 2128 aggregate Ms/s as 6
         jits vs the fused step's single fixed cost)."""
+        # Execution strategy (both measured on v5e, 6 modes x 16384-blk):
+        #  * small groups (~1k ch): ONE fused jit with cross-group stage
+        #    batching — per-dispatch cost and the sequential kernels'
+        #    per-invocation floors dominate (2,646 vs 2,128 Ms/s for six
+        #    separate jits at 1024 ch/group);
+        #  * large groups (>=2k ch): per-group jits dispatched
+        #    back-to-back — device time dominates and the single giant
+        #    fused module hits an XLA scheduling pathology (4,202 fused
+        #    vs 5,011 separate at 4096 ch/group; same class of
+        #    composition pathology as PARITY's shard_map note).
+        big = min(g.channel_idx.size for g in self.groups) >= 2048
+        if big:
+            if not hasattr(self, "_group_steps"):
+                def mk(chain):
+                    def step(st, i, q):
+                        a, st2, _ = rx.process_block(
+                            chain.cfg, chain.params, st,
+                            jax.lax.complex(i, q))
+                        return a, st2
+                    return jax.jit(step)
+                self._group_steps = [mk(g.chain) for g in self.groups]
+            outs = []
+            for g, step, (i_p, q_p) in zip(self.groups, self._group_steps,
+                                           planes):
+                a, g.state = step(g.state, i_p, q_p)
+                outs.append(a)
+            return outs
         if not hasattr(self, "_fused_step"):
             chains = [g.chain for g in self.groups]
             self._fused_step = jax.jit(_make_stage_batched_step(chains))
