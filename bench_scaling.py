@@ -78,14 +78,24 @@ def main() -> None:
         print(json.dumps(row))
 
     if os.environ.get("SCALING_BACKEND", "cpu") == "cpu":
-        # virtual devices share the same host cores: aggregate rate can't
-        # grow, so efficiency is not meaningful — this mode validates that
-        # the sharded pipeline (channel split + ppermute halos) compiles
-        # and executes at every mesh size.
+        # Virtual devices SHARE the host's physical cores, so aggregate
+        # throughput cannot grow with mesh size — the meaningful CPU-mesh
+        # metric is RETENTION: aggregate(N) / aggregate(1).  Ideal = 1.0
+        # (flat aggregate = the sharding machinery adds no overhead: the
+        # same silicon does the same per-channel work through the
+        # shard_map/halo path).  A collapse here (as in the r02 artifact,
+        # 9.4 -> 0.5 at 16ch x 4k: collective-dominated toy load) flags
+        # sharding overhead, which compute-dominated loads must not show.
+        base = results[0][1]
         summary = {"mode": "cpu-validation",
                    "meshes_validated": [n for n, _ in results],
-                   "note": "run with SCALING_BACKEND=tpu on a real "
-                           "slice for ICI efficiency numbers"}
+                   "aggregate_retention_vs_1dev": {
+                       n: round(rate / base, 3)
+                       for n, rate in results[1:]},
+                   "note": "virtual devices share physical cores, so "
+                           "ideal retention is 1.0 (flat), not Nx; run "
+                           "with SCALING_BACKEND=tpu on a real slice "
+                           "for ICI efficiency vs the >=85% target"}
     else:
         base = results[0][1]
         summary = {"mode": "tpu",

@@ -265,11 +265,24 @@ class FreeDv700D:
             return np.zeros(0, np.complex64)
         return np.concatenate(out)
 
-    def demod(self, iq_8k: np.ndarray) -> np.ndarray:
+    def demod(self, iq_8k: np.ndarray, flush: bool = False) -> np.ndarray:
         frames, snrs = self.demodulator.demod(iq_8k)
+        if flush:
+            fb2, sn2 = self.demodulator.flush()
+            if len(fb2):
+                frames = np.concatenate([frames, fb2]) if len(frames) \
+                    else fb2
+                snrs = np.concatenate([snrs, sn2]) if len(snrs) else sn2
+        # soft LLRs from the demodulator's max-ratio metrics (fade-
+        # weighted) — the hard +-4 fallback only if unavailable
+        soft = self.demodulator.llrs[-len(frames):] if len(frames) else []
+        self.demodulator.llrs.clear()
         speech = []
         for k, fbits in enumerate(frames):
-            llr = (1.0 - 2.0 * fbits[:self._ldpc.N].astype(float)) * 4.0
+            if soft:
+                llr = np.asarray(soft[k][:self._ldpc.N], float)
+            else:
+                llr = (1.0 - 2.0 * fbits[:self._ldpc.N].astype(float)) * 4.0
             data, ok = self._ldpc.decode(llr)
             if len(snrs):
                 self.snr_db = 0.8 * self.snr_db + 0.2 * float(snrs[k])

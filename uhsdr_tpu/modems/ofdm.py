@@ -118,91 +118,230 @@ def _qpsk_slice(eq: np.ndarray) -> np.ndarray:
 @dataclass
 class OfdmDemodulator:
     """Streaming RX: frame sync by pilot correlation, pilot-aided
-    coherent demod of the reference waveform."""
+    coherent demod of the reference waveform, hardened for HF channels
+    (the role of the reference's sync state machine, `ofdm.c:900-1100`):
+
+      * CHANNEL TRACKING: the per-carrier estimate is linearly
+        interpolated between THIS frame's pilot row and the NEXT frame's
+        (one-frame lookahead, like the reference's rx buffer) so Doppler
+        rotation over the 160 ms frame doesn't stale the equalizer;
+      * MAX-RATIO soft metrics: data symbols are combined as
+        carr * conj(h) (no division — deep fades weight DOWN instead of
+        amplifying noise) and exported as LLRs for the LDPC decoder;
+      * continuous-phase frequency derotation with pilot-phase tracking
+        (CP-based estimate only for acquisition; the cyclic prefix
+        correlates with ISI under multipath);
+      * per-frame +-8-sample timing drift search and quality-gated
+        resync.
+
+    `demod()` returns (hard_bits, snr_estimates); the matching soft
+    LLRs for each returned frame are appended to `self.llrs`.
+    """
     foff_hz: float = 0.0
     in_sync: bool = False
     _buf: np.ndarray = field(default_factory=lambda: np.zeros(0, np.complex64))
     frames: int = 0
+    _pend: tuple | None = None        # (data_carr (7,NC+2), hest (19,))
+    _phase: float = 0.0               # continuous derotation phase
+    _sync_frames: int = 0
+    _bad_frames: int = 0
+    llrs: list = field(default_factory=list)
 
     def _pilot_quality(self, seg: np.ndarray) -> float:
         p = _PILOT_WAVE / np.linalg.norm(_PILOT_WAVE)
         return float(abs(np.vdot(p, seg)) / (np.linalg.norm(seg) + 1e-12))
 
-    def _find_pilot(self, sig: np.ndarray) -> tuple[int, float]:
+    # coarse acquisition frequency grid: +-40 Hz in 4 Hz steps — the
+    # residual (<=2 Hz) is inside the inter-pilot phase tracker's
+    # unambiguous range (+-1/(2*0.16s) = +-3.1 Hz)
+    _FREQS = np.arange(-40.0, 41.0, 4.0)
+
+    @staticmethod
+    def _rotated_pilots():
+        n = np.arange(SYMBOL)
+        waves = _PILOT_WAVE[None, :] * np.exp(
+            2j * np.pi * OfdmDemodulator._FREQS[:, None] * n[None, :] / FS)
+        return waves / np.linalg.norm(_PILOT_WAVE)
+
+    def _find_pilot(self, sig: np.ndarray) -> tuple[int, float, float]:
+        """Joint coarse (timing, frequency) search: correlate every
+        candidate offset against the pilot wave rotated over _FREQS
+        (a 15 Hz offset rotates 108 deg across the 20 ms symbol and
+        halves the unrotated correlation — the reference's coarse sync
+        also searches timing x frequency, ofdm.c:900-1000)."""
+        if not hasattr(self, "_pw_rot"):
+            self._pw_rot = self._rotated_pilots()
         n = len(sig) - SYMBOL
-        best_off, best_q = 0, -1.0
+
+        def score(off):
+            """Noncoherent combination over the pilot at `off` AND the
+            next frame's pilot — one faded pilot can't mislead the
+            frequency bin choice."""
+            seg = sig[off: off + SYMBOL]
+            qs = np.abs(self._pw_rot.conj() @ seg) \
+                / (np.linalg.norm(seg) + 1e-12)
+            off2 = off + FRAME_SAMPLES
+            if off2 + SYMBOL <= len(sig):
+                seg2 = sig[off2: off2 + SYMBOL]
+                qs = qs + np.abs(self._pw_rot.conj() @ seg2) \
+                    / (np.linalg.norm(seg2) + 1e-12)
+                qs = qs * 0.5
+            k = int(np.argmax(qs))
+            return float(qs[k]), float(self._FREQS[k])
+
+        best = (0, -1.0, 0.0)
         for off in range(0, min(n, FRAME_SAMPLES), 4):
-            q = self._pilot_quality(sig[off: off + SYMBOL])
-            if q > best_q:
-                best_q, best_off = q, off
-        for off in range(max(0, best_off - 4), min(n, best_off + 5)):
-            q = self._pilot_quality(sig[off: off + SYMBOL])
-            if q > best_q:
-                best_q, best_off = q, off
-        return best_off, best_q
+            q, f = score(off)
+            if q > best[1]:
+                best = (off, q, f)
+        off0, _, f0 = best
+        for off in range(max(0, off0 - 4), min(n, off0 + 5)):
+            q, f = score(off)
+            if q > best[1]:
+                best = (off, q, f)
+        return best
 
     def _cp_freq_estimate(self, sym: np.ndarray) -> float:
         corr = np.vdot(sym[:NCP], sym[M: M + NCP])
         return float(np.angle(corr) / (2 * np.pi * M / FS))
 
+    def _emit(self, data_carr, h0, h1, bits_out, snrs):
+        """Equalize 7 data symbols with per-carrier channel interpolated
+        from pilot h0 (frame start) toward h1 (next frame's pilot; h1 may
+        equal h0 on flush)."""
+        rows = []
+        for s in range(DATA_SYMBOLS):
+            w = (s + 1) / float(NS)
+            h = (1.0 - w) * h0 + w * h1
+            # max-ratio metric: carr*conj(h) — equalization + |h|^2
+            # reliability weighting in one step, fade-safe
+            rows.append(data_carr[s, 1:NC + 1] * np.conj(h[1:NC + 1]))
+        met = np.stack(rows)                         # (7, NC)
+        rot = met * np.exp(1j * np.pi / 4)
+        b_first = (rot.imag < 0).astype(np.uint8)
+        b_second = (rot.real < 0).astype(np.uint8)
+        bits = np.stack([b_first, b_second], axis=-1).reshape(-1)
+        scale = 4.0 / (np.sqrt(np.mean(np.abs(met) ** 2)) + 1e-12)
+        llr = np.stack([rot.imag, rot.real], axis=-1).reshape(-1) * scale
+        bits_out.append(bits)
+        self.llrs.append(llr)
+        # EVM-style SNR from the normalized constellation
+        hm = np.abs(met)
+        nz = hm > 1e-9
+        evm = float(np.mean(np.abs(
+            met[nz] / hm[nz]
+            - _QPSK[(b_first[nz].astype(int) << 1)
+                    | b_second[nz].astype(int)]) ** 2)) + 1e-9
+        snr_est = 10 * np.log10(1.0 / evm)
+        snrs.append(snr_est)
+        self.frames += 1
+        # aliased-lock / lost-channel watchdog: a tracker caught on the
+        # +-6.25 Hz inter-pilot alias rotates the constellation 45 deg
+        # per symbol — EVM collapses while pilot correlation stays fine.
+        # Three consecutive hopeless frames force re-acquisition.
+        if snr_est < 4.0:
+            self._bad_frames += 1
+            if self._bad_frames >= 2:
+                self.in_sync = False
+                self._bad_frames = 0
+        else:
+            self._bad_frames = 0
+
+    def _derotate(self, frame: np.ndarray) -> np.ndarray:
+        n = np.arange(len(frame))
+        out = frame * np.exp(-1j * (self._phase
+                                    + 2 * np.pi * self.foff_hz * n / FS))
+        self._phase = float(np.mod(
+            self._phase + 2 * np.pi * self.foff_hz * len(frame) / FS,
+            2 * np.pi))
+        return out
+
     def demod(self, sig: np.ndarray):
-        """Append samples; demodulate every complete synced frame.
+        """Append samples; demodulate every complete synced frame (with
+        one frame of channel-interpolation lookahead — call `flush()` at
+        stream end for the final frame).
         Returns (bits (n_frames, 238) uint8, snr_estimates (n_frames,))."""
         self._buf = np.concatenate([self._buf,
                                     np.asarray(sig, np.complex64)])
         bits_out, snrs = [], []
         while True:
             if not self.in_sync:
+                self._pend = None
                 if len(self._buf) < 2 * FRAME_SAMPLES:
                     break
-                off, q = self._find_pilot(self._buf[:2 * FRAME_SAMPLES])
+                off, q, f0 = self._find_pilot(self._buf[:2 * FRAME_SAMPLES])
                 if q < 0.35:       # noise-only floor ~0.08
                     self._buf = self._buf[FRAME_SAMPLES:]
                     continue
                 self._buf = self._buf[off:]
                 self.in_sync = True
-                self.foff_hz = self._cp_freq_estimate(self._buf[:SYMBOL])
+                self._phase = 0.0
+                self.foff_hz = f0
+                self._sync_frames = 0
             if len(self._buf) < FRAME_SAMPLES + 16:
                 break
             # per-frame timing refinement (+-8 samples of drift)
             best_d, best_q = 0, -1.0
+            derot = np.exp(-2j * np.pi * self.foff_hz
+                           * np.arange(SYMBOL) / FS)
             for d in range(-8, 9):
                 if d < 0 and self.frames == 0:
                     continue
                 seg = self._buf[max(d, 0): max(d, 0) + SYMBOL]
                 if len(seg) < SYMBOL:
                     continue
-                q = self._pilot_quality(seg)
+                q = self._pilot_quality(seg * derot)
                 if q > best_q:
                     best_q, best_d = q, d
-            if best_q < 0.2:
+            if best_q < 0.1:
                 self.in_sync = False
                 self._buf = self._buf[FRAME_SAMPLES:]
                 continue
             if best_d > 0:
                 self._buf = self._buf[best_d:]
-            frame = self._buf[:FRAME_SAMPLES]
+            frame = self._derotate(self._buf[:FRAME_SAMPLES])
             self._buf = self._buf[FRAME_SAMPLES:]
 
-            n = np.arange(FRAME_SAMPLES)
-            frame = frame * np.exp(-2j * np.pi * self.foff_hz * n / FS)
             syms = frame.reshape(FRAME_SYMBOLS, SYMBOL)
-            self.foff_hz += 0.5 * float(np.mean(
-                [self._cp_freq_estimate(s) for s in syms]))
-
             carr = np.stack([_dft_carriers(s[NCP:]) for s in syms])  # (8,19)
-            hest = carr[0] / PILOTS                  # (19,) channel est
+            hest = carr[0] / PILOTS                  # (19,) at frame start
             if float(np.mean(np.abs(hest))) < 1e-6:
                 self.in_sync = False
                 continue
-            eq = carr[1:, 1:NC + 1] / hest[None, 1:NC + 1]   # (7, NC)
-            bits = _qpsk_slice(eq)                   # (7, NC, 2)
-            bits_out.append(bits.reshape(-1))
-            idx = (bits[..., 0].astype(int) << 1) | bits[..., 1].astype(int)
-            err = eq / np.abs(eq).clip(1e-12) - _QPSK[idx]
-            evm = float(np.mean(np.abs(err) ** 2)) + 1e-9
-            snrs.append(10 * np.log10(1.0 / evm))
-            self.frames += 1
+
+            if self._pend is not None:
+                pend_carr, h_prev = self._pend
+                # pilot-phase frequency tracking: the common rotation of
+                # the channel between consecutive pilots estimates the
+                # residual offset — but under fading the channel phase
+                # itself random-walks, so the loop must be WEAK (gain
+                # 0.1: estimator noise ~0.1 Hz at 1 Hz Doppler while
+                # still tracking ~0.1 Hz/s drift), coherence-weighted
+                # (fade transitions give garbage deltas) and clamped
+                num = np.sum(np.conj(h_prev) * hest)
+                den = float(np.sum(np.abs(h_prev) * np.abs(hest))) + 1e-30
+                coh = abs(num) / den
+                dphi = float(np.angle(num + 1e-30))
+                # two-stage gain: fast pull-in of the coarse-grid
+                # residual for the first frames, then weak tracking so
+                # fading phase noise doesn't random-walk the estimate
+                gain = 0.5 if self._sync_frames < 4 else 0.1
+                self._sync_frames += 1
+                self.foff_hz += gain * coh * dphi / (2 * np.pi
+                                                     * FRAME_SAMPLES / FS)
+                self._emit(pend_carr, h_prev, hest, bits_out, snrs)
+            self._pend = (carr[1:], hest)
         if not bits_out:
             return (np.zeros((0, BITS_PER_FRAME), np.uint8), np.zeros(0))
+        return np.stack(bits_out).astype(np.uint8), np.array(snrs)
+
+    def flush(self):
+        """Emit the final pending frame (equalized with its own pilot
+        only).  Returns (bits, snrs) like `demod`."""
+        if self._pend is None:
+            return (np.zeros((0, BITS_PER_FRAME), np.uint8), np.zeros(0))
+        bits_out, snrs = [], []
+        pend_carr, h_prev = self._pend
+        self._pend = None
+        self._emit(pend_carr, h_prev, h_prev, bits_out, snrs)
         return np.stack(bits_out).astype(np.uint8), np.array(snrs)
