@@ -133,3 +133,54 @@ def test_freedv1600_codec2_path_on_recorded_iq():
     # a real codec2 bit stream, so the decoder output is actual speech)
     rms = np.sqrt(np.mean(out.astype(np.float64) ** 2))
     assert 10.0 < rms < 20000.0, rms
+
+
+def test_encoder_interop_with_reference_decoder(golden, tmp_path_factory):
+    """Our 1300 ENCODER's bit streams through the REFERENCE decoder
+    (compiled from /root/reference via tools/gen_codec2_dec.c):
+    parameter-level parity with the reference encoder (voicing, Wo) and
+    round-trip quality at least matching the reference encoder's own."""
+    import uhsdr_tpu.modems.codec2_1300 as c2
+    from uhsdr_tpu.modems.codec2_1300 import (Codec2Decoder1300,
+                                              Codec2Encoder1300)
+
+    td = tmp_path_factory.mktemp("c2enc")
+    exe = str(td / "dec")
+    subprocess.run(
+        ["gcc", "-O2", f"-I{REF}", "-o", exe,
+         os.path.join(REPO, "tools", "gen_codec2_dec.c")]
+        + [os.path.join(REF, s) for s in SRCS] + ["-lm"],
+        check=True, capture_output=True)
+
+    sig = _make_speech(40).astype(np.float64)
+    enc = Codec2Encoder1300()
+    b52 = np.stack([enc.encode_frame(sig[i * 320:(i + 1) * 320])
+                    for i in range(40)])
+    packed = np.packbits(np.concatenate(
+        [b52, np.zeros((40, 4), np.uint8)], axis=1), axis=1)
+    packed.tofile(td / "in_bits.u8")
+    subprocess.run([exe], cwd=td, check=True, capture_output=True)
+    ref_dec = np.fromfile(td / "ref_dec.i16", np.int16).astype(np.float64)
+
+    # 1) the reference decoder renders our stream == our decoder does
+    dec = Codec2Decoder1300()
+    ours = np.concatenate([dec.decode_frame(b)
+                           for b in b52]).astype(np.float64)
+    m = min(len(ref_dec), len(ours))
+    snr = 10 * np.log10(np.mean(ref_dec[:m] ** 2)
+                        / (np.mean((ref_dec[:m] - ours[:m]) ** 2) + 1e-9))
+    assert snr >= 25.0, snr
+
+    # 2) parameter parity with the reference ENCODER on the same speech
+    ref_bits, _, _ = golden
+    n = min(len(ref_bits), len(b52))
+    agree_v = agree_wo = 0
+    for i in range(n):
+        ur = c2._BitUnpacker(ref_bits[i])
+        uo = c2._BitUnpacker(b52[i])
+        vr = [ur.take(1) for _ in range(4)]
+        vo = [uo.take(1) for _ in range(4)]
+        agree_v += sum(a == b for a, b in zip(vr, vo))
+        agree_wo += abs(ur.take(c2.WO_BITS) - uo.take(c2.WO_BITS)) <= 3
+    assert agree_v >= 0.9 * 4 * n, (agree_v, 4 * n)
+    assert agree_wo >= 0.85 * n, (agree_wo, n)

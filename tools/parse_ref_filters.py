@@ -306,6 +306,14 @@ def main():
     assert len(vals) == 1024, len(vals)
     arrays["dds_table"] = np.array(vals, np.float64)
 
+    # --- Codec2 NLP pitch-estimator decimation FIR (drivers/freedv/
+    # nlp.c:72, 48 taps) — the 1300-mode encoder's pitch front end
+    nlp_text = strip_comments(
+        (ref / "drivers" / "freedv" / "nlp.c").read_text())
+    m = re.search(r"nlp_fir\[\]\s*=\s*\{(.*?)\};", nlp_text, re.S)
+    arrays["nlp_fir"] = parse_float_list(m.group(1))
+    assert len(arrays["nlp_fir"]) == 48, len(arrays["nlp_fir"])
+
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT_DIR / "ref_filters.npz",
                         **{k: v.astype(np.float64) for k, v in arrays.items()})

@@ -116,11 +116,14 @@ def _cmd_rx_freedv(args) -> int:
     from .io import ingest
     from .modems import freedv as fdv
 
-    radio = fdv.FreeDvRadioMode(args.mode, args.block,
+    # the /6 modem rate conversion needs a block divisible by 6; the
+    # generic default (4096) is not — fall back to 4800 (100 ms)
+    block = args.block if args.block % 6 == 0 else 4800
+    radio = fdv.FreeDvRadioMode(args.mode, block,
                                 translate_hz=args.translate)
     out = []
     nblocks = 0
-    with ingest.IqIngest(args.input, args.block) as src:
+    with ingest.IqIngest(args.input, block) as src:
         while True:
             blk = src.next_block()
             if blk is None:

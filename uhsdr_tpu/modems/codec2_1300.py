@@ -368,3 +368,277 @@ class Codec2Decoder1300:
 
 def Pn_head(Pn: np.ndarray) -> np.ndarray:
     return Pn[: N_SAMP - 1]
+
+
+# ---------------------------------------------------------------------------
+# Encoder (codec2_encode_1300, codec2.c:1179-1238, and the analysis
+# pipeline it drives: analyse_one_frame :2494-2532, sine.c dft_speech /
+# two_stage_pitch_refinement / estimate_amplitudes / est_voicing_mbe,
+# nlp.c pitch estimator, quantise.c speech_to_uq_lsps + scalar encoders)
+# ---------------------------------------------------------------------------
+
+NW = 279                 # analysis window length (c2const_create, Fs=8k)
+V_THRESH = 6.0           # defines.h:50
+NLP_DEC = 5              # nlp.c:49
+NLP_COEFF = 0.95         # DC notch (nlp.c:47)
+PE_FFT = 512             # nlp.c:48
+CNLP = 0.3               # nlp.c:54
+
+
+def _analysis_window():
+    """make_analysis_window (sine.c:100-205): normalized Hamming w[] on
+    the m_pitch buffer and its real symmetric DFT W[] centered at
+    FFT_ENC/2."""
+    w = np.zeros(M_PITCH)
+    j = np.arange(NW)
+    w[M_PITCH // 2 - NW // 2: M_PITCH // 2 + NW // 2 + 1][:NW] = \
+        0.5 - 0.5 * np.cos(2.0 * np.pi * j / (NW - 1))
+    m = np.sum(w ** 2)
+    w *= 1.0 / np.sqrt(m * FFT_ENC)
+    wshift = np.zeros(FFT_ENC)
+    wshift[: NW // 2] = w[M_PITCH // 2: M_PITCH // 2 + NW // 2]
+    wshift[FFT_ENC - NW // 2:] = w[M_PITCH // 2 - NW // 2: M_PITCH // 2]
+    W = np.fft.fft(wshift).real
+    return w, np.concatenate([W[FFT_ENC // 2:], W[:FFT_ENC // 2]])
+
+
+def _dft_speech(Sn: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """sine.c dft_speech: window centred on m_pitch/2, halves swapped so
+    FFT phases are correct."""
+    x = np.zeros(FFT_ENC, np.complex128)
+    x[: NW // 2] = (Sn * w)[M_PITCH // 2: M_PITCH // 2 + NW // 2]
+    x[FFT_ENC - NW // 2:] = (Sn * w)[M_PITCH // 2 - NW // 2: M_PITCH // 2]
+    return np.fft.fft(x)
+
+
+def _hs_pitch_refine(Sw2: np.ndarray, Wo: float, pmin, pmax, pstep):
+    """sine.c hs_pitch_refinement on the magnitude-squared spectrum."""
+    L = int(PI_C / Wo)
+    r = 2.0 * np.pi / FFT_ENC
+    best_Wo, best_E = Wo, 0.0
+    p = pmin
+    while p <= pmax:
+        Wt = 2.0 * np.pi / p
+        b = (np.arange(1, L + 1) * Wt / r + 0.5).astype(int)
+        E = float(np.sum(Sw2[np.clip(b, 0, FFT_ENC - 1)]))
+        if E > best_E:
+            best_E, best_Wo = E, Wt
+        p += pstep
+    return best_Wo
+
+
+def _lpc_to_lsp(a: np.ndarray) -> np.ndarray | None:
+    """LSPs = zeros of P'(z), Q'(z) on the unit circle, found on the
+    x = cos(w) axis.  Same polynomials as lsp.c lpc_to_lsp; the root
+    search uses numpy's Chebyshev machinery instead of the C grid-
+    bisection (roots are identical up to float tolerance — the encoder
+    does not need the C's 0.006-rad grid quantization)."""
+    order = LPC_ORD
+    m = order // 2
+    P = np.zeros(m + 1)
+    Q = np.zeros(m + 1)
+    P[0] = Q[0] = 1.0
+    for i in range(1, m + 1):
+        P[i] = a[i] + a[order + 1 - i] - P[i - 1]
+        Q[i] = a[i] - a[order + 1 - i] + Q[i - 1]
+    P[:m] *= 2.0
+    Q[:m] *= 2.0
+    # cheb_poly_eva evaluates sum_k coef[k] T_k(x) with coef reversed
+    roots = []
+    for poly in (P, Q):
+        c = np.zeros(m + 1)
+        c[: m + 1] = poly[::-1]          # T_0..T_m coefficients
+        r = np.polynomial.chebyshev.chebroots(c)
+        r = np.real(r[np.abs(np.imag(r)) < 1e-9])
+        roots.append(np.sort(r[(r > -1.0) & (r < 1.0)])[::-1])
+    if len(roots[0]) != m or len(roots[1]) != m:
+        return None
+    lsp = np.empty(order)
+    lsp[0::2] = np.arccos(roots[0])
+    lsp[1::2] = np.arccos(roots[1])
+    return np.sort(lsp)
+
+
+class Codec2Encoder1300:
+    """Stateful 1300-mode encoder: 320 samples @8 kHz -> 52 bits.
+
+    Analysis is the reference pipeline (NLP pitch -> harmonic-sum
+    refinement -> MBE voicing -> LPC/LSP + scalar quantisers); it is not
+    required to be bit-identical with the reference ENCODER (pitch/LSP
+    root search use cleaner numerics), only to emit valid 1300 streams —
+    interop is judged by what the reference DECODER (and ours) renders
+    from them (tests/test_codec2_golden.py)."""
+
+    def __init__(self):
+        self.Sn = np.zeros(M_PITCH)
+        self.w, self.W = _analysis_window()
+        self.nlp_sq = np.zeros(M_PITCH)
+        self.nlp_mem_x = 0.0
+        self.nlp_mem_y = 0.0
+        self.nlp_fir_mem = np.zeros(48)
+        self.nlp_fir = np.asarray(data.array("nlp_fir"), np.float64)
+        nw = M_PITCH // NLP_DEC
+        self.nlp_w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nw)
+                                        / (nw - 1))
+        self.prev_f0 = 1.0 / 0.02        # codec2.c:179
+
+    # ---- NLP pitch estimator (nlp.c:251-400) ----
+    def _nlp(self) -> float:
+        m, n = M_PITCH, N_SAMP
+        sq_new = self.Sn[m - n:] ** 2
+        out = np.empty(n)
+        for i, s in enumerate(sq_new):       # DC notch (one pole)
+            notch = s - self.nlp_mem_x + NLP_COEFF * self.nlp_mem_y
+            self.nlp_mem_x = s
+            self.nlp_mem_y = notch
+            out[i] = notch + 1.0
+        # 48-tap LPF (streaming FIR over the new samples)
+        filt = np.empty(n)
+        for i in range(n):
+            self.nlp_fir_mem[:-1] = self.nlp_fir_mem[1:]
+            self.nlp_fir_mem[-1] = out[i]
+            filt[i] = float(self.nlp_fir_mem @ self.nlp_fir)
+        self.nlp_sq[: m - n] = self.nlp_sq[n:]
+        self.nlp_sq[m - n:] = filt
+        # decimate x5, window, 512 FFT, |.|^2
+        x = np.zeros(PE_FFT, np.complex128)
+        x[: m // NLP_DEC] = self.nlp_sq[::NLP_DEC] * self.nlp_w
+        Fw = np.abs(np.fft.fft(x)) ** 2
+        pmin, pmax = P_MIN, P_MAX
+        lo, hi = PE_FFT * NLP_DEC // pmax, PE_FFT * NLP_DEC // pmin
+        gmax_bin = lo + int(np.argmax(Fw[lo: hi + 1]))
+        gmax = Fw[gmax_bin]
+        # post_process_sub_multiples (nlp.c:430-480)
+        cmax_bin = gmax_bin
+        prev_bin = int(self.prev_f0 * PE_FFT * NLP_DEC / FS)
+        mult = 2
+        while gmax_bin // mult >= lo:
+            b = gmax_bin // mult
+            bmin, bmax = max(int(0.8 * b), lo), int(1.2 * b)
+            thresh = CNLP * gmax * (0.5 if bmin < prev_bin < bmax else 1.0)
+            seg = Fw[bmin: bmax + 1]
+            lmax_bin = bmin + int(np.argmax(seg))
+            lmax = Fw[lmax_bin]
+            if lmax > thresh and lmax > Fw[lmax_bin - 1] \
+                    and lmax > Fw[lmax_bin + 1]:
+                cmax_bin = lmax_bin
+            mult += 1
+        best_f0 = cmax_bin * FS / (PE_FFT * NLP_DEC)
+        self.prev_f0 = best_f0
+        return FS / best_f0                  # pitch period in samples
+
+    def _analyse_one_frame(self, speech80: np.ndarray):
+        self.Sn[: M_PITCH - N_SAMP] = self.Sn[N_SAMP:]
+        self.Sn[M_PITCH - N_SAMP:] = speech80
+        Sw = _dft_speech(self.Sn, self.w)
+        Sw2 = np.abs(Sw) ** 2
+        pitch = self._nlp()
+        Wo = 2.0 * np.pi / pitch
+        # two-stage harmonic-sum refinement (sine.c:303-335)
+        Wo = _hs_pitch_refine(Sw2, Wo, 2 * np.pi / Wo - 5,
+                              2 * np.pi / Wo + 5, 1.0)
+        Wo = _hs_pitch_refine(Sw2, Wo, 2 * np.pi / Wo - 1,
+                              2 * np.pi / Wo + 1, 0.25)
+        Wo = float(np.clip(Wo, WO_MIN, WO_MAX))
+        L = int(np.floor(PI_C / Wo))
+        if Wo * L >= 0.95 * np.pi:
+            L -= 1
+        # estimate_amplitudes (sine.c:405-450)
+        r = 2.0 * np.pi / FFT_ENC
+        A = np.zeros(MAX_AMP + 1)
+        for mh in range(1, L + 1):
+            am = int((mh - 0.5) * Wo / r + 0.5)
+            bm = int((mh + 0.5) * Wo / r + 0.5)
+            A[mh] = np.sqrt(np.sum(Sw2[am:bm]))
+        # est_voicing_mbe (sine.c:455-570)
+        sig = 1e-4 + np.sum(A[1: L // 4 + 1] ** 2)
+        error = 1e-4
+        l_1000 = int(L * 1000.0 / (FS / 2))
+        for lh in range(1, l_1000 + 1):
+            al = int(np.ceil((lh - 0.5) * Wo * FFT_ENC / (2 * np.pi)))
+            bl = int(np.ceil((lh + 0.5) * Wo * FFT_ENC / (2 * np.pi)))
+            offset = int(FFT_ENC / 2 - lh * Wo * FFT_ENC / (2 * np.pi)
+                         + 0.5)
+            Wseg = self.W[offset + al: offset + bl]
+            Sseg = Sw[al:bl]
+            den = float(np.sum(Wseg ** 2))
+            Am = np.sum(Sseg * Wseg) / (den + 1e-30)
+            error += float(np.sum(np.abs(Sseg - Am * Wseg) ** 2))
+        voiced = 1 if 10.0 * np.log10(sig / error) > V_THRESH else 0
+        l_2000 = int(L * 2000.0 / (FS / 2))
+        l_4000 = int(L * 4000.0 / (FS / 2))
+        elow = 1e-4 + np.sum(A[1: l_2000 + 1] ** 2)
+        ehigh = 1e-4 + np.sum(A[l_2000: l_4000 + 1] ** 2)
+        eratio = 10.0 * np.log10(elow / ehigh)
+        if voiced == 0 and eratio > 10.0:
+            voiced = 1
+        if voiced == 1:
+            if eratio < -10.0:
+                voiced = 0
+            if eratio < -4.0 and Wo <= 60.0 * 2 * np.pi / FS:
+                voiced = 0
+        return Wo, voiced
+
+    def _speech_to_uq_lsps(self):
+        """quantise.c speech_to_uq_lsps: windowed LPC analysis + 15 Hz
+        bandwidth expansion + LSP conversion."""
+        Wn = self.Sn * self.w
+        e = float(np.sum(Wn ** 2))
+        if e == 0.0:
+            return np.arange(LPC_ORD) * np.pi / LPC_ORD, 0.0
+        R = np.array([np.dot(Wn[: M_PITCH - j], Wn[j:])
+                      for j in range(LPC_ORD + 1)])
+        # levinson_durbin (lpc.c)
+        a_prev = np.zeros(LPC_ORD + 1)
+        Ee = R[0]
+        a_cur = np.zeros(LPC_ORD + 1)
+        for i in range(1, LPC_ORD + 1):
+            s = float(np.dot(a_prev[1:i], R[i - 1:0:-1]))
+            k = -(R[i] + s) / Ee if Ee != 0 else 0.0
+            if abs(k) > 1.0:
+                k = 0.0
+            a_cur[1:i] = a_prev[1:i] + k * a_prev[i - 1:0:-1]
+            a_cur[i] = k
+            Ee *= (1 - k * k)
+            a_prev = a_cur.copy()
+        ak = a_cur.copy()
+        ak[0] = 1.0
+        E = float(np.dot(ak, R))
+        ak_bw = ak * (0.994 ** np.arange(LPC_ORD + 1))
+        lsp = _lpc_to_lsp(ak_bw)
+        if lsp is None:
+            lsp = np.arange(LPC_ORD) * np.pi / LPC_ORD
+        return lsp, E
+
+    def encode_frame(self, speech320: np.ndarray) -> np.ndarray:
+        """320 samples -> (52,) bits in the reference packing order."""
+        speech320 = np.asarray(speech320, np.float64).reshape(4, N_SAMP)
+        voiced = []
+        Wo = WO_MIN
+        for i in range(4):
+            Wo, v = self._analyse_one_frame(speech320[i])
+            voiced.append(v)
+        bits = []
+
+        def pack(value, width):
+            g = int(value) ^ (int(value) >> 1)        # binary -> Gray
+            for b in range(width - 1, -1, -1):
+                bits.append((g >> b) & 1)
+
+        for v in voiced:
+            pack(v, 1)
+        # encode_Wo (linear, quantise.c)
+        idx = int(np.floor((1 << WO_BITS) * (Wo - WO_MIN)
+                           / (WO_MAX - WO_MIN) + 0.5))
+        pack(int(np.clip(idx, 0, (1 << WO_BITS) - 1)), WO_BITS)
+        lsp, E = self._speech_to_uq_lsps()
+        e_db = 10.0 * np.log10(max(E, 1e-12))
+        eidx = int(np.floor((1 << E_BITS) * (e_db - E_MIN_DB)
+                            / (E_MAX_DB - E_MIN_DB) + 0.5))
+        pack(int(np.clip(eidx, 0, (1 << E_BITS) - 1)), E_BITS)
+        cbs, cb_bits = _lsp_codebooks()
+        lsp_hz = lsp * 4000.0 / np.pi
+        for i in range(LPC_ORD):
+            k = int(np.argmin((cbs[i] - lsp_hz[i]) ** 2))
+            pack(k, cb_bits[i])
+        return np.array(bits, np.uint8)

@@ -99,12 +99,13 @@ class FreeDv1600:
     itself: both 2-symbol phases are scored by Golay syndrome weight.
     """
 
-    def __init__(self, vocoder: str = "lpc"):
-        """vocoder: "codec2" — the reference's CODEC2_MODE_1300 decode
-        path (`modems/codec2_1300.py`), bit-interoperable with real
-        off-air FreeDV speech (what `FreeDvRadioMode` uses for RX); or
-        "lpc" (default for symmetric loopback until the codec2 encoder
-        lands) — this repo's independent LPC-10-class vocoder both ways."""
+    def __init__(self, vocoder: str = "codec2"):
+        """vocoder: "codec2" (default) — the reference's CODEC2_MODE_1300
+        codec (`modems/codec2_1300.py`): the DECODER is waveform-
+        interoperable with real off-air FreeDV speech and the ENCODER
+        emits streams the reference firmware's decoder renders
+        (tests/test_codec2_golden.py); or "lpc" — this repo's original
+        independent LPC-10-class vocoder both ways."""
         from . import codec2_1300
         from . import fdmdv as fdmdv_mod
         from . import golay
@@ -114,6 +115,8 @@ class FreeDv1600:
         self._voc = vocoder_mod
         self.vocoder_impl = vocoder
         self._c2dec = (codec2_1300.Codec2Decoder1300()
+                       if vocoder == "codec2" else None)
+        self._c2enc = (codec2_1300.Codec2Encoder1300()
                        if vocoder == "codec2" else None)
         self.modulator = fdmdv_mod.FdmdvModulator()
         self.demodulator = fdmdv_mod.FdmdvDemodulator()
@@ -137,8 +140,13 @@ class FreeDv1600:
         while len(self._speech_in) >= F:
             frame, self._speech_in = (self._speech_in[:F],
                                       self._speech_in[F:])
-            cbits = self._voc.encode_frame(frame.astype(np.float64))
-            slots = pack_codec_bits(cbits)
+            if self._c2enc is not None:
+                # real Codec2 1300 payload, already in reference slot
+                # order (codec2_encode_1300 packing)
+                slots = self._c2enc.encode_frame(frame.astype(np.float64))
+            else:
+                cbits = self._voc.encode_frame(frame.astype(np.float64))
+                slots = pack_codec_bits(cbits)
             cw = self._golay.encode_bits(slots[GOLAY_DATA_POS][None, :])[0]
             parity = cw[12:]                      # (11,) MSB-first
             text = np.array([self.text_bits_tx.pop(0)
