@@ -626,17 +626,16 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         z = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (2, z.shape[-1]))
     if use_pallas:
         C = z.shape[0]
-        # VMEM budget: the kernel holds ~6 slab-sized f32 buffers of
-        # (tile_c, tile_t*decim + pad); 256-wide channel tiles overflow the
-        # 16 MB scoped limit at decim 8 (96 kHz IQ) — halve there, and
-        # halve again for the high-precision MXU passes (pallas.fir._PREC)
-        tile_c_max = (256 if cfg.decim <= 4 else 128) // pallas_fir.TILE_C_DIV
+        # Tile choice (swept on v5e at the 96k flagship, 8192ch x 16k):
+        # decim 8 runs best as (tile_c 256, tile_t 128) — 10,790 vs
+        # 8,457 Ms/s for (128, 256): the smaller time tile shrinks the
+        # (tile_t*decim + pad, tile_t) tap matrix so wide channel tiles
+        # fit VMEM and amortize the halo; decim <=4 keeps (256, 256).
+        # High-precision MXU passes (pallas.fir._PREC) halve tile_c.
+        tile_t = 128 if cfg.decim >= 8 else 256
+        tile_c_max = 256 // pallas_fir.TILE_C_DIV
         tile_c = next((tc for tc in (tile_c_max, 128, 64, 8)
                        if tc <= tile_c_max and C % tc == 0), 8)
-        # high-precision MXU passes stage extra copies of the tap matrix:
-        # at decim 8 the (tile_t*decim+pad, tile_t) matrix must shrink too
-        tile_t = 128 if (cfg.decim >= 8 and pallas_fir.TILE_C_DIV > 1) \
-            else 256
         # SSB demod is exactly Re(analytic signal): the kernel skips the
         # imaginary-part matmuls (half its MXU work) and hands the real
         # audio straight to the post chain (demod_and_post passes real
