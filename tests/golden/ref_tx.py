@@ -75,7 +75,10 @@ def voice_compressor(a: np.ndarray, gain_scaling: float = 1.0,
     # outbuf = inbuf + blockSize (mod BUFSIZE) -> the audio is delayed by
     # BUFSIZE - 2*blockSize... replicate the pointer arithmetic literally
     delay = np.zeros(AUDIO_DELAY_BUFSIZE, dtype)
-    out = np.empty_like(a)
+    # zeros, not empty: for lengths not a multiple of FW_BLOCK the block
+    # loop leaves a tail unwritten and it must be deterministic (silence),
+    # not uninitialized memory.
+    out = np.zeros_like(a)
     inptr = 0
     nblk = len(a) // FW_BLOCK
     for b in range(nblk):

@@ -188,3 +188,34 @@ def test_per_channel_agc_machine_kernel():
     y_k = xfull[..., :T] * mult
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-3)
+
+
+def test_dispatch_path_recorded():
+    """`agc.last_path` records which implementation ran — including the
+    silent fallback at channel counts that don't tile (VERDICT r3 #8:
+    a 500-channel fleet fell back with nothing recording it)."""
+    fs = 12000
+    params = agc.make_params(fs, mode="med")
+
+    # 500 channels does not satisfy channels % 1024 == 0 -> scan path,
+    # on every backend.
+    state = agc.init_state((500,), params)
+    x = jnp.zeros((500, 512), jnp.float32)
+    agc.run(params, state, x)
+    assert agc.last_path == "xla_scan"
+
+    # agc_off is recorded too.
+    off = agc.make_params(fs, mode="off")
+    agc.run(off, state, x)
+    assert agc.last_path == "off"
+
+    # a tiling shape engages a kernel path off-CPU; on CPU it records
+    # the scan fallback (the TPU lane asserts kernel engagement).
+    import jax
+    state2 = agc.init_state((1024,), params)
+    x2 = jnp.zeros((1024, 512), jnp.float32)
+    agc.run(params, state2, x2)
+    if jax.default_backend() == "cpu":
+        assert agc.last_path == "xla_scan"
+    else:
+        assert agc.last_path in ("pallas_fused", "pallas_scan")

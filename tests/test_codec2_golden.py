@@ -184,3 +184,27 @@ def test_encoder_interop_with_reference_decoder(golden, tmp_path_factory):
         agree_wo += abs(ur.take(c2.WO_BITS) - uo.take(c2.WO_BITS)) <= 3
     assert agree_v >= 0.9 * 4 * n, (agree_v, 4 * n)
     assert agree_wo >= 0.85 * n, (agree_wo, n)
+
+
+def test_decode_soft_mute_branch():
+    """codec2.c:1297 — ber_est > 0.15 forces all-unvoiced, quiet energy
+    (index 10) and 200/200 Hz bandwidth expansion, squelching corrupted
+    frames instead of rendering them."""
+    from uhsdr_tpu.modems.codec2_1300 import (Codec2Decoder1300,
+                                              Codec2Encoder1300)
+    # encode loud wideband noise: the LPC residual energy (what the
+    # energy index quantizes) stays high, so the normal decode is loud
+    rng = np.random.default_rng(7)
+    speech = (6000.0 * rng.standard_normal(320 * 4)).astype(np.float32)
+    enc = Codec2Encoder1300()
+    frames = [enc.encode_frame(speech[i * 320:(i + 1) * 320])
+              for i in range(4)]
+
+    loud = np.concatenate([Codec2Decoder1300().decode_frame(f)
+                           for f in [frames[-1]] * 3])
+    dec = Codec2Decoder1300()
+    muted = np.concatenate([dec.decode_frame(f, ber_est=0.2)
+                            for f in [frames[-1]] * 3])
+    rms = lambda x: float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+    assert rms(loud) > 200.0          # sanity: the tone decodes loud
+    assert rms(muted) < 0.1 * rms(loud), (rms(muted), rms(loud))

@@ -327,7 +327,11 @@ def _make_params_ref(cfg: RxConfig) -> RxParams:
         interp_fir = h_int
     aa_sos = _EMPTY_SOS
     if rp["antialias"] is not None:
-        assert k == 1, "post anti-alias lattice is 48k-rate only"
+        if k != 1:
+            raise ValueError(
+                f"post anti-alias lattice is 48k-rate only (iq_rate="
+                f"{cfg.iq_rate}, mode={cfg.mode!r}, "
+                f"antialias={rp['antialias']!r})")
         aa_sos = _lattice_sos5(rp["antialias"])
 
     post_scale = _reference_post_scale_exact(cfg)

@@ -26,8 +26,11 @@ Decode pipeline per 40 ms frame (4 x 10 ms subframes):
   with trapezoidal overlap-add (`sine.c synthesise`) -> ear protection.
 
 The PRNG sequence and consumption order are replicated exactly, so the
-decoder tracks the reference sample-for-sample (verified against the
-compiled reference in tests/test_codec2_golden.py).
+decoder's unvoiced excitation phase matches the reference's.  The
+waveform is reference-close, not bit-exact: the float32 evaluation
+order differs, so tests/test_codec2_golden.py bounds the match at
+>=25 dB overall / >=10 dB per-segment vs the compiled reference
+(measured ~37 dB overall, 63 dB median segmental).
 """
 from __future__ import annotations
 
@@ -251,7 +254,8 @@ class Codec2Decoder1300:
             1.0 - np.arange(2 * tw) / (2.0 * tw)
         return Pn
 
-    def decode_frame(self, bits52: np.ndarray) -> np.ndarray:
+    def decode_frame(self, bits52: np.ndarray,
+                     ber_est: float = 0.0) -> np.ndarray:
         up = _BitUnpacker(bits52)
         voiced = [up.take(1) for _ in range(4)]
         Wo3 = decode_wo(up.take(WO_BITS))
@@ -260,6 +264,15 @@ class Codec2Decoder1300:
         _, cb_bits = _lsp_codebooks()
         lsp_idx = [up.take(cb_bits[i]) for i in range(LPC_ORD)]
         lsps3 = bw_expand_lsps(check_lsp_order(decode_lsps_scalar(lsp_idx)))
+
+        # codec2.c:1297 soft mute: a badly-corrupted frame (channel BER
+        # estimate > 0.15) is forced unvoiced with the quiet energy
+        # index and heavily bandwidth-expanded LSPs, so the decoder
+        # squelches instead of screeching.
+        if ber_est > 0.15:
+            voiced = [0, 0, 0, 0]
+            e3 = decode_energy(10)
+            lsps3 = bw_expand_lsps(lsps3, 200.0, 200.0)
 
         # interpolate the 3 intermediate 10 ms subframes (interp.c)
         lsps, Wos, Ls, es, vs = [], [], [], [], []

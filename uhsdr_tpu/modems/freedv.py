@@ -130,6 +130,7 @@ class FreeDv1600:
         self.text_bits_tx: list[int] = []
         self.frames_decoded = 0
         self.parity_errors = 0
+        self.ber_est = 0.0
 
     # --- TX ---
     def mod(self, speech_8k: np.ndarray) -> np.ndarray:
@@ -203,12 +204,19 @@ class FreeDv1600:
             data, ncorr = self._golay.decode_bits(
                 frame_codeword(b64)[None, :])
             self.parity_errors += int(ncorr[0])
+            # running channel-BER estimate from the Golay corrections
+            # (the vhf deframer's 0.995/0.005 one-pole on uw errors,
+            # freedv_vhf_framing.c:821, applied to the (23,12) codeword)
+            self.ber_est = (0.995 * self.ber_est
+                            + 0.005 * float(ncorr[0]) / 23.0)
             slots[GOLAY_DATA_POS] = data[0]       # FEC-corrected
             self.text_bits_rx.append(int(b64[63]))
             if self._c2dec is not None:
                 # the real over-the-air payload IS Codec2 1300: decode
-                # the 52 frame slots directly (codec2.c:1249-1360)
-                pcm = self._c2dec.decode_frame(slots)
+                # the 52 frame slots directly (codec2.c:1249-1360);
+                # ber_est > 0.15 engages the decoder's soft-mute branch
+                # (codec2.c:1297)
+                pcm = self._c2dec.decode_frame(slots, ber_est=self.ber_est)
                 speech.append(pcm.astype(np.float32))   # int16-scale floats
             else:
                 cbits = unpack_codec_bits(slots)

@@ -238,7 +238,7 @@ class OfdmDemodulator:
         # aliased-lock / lost-channel watchdog: a tracker caught on the
         # +-6.25 Hz inter-pilot alias rotates the constellation 45 deg
         # per symbol — EVM collapses while pilot correlation stays fine.
-        # Three consecutive hopeless frames force re-acquisition.
+        # Two consecutive hopeless frames force re-acquisition.
         if snr_est < 4.0:
             self._bad_frames += 1
             if self._bad_frames >= 2:

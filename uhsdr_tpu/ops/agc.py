@@ -75,8 +75,9 @@ def make_params(fs: float, mode: str = "med", thresh_db: float = 60.0,
     """thresh_db / slope_db / hang_thresh_db may be (C,)-shaped numpy
     arrays for PER-CHANNEL AGC settings (the reference's per-channel
     menu state, one batched chain instead of one chain per setting) —
-    the derived fields then broadcast against the channel axis in the
-    scan path; the Pallas kernel paths require scalars and fall back."""
+    the derived fields then broadcast against the channel axis; the
+    Pallas kernels carry (C,)-shaped params as VMEM rows
+    (`_chan_rows`), so per-channel settings stay on the kernel path."""
     thresh_db = np.asarray(thresh_db, np.float64)
     slope_db = np.asarray(slope_db, np.float64)
     hang_thresh_db = np.asarray(hang_thresh_db, np.float64)
@@ -250,9 +251,24 @@ def _chan(v):
     return v[..., None] if np.ndim(v) > 0 else v
 
 
+# Which implementation the most recent `run()` trace dispatched to — one
+# of "off", "pallas_fused", "pallas_scan", "xla_scan".  The kernel paths
+# are shape-gated (channels % 1024 == 0, T % 256 == 0, w <= 256) and fall
+# back silently otherwise; tests and fleet telemetry read this to confirm
+# which path actually ran for a given batch shape.  Set at trace time
+# (the dispatch is static), so it is valid under jit.
+last_path = None
+
+
+def _record(path):
+    global last_path
+    last_path = path
+
+
 def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     """x: (..., T) audio at decimated rate. Returns (y, new_state)."""
     if params.agc_off:
+        _record("off")
         y = x * _chan(params.fixed_gain)
         return y, state
 
@@ -265,6 +281,7 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # passes all disappear (see pallas/agc.py `_make_fused_kernel`).
     if (jax.default_backend() != "cpu" and x.ndim == 2
             and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w):
+        _record("pallas_fused")
         from ..pallas import agc as pallas_agc
         scalar = _scalar_params(params)
         pp = _pallas_params(params, params.hang_time_samples, fused=True,
@@ -372,6 +389,7 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
                   and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
     if use_pallas:
+        _record("pallas_scan")
         from ..pallas import agc as pallas_agc
         scalar = _scalar_params(params)
         pp = _pallas_params(params, hang_time, fused=False, scalar=scalar)
@@ -384,6 +402,7 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
             carry_out[0], carry_out[1], carry_out[2], carry_out[3],
             carry_out[4], carry_out[5], carry_out[6])
     else:
+        _record("xla_scan")
         # back averages of the *delayed* |x| — linear one-poles
         fba, fba_last = iir.one_pole_block(1.0 - params.fast_backmult,
                                            params.fast_backmult,
