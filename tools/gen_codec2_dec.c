@@ -8,10 +8,14 @@
  */
 #include <stdio.h>
 #include <stdlib.h>
+#include <string.h>
 #include "codec2.h"
 
-int main(void) {
-    struct CODEC2 *dec = codec2_create(CODEC2_MODE_1300);
+int main(int argc, char **argv) {
+    /* optional argv[1]: "700C" selects CODEC2_MODE_700C. */
+    int mode = CODEC2_MODE_1300;
+    if (argc > 1 && strcmp(argv[1], "700C") == 0) mode = CODEC2_MODE_700C;
+    struct CODEC2 *dec = codec2_create(mode);
     if (!dec) { fprintf(stderr, "create failed\n"); return 1; }
     int nsam = codec2_samples_per_frame(dec);
     int nbit = codec2_bits_per_frame(dec);

@@ -15,11 +15,16 @@
 #include <string.h>
 #include "codec2.h"
 
-int main(void) {
-    struct CODEC2 *enc = codec2_create(CODEC2_MODE_1300);
-    struct CODEC2 *dec = codec2_create(CODEC2_MODE_1300);
+int main(int argc, char **argv) {
+    /* optional argv[1]: "700C" selects CODEC2_MODE_700C (the 700D radio
+     * mode's vocoder); default remains 1300 (the 1600 radio mode's). */
+    int mode = CODEC2_MODE_1300;
+    if (argc > 1 && strcmp(argv[1], "700C") == 0) mode = CODEC2_MODE_700C;
+    struct CODEC2 *enc = codec2_create(mode);
+    struct CODEC2 *dec = codec2_create(mode);
     if (!enc || !dec) { fprintf(stderr, "create failed\n"); return 1; }
-    codec2_open_lspEWov(dec, "feat.f32");   /* per-subframe lsps/e/Wo/v/ak */
+    if (mode == CODEC2_MODE_1300)
+        codec2_open_lspEWov(dec, "feat.f32");   /* lsps/e/Wo/v/ak dump */
     int nsam = codec2_samples_per_frame(enc);       /* 320 */
     int nbit = codec2_bits_per_frame(enc);          /* 52  */
     int nbyte = (nbit + 7) / 8;

@@ -59,5 +59,35 @@ def main() -> None:
     print("wrote", dst, "bits:", bits, "sum:", sum(bits))
 
 
+def _parse_float_arrays(path: str) -> dict[str, np.ndarray]:
+    text = open(path).read()
+    arrays = {}
+    for m in re.finditer(
+            r"static const float (codes\d+)\[\]\s*=\s*\{([^}]*)\};", text):
+        vals = [float(v) for v in re.findall(r"[-\d.eE+]+", m.group(2))]
+        arrays[m.group(1)] = np.array(vals, np.float64)
+    return arrays
+
+
+def main_newamp1() -> None:
+    """Import the newamp1 rate-K amplitude VQ (CODEC2_MODE_700C):
+    `codebooknewamp1.c` — two-stage K=20 VQ, 512 entries each — and
+    `codebooknewamp1_energy.c` — 16-level scalar mean/energy quantiser
+    (newamp1.c rate_K_mbest_encode / newamp1_indexes_to_rate_K_vec,
+    codec2.c codec2_{encode,decode}_700c)."""
+    src = os.path.join(os.path.dirname(SRC), "codebooknewamp1.c")
+    arrays = _parse_float_arrays(src)
+    vq1 = arrays["codes0"].reshape(512, 20)
+    vq2 = arrays["codes1"].reshape(512, 20)
+    esrc = os.path.join(os.path.dirname(SRC), "codebooknewamp1_energy.c")
+    energy = _parse_float_arrays(esrc)["codes0"]
+    assert energy.shape == (16,), energy.shape
+
+    dst = os.path.join(REPO, "uhsdr_tpu", "data", "newamp1_cb.npz")
+    np.savez_compressed(dst, vq1=vq1, vq2=vq2, energy=energy)
+    print("wrote", dst, vq1.shape, vq2.shape, energy.shape)
+
+
 if __name__ == "__main__":
     main()
+    main_newamp1()

@@ -326,7 +326,14 @@ class Codec2Decoder1300:
         r = 2.0 * np.pi / FFT_ENC
         b = (np.arange(1, L + 1) * Wo / r + 0.5).astype(int)
         H = np.conj(Aw[b])
+        return self.synth_from_H(Wo, L, voiced, A, H)
 
+    def synth_from_H(self, Wo, L, voiced, A, H,
+                     gain: float = 1.0) -> np.ndarray:
+        """synthesise_one_frame (codec2.c) from per-harmonic phase
+        responses H (0-based, H[m-1] = harmonic m, |H| arbitrary — only
+        its angle is used).  Shared by the LPC modes (H sampled from
+        A(e^jw)) and 700C (H from newamp1 `determine_phase`)."""
         # phase_synth_zero_order
         self.ex_phase += Wo * N_SAMP
         self.ex_phase -= 2.0 * np.pi * np.floor(
@@ -370,6 +377,11 @@ class Codec2Decoder1300:
             * self.Pn[N_SAMP - 1: 2 * N_SAMP]
 
         frame = Sn_[:N_SAMP].copy()
+        if gain != 1.0:
+            # codec2.c synthesise_one_frame: gain applied to the output
+            # segment only (the overlap memory stays unscaled), BEFORE
+            # ear protection
+            frame *= gain
         # ear_protection (codec2.c; note: positive max, no abs)
         mx = frame.max() if len(frame) else 0.0
         over = mx / 30000.0
@@ -590,7 +602,7 @@ class Codec2Encoder1300:
                 voiced = 0
             if eratio < -4.0 and Wo <= 60.0 * 2 * np.pi / FS:
                 voiced = 0
-        return Wo, voiced
+        return Wo, L, A, voiced
 
     def _speech_to_uq_lsps(self):
         """quantise.c speech_to_uq_lsps: windowed LPC analysis + 15 Hz
@@ -629,7 +641,7 @@ class Codec2Encoder1300:
         voiced = []
         Wo = WO_MIN
         for i in range(4):
-            Wo, v = self._analyse_one_frame(speech320[i])
+            Wo, _L, _A, v = self._analyse_one_frame(speech320[i])
             voiced.append(v)
         bits = []
 

@@ -245,13 +245,24 @@ class FreeDv700D:
     per frame each way.
     """
 
-    def __init__(self):
+    def __init__(self, vocoder: str = "codec2"):
+        """vocoder: "codec2" (default) — the reference's CODEC2_MODE_700C
+        newamp1 codec (`modems/codec2_700c.py`, `freedv_api.c:218`):
+        waveform-interoperable both ways with real 700D speech
+        (tests/test_codec2_golden.py 700C rows); or "lpc" — this repo's
+        original independent LPC vocoder."""
+        from . import codec2_700c
         from . import ldpc
         from . import ofdm as ofdm_mod
         from . import vocoder as vocoder_mod
         self._ldpc = ldpc
         self._ofdm = ofdm_mod
         self._voc = vocoder_mod
+        self.vocoder_impl = vocoder
+        self._c2dec = (codec2_700c.Codec2Decoder700C()
+                       if vocoder == "codec2" else None)
+        self._c2enc = (codec2_700c.Codec2Encoder700C()
+                       if vocoder == "codec2" else None)
         self.modulator = ofdm_mod.OfdmModulator()
         self.demodulator = ofdm_mod.OfdmDemodulator()
         self.synth = vocoder_mod.Synthesizer()
@@ -259,6 +270,12 @@ class FreeDv700D:
         self.frames_decoded = 0
         self.fec_failures = 0
         self.snr_db = 0.0
+
+    def _encode_28(self, chunk: np.ndarray) -> np.ndarray:
+        """One 320-sample chunk -> (28,) vocoder bits."""
+        if self._c2enc is not None:
+            return self._c2enc.encode_frame(chunk.astype(np.float64))
+        return self._voc.encode_frame_700(chunk.astype(np.float64))
 
     def mod(self, speech_8k: np.ndarray) -> np.ndarray:
         self._speech_in = np.concatenate(
@@ -269,8 +286,7 @@ class FreeDv700D:
             chunk, self._speech_in = (self._speech_in[: 4 * F],
                                       self._speech_in[4 * F:])
             data = np.concatenate([
-                self._voc.encode_frame_700(
-                    chunk[i * F:(i + 1) * F].astype(np.float64))
+                self._encode_28(chunk[i * F:(i + 1) * F])
                 for i in range(4)])                        # (112,)
             cw = self._ldpc.encode(data)                   # (224,)
             bits = np.concatenate(
@@ -310,9 +326,16 @@ class FreeDv700D:
                 speech.append(np.zeros(4 * self._voc.FRAME, np.float32))
                 continue
             for i in range(4):
-                fr = self._voc.decode_frame_700_bits(
-                    data[i * 28:(i + 1) * 28])
-                speech.append(self.synth.synthesize(fr))
+                if self._c2dec is not None:
+                    # the real over-the-air 700D payload IS Codec2 700C:
+                    # decode the 28-bit newamp1 frame directly
+                    # (codec2.c:2024, newamp1.c:536)
+                    pcm = self._c2dec.decode_frame(data[i * 28:(i + 1) * 28])
+                    speech.append(pcm.astype(np.float32))
+                else:
+                    fr = self._voc.decode_frame_700_bits(
+                        data[i * 28:(i + 1) * 28])
+                    speech.append(self.synth.synthesize(fr))
             self.frames_decoded += 1
         if not speech:
             return np.zeros(0, np.float32)
