@@ -133,7 +133,8 @@ def test_per_channel_agc_kernel_path():
     class _Probe(Exception):
         pass
 
-    def stub(pp_, carry_, delay_, x_, t_tile=256, sub=8, chan=None):
+    def stub(pp_, carry_, delay_, x_, t_tile=256, sub=8, chan=None,
+             unroll=1):
         seen["chan"] = chan
         raise _Probe
 

@@ -186,3 +186,51 @@ def test_fm_disc_pallas_matches_xla():
                                   jnp.asarray(z.imag), tile_c=8,
                                   tile_t=512, interpret=True)
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-6)
+
+
+def test_pallas_fir_real_taps_nco_fused():
+    """REAL-taps fast path (the front decimators are purely real): the
+    2-matmul kernel with fused NCO == the generic complex path, complex
+    out and real_out, with streaming carry continuity."""
+    from uhsdr_tpu.ops import nco
+    rng = np.random.default_rng(5)
+    C, B, taps, decim = 8, 4096, 89, 4
+    h_real = (rng.standard_normal(taps) * 0.05).astype(np.float32)
+    h_c = h_real.astype(np.complex64)           # same taps, complex dtype
+    # force the generic complex kernel by adding a negligible imag tap
+    h_generic = h_c.copy()
+    h_generic[0] += 1e-30j
+    x = (rng.standard_normal((C, 2 * B)) +
+         1j * rng.standard_normal((C, 2 * B))).astype(np.complex64)
+    delta = nco.freq_to_delta(-6000.0, 48000.0)
+
+    for kwargs in ({}, {"nco": (jnp.zeros((), jnp.uint32),
+                                jnp.uint32(delta))}):
+        c_rt = jnp.zeros((C, taps - 1), jnp.complex64)
+        c_gen = jnp.zeros((C, taps - 1), jnp.complex64)
+        ph0 = jnp.zeros((), jnp.uint32)
+        for blk in (x[:, :B], x[:, B:]):
+            kw = dict(kwargs)
+            if "nco" in kw:
+                kw["nco"] = (ph0, jnp.uint32(delta))
+            y_rt, c_rt = pfir.fir_decimate_pallas(
+                h_c, c_rt, jnp.asarray(blk), decim, tile_c=8,
+                tile_t=512, interpret=True, **kw)
+            y_gen, c_gen = pfir.fir_decimate_pallas(
+                h_generic, c_gen, jnp.asarray(blk), decim, tile_c=8,
+                tile_t=512, interpret=True, **kw)
+            if "nco" in kwargs:
+                ph0 = nco.advance(ph0, jnp.uint32(delta), B)
+            np.testing.assert_allclose(np.asarray(y_rt),
+                                       np.asarray(y_gen), atol=2e-4)
+
+    # real_out + real taps: single-matmul output == Re(complex output)
+    c0 = jnp.zeros((C, taps - 1), jnp.complex64)
+    y_c, _ = pfir.fir_decimate_pallas(h_c, c0, jnp.asarray(x[:, :B]),
+                                      decim, tile_c=8, tile_t=512,
+                                      interpret=True)
+    y_r, _ = pfir.fir_decimate_pallas(h_c, c0, jnp.asarray(x[:, :B]),
+                                      decim, tile_c=8, tile_t=512,
+                                      interpret=True, real_out=True)
+    np.testing.assert_allclose(np.asarray(y_r), np.real(np.asarray(y_c)),
+                               atol=1e-6)

@@ -287,9 +287,13 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
         pp = _pallas_params(params, params.hang_time_samples, fused=True,
                             scalar=scalar)
         carry = _machine_carry(state)
+        # unroll=8: one dynamic VMEM load/store per 8 machine steps
+        # (measured 6.43 -> 5.33 ms at 8192ch x 2048 on v5e; the rolled
+        # loop is dominated by per-step dynamic indexing, not the VPU ops)
         y, carry_out, new_delay = pallas_agc.agc_pallas_fused(
             pp, carry, state.delay, x,
-            chan=None if scalar else _chan_rows(params, x.shape[0], True))
+            chan=None if scalar else _chan_rows(params, x.shape[0], True),
+            unroll=8)
         dc_state = state.dc
         if params.remove_dc:
             y, dc_state = iir.dc_blocker_block(0.9999, dc_state, y)

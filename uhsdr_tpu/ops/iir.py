@@ -127,15 +127,28 @@ def _cascade_blocked_tables(sos_key: tuple, R: int):
 
 
 def biquad_cascade_blocked(sos: np.ndarray, state: jnp.ndarray,
-                           x: jnp.ndarray, R: int = 128):
+                           x: jnp.ndarray, R: int = 128,
+                           exact_carry: bool | None = None):
     """Blocked-matmul biquad CASCADE — one MXU Toeplitz pass for the
     whole cascade (see `_cascade_blocked_tables`).  sos: STATIC (S, 5)
     numpy; state (S, ..., 2) per-section DF2T states (exact streaming
-    continuity).  Drop-in for `biquad_cascade_block`."""
+    continuity).  Drop-in for `biquad_cascade_block`.
+
+    exact_carry: the chunk-boundary recurrence u[c] = F u[c-1] + s_in[c]
+    run as a SEQUENTIAL n-step scan of tiny (2S, 2S) affine maps —
+    numerically exact-in-f32 (measured 129 dB on the reference high-Q
+    lattice SOS vs 52 dB for the dilated pass, whose host-squared
+    F^(2^l) powers are hopeless at cond(F) ~ 1e17).  The scan costs n
+    launches of (..., 2S) matvecs, so it defaults on for n <= 32 (the
+    decimated-rate stages) and the latency-optimal dilated pass stays
+    for long-n 48k stages where its f32 error is below those stages'
+    needs (non-resonant EQ shelves)."""
     sos_np = np.asarray(sos, np.float64)
     S = sos_np.shape[0]
     T = x.shape[-1]
     n = T // R
+    if exact_carry is None:
+        exact_carry = n <= 32
     M_np, HS_np, G_np, F = _cascade_blocked_tables(
         tuple(sos_np.reshape(-1).tolist()), R)
     M, HS, G = jnp.asarray(M_np), jnp.asarray(HS_np), jnp.asarray(G_np)
@@ -146,21 +159,31 @@ def biquad_cascade_blocked(sos: np.ndarray, state: jnp.ndarray,
     hi = jax.lax.Precision.HIGHEST
     y_loc = jnp.einsum("...nr,rs->...ns", xc, M, precision=hi)
     s_in = jnp.einsum("...nr,rj->...nj", xc, G, precision=hi)  # (..., n, 2S)
-    # chunk-carry recurrence u[c] = F u[c-1] + s_in[c] (u[-1] = s_vec) as
-    # a DILATED log-depth pass with host-precomputed F^(2^l) (a lax.scan
-    # here is launch-bound on TPU)
     s_vec = s_vec.astype(x.dtype)
-    u = s_in.at[..., 0, :].add(
-        jnp.einsum("ij,...j->...i", F, s_vec))
-    Fd = np.asarray(F, np.float64)
-    d = 1
-    while d < n:
-        pad = [(0, 0)] * (u.ndim - 2) + [(d, 0), (0, 0)]
-        shifted = jnp.pad(u, pad)[..., :n, :]
-        u = u + jnp.einsum("ij,...nj->...ni",
-                           jnp.asarray(Fd.astype(np.float32)), shifted)
-        Fd = Fd @ Fd
-        d *= 2
+    if exact_carry:
+        Ft = jnp.asarray(np.asarray(F, np.float32).T)
+
+        def _step(prev, sc):
+            cur = sc + jnp.einsum("...j,ji->...i", prev, Ft, precision=hi)
+            return cur, cur
+
+        _, u = jax.lax.scan(_step, s_vec,
+                            jnp.moveaxis(s_in, -2, 0))
+        u = jnp.moveaxis(u, 0, -2)
+    else:
+        # DILATED log-depth pass with host-precomputed F^(2^l) (a
+        # lax.scan here is launch-bound on TPU for large n)
+        u = s_in.at[..., 0, :].add(
+            jnp.einsum("ij,...j->...i", F, s_vec))
+        Fd = np.asarray(F, np.float64)
+        d = 1
+        while d < n:
+            pad = [(0, 0)] * (u.ndim - 2) + [(d, 0), (0, 0)]
+            shifted = jnp.pad(u, pad)[..., :n, :]
+            u = u + jnp.einsum("ij,...nj->...ni",
+                               jnp.asarray(Fd.astype(np.float32)), shifted)
+            Fd = Fd @ Fd
+            d *= 2
     prevs = jnp.concatenate([s_vec[..., None, :], u[..., :-1, :]],
                             axis=-2)                   # (..., n, 2S)
     y = y_loc + jnp.einsum("...nj,jr->...nr", prevs, HS, precision=hi)
@@ -202,16 +225,18 @@ def biquad_cascade_dispatch(sos, state, x, impl: str = "auto"):
     # blocked-matmul path: static numpy coefficients + chunking shape
     # (see `biquad_cascade_blocked` — MXU Toeplitz instead of a sequential
     # VMEM kernel; wins whenever T is long enough to amortize).
-    # impl="precise" excludes it: the chunk-boundary state propagation
-    # through f32 powers of the companion matrix limits high-Q cascades
-    # to ~50 dB output SNR (measured on the reference lattice-derived
-    # SOS), while the sequential forms hold 90-105 dB — conformance-
-    # critical stages (the ref PreFilter/anti-alias) use "precise".
-    if (impl == "blocked" or (impl == "auto"
-                              and jax.default_backend() != "cpu"))\
-            and isinstance(sos, np.ndarray) and not jnp.iscomplexobj(x) \
-            and x.shape[-1] % 128 == 0 and x.shape[-1] >= 256:
-        return biquad_cascade_blocked(sos, state, x)
+    # impl="precise" (conformance-critical stages: the ref PreFilter /
+    # anti-alias) also rides it off-CPU since the exact_carry sequential
+    # chunk scan holds ~129 dB on the reference high-Q SOS — the dilated
+    # F-power pass that used to cap it at ~52 dB is bypassed there.
+    blocked_ok = (isinstance(sos, np.ndarray)
+                  and not jnp.iscomplexobj(x)
+                  and x.shape[-1] % 128 == 0 and x.shape[-1] >= 256)
+    if blocked_ok and (impl == "blocked" or (
+            impl in ("auto", "precise")
+            and jax.default_backend() != "cpu")):
+        return biquad_cascade_blocked(
+            sos, state, x, exact_carry=True if impl == "precise" else None)
     use_pallas = impl in ("pallas", "precise") or (
         impl == "auto" and jax.default_backend() != "cpu")
     if impl == "precise" and jax.default_backend() == "cpu":

@@ -154,7 +154,8 @@ def _make_kernel(pp, t_tile: int, chan: bool = False):
     return kernel
 
 
-def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False):
+def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
+                       unroll: int = 1):
     """v3: the WHOLE AGC op in one kernel — |x|, the look-ahead sliding
     max (dilated max on the VMEM slab), the 5-state machine AND the
     log-domain gain application.  The slab trick: xfull (= delay ++ x) at
@@ -202,16 +203,44 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False):
         rm_s[:] = m[:t_tile]
         od_s[:] = slab[:t_tile]             # delayed output samples
 
-        def step(t, carry):
-            od = od_s[t]
-            new_carry, new_volts = machine_step(carry, rm_s[t], jnp.abs(od))
-            vo = jnp.minimum(jnp.log10(inv_max_input * new_volts), f32(0.0))
-            y_ref[t] = od * ((out_target - slope_constant * vo) / new_volts)
-            return new_carry
-
         sc = scratch[:]
         carry0 = tuple(sc[i] for i in range(N_CARRY))
-        carry = jax.lax.fori_loop(0, t_tile, step, carry0)
+        if unroll == 1:
+            def step(t, carry):
+                od = od_s[t]
+                new_carry, new_volts = machine_step(carry, rm_s[t],
+                                                    jnp.abs(od))
+                vo = jnp.minimum(jnp.log10(inv_max_input * new_volts),
+                                 f32(0.0))
+                y_ref[t] = od * ((out_target - slope_constant * vo)
+                                 / new_volts)
+                return new_carry
+
+            carry = jax.lax.fori_loop(0, t_tile, step, carry0)
+        else:
+            # time-unrolled: ONE dynamic load of U samples per
+            # iteration, U machine steps on register values (static
+            # indexing), ONE dynamic store — amortizes the per-step
+            # dynamic VMEM access cost that dominates the rolled loop
+            U = unroll
+
+            def stepu(tu, carry):
+                base = tu * U
+                rm_blk = rm_s[pl.ds(base, U)]       # (U, sub, 128)
+                od_blk = od_s[pl.ds(base, U)]
+                ys = []
+                for u in range(U):
+                    od = od_blk[u]
+                    carry, nv = machine_step(carry, rm_blk[u],
+                                             jnp.abs(od))
+                    vo = jnp.minimum(jnp.log10(inv_max_input * nv),
+                                     f32(0.0))
+                    ys.append(od * ((out_target - slope_constant * vo)
+                                    / nv))
+                y_ref[pl.ds(base, U)] = jnp.stack(ys, axis=0)
+                return carry
+
+            carry = jax.lax.fori_loop(0, t_tile // U, stepu, carry0)
         new_sc = jnp.stack(carry, axis=0)
         scratch[:] = new_sc
         stout_ref[:] = new_sc
@@ -221,7 +250,7 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False):
 
 def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
                      x: jnp.ndarray, t_tile: int = 256, sub: int = 8,
-                     chan: jnp.ndarray | None = None):
+                     chan: jnp.ndarray | None = None, unroll: int = 1):
     """Full AGC op (delay line, look-ahead max, 5-state machine, gain).
     carry: (7, C); delay: (C, w) f32 (the carried delay-line tail);
     x: (C, T) f32.  Returns (y (C, T), new_carry (7, C), new_delay).
@@ -266,7 +295,9 @@ def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
                                      lambda ci, ti: (0, ci, 0)))
         operands.append(chan.reshape(3, sub * n_c, 128))
 
-    kernel = _make_fused_kernel(pp, t_tile, w, chan=chan is not None)
+    assert t_tile % unroll == 0, (t_tile, unroll)
+    kernel = _make_fused_kernel(pp, t_tile, w, chan=chan is not None,
+                                unroll=unroll)
     y3, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),

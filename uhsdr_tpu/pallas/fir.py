@@ -79,6 +79,42 @@ def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
 _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 
 
+def _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
+                   hr_ref, or_ref, oi_ref=None, *, pad_left: int,
+                   mxu_dtype=None, nco_ref=None):
+    """REAL-taps variant of `_fir_kernel`/`_fir_nco_kernel`: the front
+    decimators (FirRxDecimate, AM lowpass, FM lowpass — plus their
+    noble-identity 96 kHz lifts) are purely real, so the imaginary tap
+    matrix is ZERO and its two matmuls (plus its HBM/VMEM traffic) are
+    skipped outright: y_r = x_r (x) h, y_i = x_i (x) h — 2 matmuls for
+    complex out, 1 for real_out."""
+    ti = pl.program_id(1)
+    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:])
+    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:])
+    xr = jnp.concatenate([tail_r, xr_ref[:]], axis=1)   # (TC, K)
+    xi = jnp.concatenate([tail_i, xi_ref[:]], axis=1)
+    if nco_ref is not None:
+        K = xr.shape[1]
+        W = xr_ref.shape[1]
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        n = ti * W - pad_left + k
+        ang = ((nco_ref[0] + nco_ref[1] * n)
+               .astype(jnp.float32) * _PHASE_SCALE)
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
+        xr, xi = xr * c - xi * s, xr * s + xi * c
+    hr = hr_ref[:]
+    if mxu_dtype is not None:
+        xr = xr.astype(mxu_dtype)
+        xi = xi.astype(mxu_dtype)
+        hr = hr.astype(mxu_dtype)
+    or_ref[:] = jnp.dot(xr, hr, preferred_element_type=jnp.float32,
+                        precision=_PREC)
+    if oi_ref is not None:
+        oi_ref[:] = jnp.dot(xi, hr, preferred_element_type=jnp.float32,
+                            precision=_PREC)
+
+
 def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
                     hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
                     mxu_dtype=None):
@@ -177,10 +213,12 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     W = tile_t * decim
     pad_left = -(-(taps - 1) // 128) * 128
     assert W >= pad_left, (W, pad_left)
+    real_taps = not np.iscomplexobj(h_np) or not np.any(np.imag(h_np))
     Hr = jnp.asarray(_build_tap_matrix(np.real(h_np).astype(np.float32),
                                        decim, tile_t, pad_left))
-    Hi = jnp.asarray(_build_tap_matrix(np.imag(h_np).astype(np.float32),
-                                       decim, tile_t, pad_left))
+    Hi = None if real_taps else jnp.asarray(
+        _build_tap_matrix(np.imag(h_np).astype(np.float32),
+                          decim, tile_t, pad_left))
     xr = jnp.real(x)
     xi = jnp.imag(x)
     # carried history, left-padded to the lane multiple (the pad columns
@@ -221,20 +259,34 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    inputs = [xr, xi, xr, xi, cr, ci, Hr, Hi]
+    inputs = [xr, xi, xr, xi, cr, ci, Hr]
+    if not real_taps:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(Hi)
     mxu = jnp.bfloat16 if mxu_dtype == "bf16" else None
     if nco is None:
-        kernel = functools.partial(_fir_kernel, pad_left=pad_left,
-                                   mxu_dtype=mxu)
+        if real_taps:
+            kernel = functools.partial(_fir_kernel_rt, pad_left=pad_left,
+                                       mxu_dtype=mxu)
+        else:
+            kernel = functools.partial(_fir_kernel, pad_left=pad_left,
+                                       mxu_dtype=mxu)
     else:
         phase0, delta = nco
         nco_arr = jax.lax.bitcast_convert_type(
             jnp.stack([jnp.asarray(phase0, jnp.uint32),
                        jnp.asarray(delta, jnp.uint32)]), jnp.int32)
-        kernel = functools.partial(_fir_nco_kernel, pad_left=pad_left,
-                                   mxu_dtype=mxu)
+        if real_taps:
+            def kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
+                       ci_ref, hr_ref, or_ref, oi_ref=None):
+                _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
+                               ci_ref, hr_ref, or_ref, oi_ref,
+                               pad_left=pad_left, mxu_dtype=mxu,
+                               nco_ref=nco_ref)
+        else:
+            kernel = functools.partial(_fir_nco_kernel, pad_left=pad_left,
+                                       mxu_dtype=mxu)
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.insert(0, nco_arr)
 
