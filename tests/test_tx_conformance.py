@@ -86,3 +86,97 @@ def test_tx_block_invariance():
 
     a, b = run(4096), run(2048)
     assert snr_db(a, b) > 80.0
+
+
+# ---------------------------------------------------------------------------
+# Digital-mode TX rows (VERDICT r3 item 7): CW / RTTY / PSK against the
+# scalar ports of TxProcessor_Cw/Rtty/Psk + their generators
+# ---------------------------------------------------------------------------
+
+def _run_digi_chain(tone_48k: np.ndarray) -> np.ndarray:
+    """Our chain's digital path: generator tone -> USB voice chain with
+    bandpass ON, compressor OFF, translate 0 (TxProcessor_Rtty/Psk call
+    TxProcessor_SSB with 0 shift, tx_processor.c:818/841)."""
+    from uhsdr_tpu.chain import tx as tx_mod
+
+    cfg = tx_mod.TxConfig(mode="usb", translate_hz=0.0, block_len=BLOCK,
+                          compressor=False)
+    chain = tx_mod.TxChain(cfg)
+    state = chain.init_state((1,))
+    outs = []
+    audio_u = (tone_48k / INT16_FS).astype(np.float32)
+    n = (len(audio_u) // BLOCK) * BLOCK
+    for s in range(0, n, BLOCK):
+        i, q, state = chain(state, audio_u[None, s:s + BLOCK])
+        outs.append(np.asarray(i)[0] + 1j * np.asarray(q)[0])
+    return np.concatenate(outs) * INT16_FS
+
+
+def test_rtty_tx_matches_reference():
+    """Tone generator bit-exact vs the Rtty_Modulator_GenSample port;
+    full TX chain >= 50 dB vs the TxProcessor_Rtty oracle."""
+    from uhsdr_tpu.modems import rtty_text
+
+    n = 48000 * 2
+    text = "CQ CQ DE UHSDR"
+    oracle_tone = gold.RttyTxOracle(text).gen(n)
+    our_tone = rtty_text.gen_tx_tone_ref(text, n)
+    np.testing.assert_array_equal(our_tone, oracle_tone)
+
+    ref_iq = gold.rtty_tx_oracle(text, n)
+    out = _run_digi_chain(our_tone)
+    s = snr_db(ref_iq[: len(out)], out)
+    assert s >= 50.0, f"TX rtty: SNR {s:.1f} dB"
+
+
+def test_psk_tx_matches_reference():
+    """Tone generator bit-exact vs the Psk_Modulator_GenSample port
+    (preamble, varicode, postamble, envelope DDS); full TX chain >=
+    50 dB vs the TxProcessor_Psk oracle."""
+    from uhsdr_tpu.modems import psk_text
+
+    n = 48000 * 3
+    text = "cq de uhsdr"
+    oracle_tone = gold.PskTxOracle(text).gen(n)
+    our_tone = psk_text.gen_tx_tone_ref(text, n)
+    np.testing.assert_array_equal(our_tone, oracle_tone)
+
+    ref_iq = gold.psk_tx_oracle(text, n)
+    out = _run_digi_chain(our_tone)
+    s = snr_db(ref_iq[: len(out)], out)
+    assert s >= 50.0, f"TX psk: SNR {s:.1f} dB"
+
+
+def test_cw_tx_envelope_matches_reference():
+    """Keying envelope BIT-EXACT vs the CwGen_ProcessIambic text-entry
+    oracle (element/pause/char timing in 1500 Hz blocks + sm_table edge
+    shaping), for several texts and speeds; and the chain's keyed IQ
+    magnitude reproduces that envelope."""
+    from uhsdr_tpu.chain import tx as tx_mod
+    from uhsdr_tpu.modems import cw_text
+
+    nb = 1500 * 4
+    for text, wpm in [("CQ TEST", 20), ("K", 35)]:
+        o = gold.CwTextTxOracle(text, wpm=wpm)
+        _, gain = o.process_blocks(nb)
+        env = cw_text.text_to_keying_ref(text, wpm, n_blocks=nb)
+        np.testing.assert_array_equal(env, gain)
+
+    # the chain's CW mode keys a unit carrier with this envelope: |IQ|
+    # must reproduce it (the carrier is the framework's exact NCO; the
+    # firmware's table DDS differs only by its -50 dBc phase-truncation
+    # spurs, documented in ops/softdds.py)
+    env = cw_text.text_to_keying_ref("CQ", 20, n_blocks=1500)
+    cfg = tx_mod.TxConfig(mode="cw", translate_hz=6000.0, block_len=BLOCK)
+    chain = tx_mod.TxChain(cfg)
+    state = chain.init_state((1,))
+    outs = []
+    n = (len(env) // BLOCK) * BLOCK
+    for s in range(0, n, BLOCK):
+        i, q, state = chain(state, env[None, s:s + BLOCK]
+                            .astype(np.float32))
+        outs.append(np.asarray(i)[0] + 1j * np.asarray(q)[0])
+    mag = np.abs(np.concatenate(outs))
+    err = mag - env[:n]
+    pk = np.max(np.abs(err))
+    assert pk < 2e-3, pk

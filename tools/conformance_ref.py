@@ -100,6 +100,41 @@ def main() -> int:
                         "bound_db": 50.0, "passed": bool(s >= 50.0)})
         print(f"TX {mode:4s} {s:6.1f} dB (bound 50.0)")
 
+    # digital-mode TX rows (VERDICT r3 item 7): generator tone bit-exact
+    # vs the scalar Rtty/Psk modulator ports, chain SNR vs the
+    # TxProcessor_Rtty/Psk oracles; CW = bit-exact keyed envelope vs the
+    # CwGen_ProcessIambic text-entry oracle
+    from tests.test_tx_conformance import _run_digi_chain  # noqa: E402
+    from uhsdr_tpu.modems import cw_text, psk_text, rtty_text  # noqa: E402
+
+    n2 = 48000 * 2
+    for mode, text, gen, oracle in (
+            ("rtty", "CQ CQ DE UHSDR", rtty_text.gen_tx_tone_ref,
+             gold_tx.rtty_tx_oracle),
+            ("psk", "cq de uhsdr", psk_text.gen_tx_tone_ref,
+             gold_tx.psk_tx_oracle)):
+        tone = gen(text, n2)
+        tone_ref = (gold_tx.RttyTxOracle(text) if mode == "rtty"
+                    else gold_tx.PskTxOracle(text)).gen(n2)
+        tone_exact = bool(np.array_equal(tone, tone_ref))
+        out = _run_digi_chain(tone)
+        s = tx_snr_db(oracle(text, n2)[: len(out)], out)
+        tx_rows.append({"mode": mode, "snr_tx_db": round(float(s), 1),
+                        "tone_bit_exact": tone_exact, "bound_db": 50.0,
+                        "passed": bool(s >= 50.0 and tone_exact)})
+        print(f"TX {mode:4s} {s:6.1f} dB (bound 50.0)  "
+              f"tone bit-exact: {tone_exact}")
+
+    nb = 1500 * 4
+    o = gold_tx.CwTextTxOracle("CQ TEST", wpm=20)
+    _, cw_gain = o.process_blocks(nb)
+    cw_env = cw_text.text_to_keying_ref("CQ TEST", 20, n_blocks=nb)
+    cw_exact = bool(np.array_equal(cw_env, cw_gain))
+    tx_rows.append({"mode": "cw", "envelope_bit_exact": cw_exact,
+                    "bound": "bit-exact envelope/symbol timing",
+                    "passed": cw_exact})
+    print(f"TX cw   keyed envelope bit-exact: {cw_exact}")
+
     artifact = {
         "oracle": "tests/golden/ref_chain.py (float64 scalar port, "
                   "reference coefficient tables from uhsdr_tpu/data)",

@@ -631,13 +631,17 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     if use_pallas:
         C = z.shape[0]
         # Tile choice (swept on v5e at the 96k flagship, 8192ch x 16k):
-        # decim 8 runs best as (tile_c 256, tile_t 128) — 10,790 vs
-        # 8,457 Ms/s for (128, 256): the smaller time tile shrinks the
-        # (tile_t*decim + pad, tile_t) tap matrix so wide channel tiles
-        # fit VMEM and amortize the halo; decim <=4 keeps (256, 256).
+        # with the real-taps 2-matmul kernel, decim 8 runs best as
+        # (tile_c 128, tile_t 256) — 4.82 vs 5.02 ms for (256, 128)
+        # best-of-3 standalone; complex-taps fronts (wide SSB) keep the
+        # round-3 sweep's (256, 128) at decim 8 and (256, 256) below.
         # High-precision MXU passes (pallas.fir._PREC) halve tile_c.
-        tile_t = 128 if cfg.decim >= 8 else 256
-        tile_c_max = 256 // pallas_fir.TILE_C_DIV
+        front_real = not np.any(params.front_fir_im)
+        if cfg.decim >= 8:
+            tile_c_max, tile_t = ((128, 256) if front_real else (256, 128))
+        else:
+            tile_c_max, tile_t = 256, 256
+        tile_c_max //= pallas_fir.TILE_C_DIV
         tile_c = next((tc for tc in (tile_c_max, 128, 64, 8)
                        if tc <= tile_c_max and C % tc == 0), 8)
         # SSB demod is exactly Re(analytic signal): the kernel skips the

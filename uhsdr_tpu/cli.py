@@ -310,31 +310,31 @@ def cmd_tx(args) -> int:
                           "mode": args.mode}))
         return 0
     if args.mode == "cw":
-        env = cw_text.text_to_keying(args.text or "CQ TEST", args.wpm, fs)
-        audio = env
+        # the firmware text-keyer's exact envelope (block timing +
+        # sm_table edges, CwGen_ProcessIambic — cw_text docstring)
+        env = cw_text.text_to_keying_ref(args.text or "CQ TEST",
+                                         int(args.wpm), fs)
+        audio = env.astype(np.float32)
         cfg = tx.TxConfig(mode="cw", translate_hz=args.translate)
     elif args.mode == "rtty":
         # Baudot AFSK at 48k, sent through the USB voice chain
-        # (TxProcessor_Rtty routes modem tones the same way, :811)
-        import jax
-        from .modems import rtty, rtty_text
-        rp = rtty.make_params(fs=float(fs), baud=45.45, shift=170.0)
-        codes = rtty_text.encode(args.text or "CQ CQ DE UHSDR")
-        bits = rtty_text.codes_to_bits(codes, int(round(fs / 45.45)))
-        tone, _ = rtty.modulate(rp, jnp.zeros((), jnp.uint32),
-                                jnp.asarray(bits))
-        audio = 0.5 * np.asarray(tone, np.float32)
+        # (TxProcessor_Rtty routes modem tones the same way, :811);
+        # the tone is the firmware modulator's exact waveform
+        # (rtty_text.gen_tx_tone_ref: table DDS, framing quirks and all)
+        from .modems import rtty_text
+        text = args.text or "CQ CQ DE UHSDR"
+        n = (len(text) + 6) * int(8 * round(fs / 45.45))
+        tone = rtty_text.gen_tx_tone_ref(text, n, fs=int(fs))
+        audio = (0.5 / 32767.0) * tone.astype(np.float32)
         cfg = tx.TxConfig(mode="usb", translate_hz=args.translate,
                           compressor=False)
     elif args.mode == "psk":
-        from .modems import psk, psk_text
-        pp = psk.make_params(fs=float(fs), speed=31)
-        bits = psk_text.encode_bits(args.text or "cq cq de uhsdr")
-        rate = int(round(fs / 31.25))
-        signs, envl = psk_text.bits_to_waveform_params(bits, rate)
-        tone, _ = psk.modulate(pp, jnp.zeros((), jnp.uint32),
-                               jnp.asarray(signs), jnp.asarray(envl))
-        audio = 0.5 * np.asarray(tone, np.float32)
+        from .modems import psk_text
+        text = args.text or "cq cq de uhsdr"
+        # preamble (1 s) + ~12 bits/char + postamble (1 s)
+        n = int(fs * 2.5) + len(text) * int(12 * round(fs / 31.25))
+        tone = psk_text.gen_tx_tone_ref(text, n, fs=int(fs))
+        audio = (0.5 / 32767.0) * tone.astype(np.float32)
         cfg = tx.TxConfig(mode="usb", translate_hz=args.translate,
                           compressor=False)
     else:

@@ -235,3 +235,132 @@ def text_to_keying(text: str, wpm: float, fs: float,
     # click suppression to the reference's table ramp)
     sm = np.convolve(env, kernel)[: len(env)]
     return sm.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact TX keying envelope (CwGen_ProcessIambic text entry)
+# ---------------------------------------------------------------------------
+
+# cw_char_codes semantics (cw_gen.c:106-154): base-4 digits, 2=dit 3=dah
+_REF_CODES = {
+    " ": 1, "E": 2, "T": 3, "I": 10, "A": 11, "N": 14, "M": 15,
+    "S": 42, "U": 43, "R": 46, "W": 47, "D": 58, "K": 59, "G": 62,
+    "O": 63, "H": 170, "V": 171, "F": 174, "L": 186, "P": 190, "J": 191,
+    "B": 234, "X": 235, "C": 238, "Y": 239, "Z": 250, "Q": 251,
+    "5": 682, "4": 683, "3": 687, "2": 703, "1": 767, "6": 938,
+    "=": 939, "/": 942, "7": 1002, "8": 1018, "9": 1022, "0": 1023,
+    "?": 2810, ".": 3003, "@": 3054, "-": 3755, ",": 4015, ":": 4074,
+}
+
+_SMOOTH_STEPS = 9        # CW_SMOOTH_STEPS (cw_gen.c:65)
+_SMOOTH_LEN = 2          # samples per table step
+_BLOCK = 32              # firmware audio block
+
+
+def _elements(ch: str):
+    """dit(2)/dah(3) element list for one character."""
+    code, out = _REF_CODES[ch], []
+    while code > 1:
+        out.append(code % 4)
+        code //= 4
+    return out[::-1]
+
+
+def text_to_keying_ref(text: str, wpm: int, fs: float = 48000.0,
+                       n_blocks: int | None = None) -> np.ndarray:
+    """The firmware text-keyer's exact per-sample keying envelope
+    (CwGen_ProcessIambic + sm_table shaping, block-granular timing from
+    CwGen_SetSpeed at weight 100):
+
+      element on-time  = dit/dah_time blocks (tone, sm_table rise over
+                         the first 256 samples, fall over the last
+                         CW_SMOOTH_STEPS blocks)
+      element gap      = pause_time blocks
+      character gap    = pause_time + END_PROC block + space-timer
+                         countdown until space_timer < space_time -
+                         dah_time (the CheckDigiBufferState gate)
+
+    Bit-exact against the tests/golden/ref_tx.py CwTextTxOracle gain
+    trace (test_tx_conformance).  fs must be the 48 k block-rate family
+    (one block = 32 samples at 1500 Hz)."""
+    from .. import data
+
+    assert abs(fs - 48000.0) < 1e-6, "reference keyer timing is 48k-only"
+    sm = np.asarray(data.digimode_tables()["cw_sm_table"])
+    dit = (180000 // wpm + _SMOOTH_STEPS * 100) // 100
+    dah = (3 * 180000 // wpm + _SMOOTH_STEPS * 100) // 100
+    pause = (180000 // wpm - _SMOOTH_STEPS * 100) // 100
+    space = 6 * (180000 // wpm) // 100
+
+    # build the per-block schedule: (tone?, key_timer_after_dec, elem_K)
+    blocks: list[tuple[bool, int, int]] = []
+
+    def tone_element(K: int):
+        # KEY_DOWN block (timer K-1 after dec) + KEY_UP blocks K-2..0,
+        # then the KEY_UP->PAUSE transition block and (pause-1) PAUSE
+        # blocks of silence; the next element/char starts IN the
+        # PAUSE-expiry block (handled by the caller appending tone
+        # right after the gap)
+        for b in range(K):
+            blocks.append((True, K - 1 - b, K))
+        for _ in range(pause):
+            blocks.append((False, 0, 0))
+
+    chars = [c for c in text.upper() if c in _REF_CODES]
+    for c in chars:
+        els = _elements(c)
+        if not els:                  # space char: space_timer fill
+            for _ in range(space):
+                blocks.append((False, 0, 0))
+            continue
+        for e in els:
+            tone_element(dah if e == 3 else dit)
+        # character end: END_PROC processing block + space-timer
+        # countdown until the digi-buffer gate opens (space_timer <
+        # space - dah; one decrement per IDLE block) -> dah more silent
+        # blocks; the gate-open block itself is the next char's first
+        # tone block.  Total char gap = pause + 1 + dah.
+        for _ in range(1 + dah):
+            blocks.append((False, 0, 0))
+
+    if n_blocks is not None:
+        blocks = blocks[:n_blocks] + \
+            [(False, 0, 0)] * (n_blocks - len(blocks))
+
+    # render the envelope: sm_ptr walks the table 16 steps per block on
+    # edges, exactly as CwGen_RemoveClickOn{Rising,Falling}Edge
+    env = np.zeros(len(blocks) * _BLOCK, np.float64)
+    sm_ptr = 0
+    prev_tone = False
+    for bi, (tone, kt, K) in enumerate(blocks):
+        if not tone:
+            prev_tone = False
+            continue
+        if not prev_tone:
+            sm_ptr = 0               # KEY_DOWN resets the table walk
+        g = np.ones(_BLOCK)
+        rising = (sm_ptr < 128) and (kt == K - 1 or kt > dit // 2)
+        if rising and sm_ptr < 128:
+            j = 0
+            for s in range(_BLOCK):
+                g[s] *= sm[sm_ptr]
+                j += 1
+                if j == _SMOOTH_LEN:
+                    j = 0
+                    sm_ptr += 1
+                    if sm_ptr > 127:
+                        break
+        if kt < _SMOOTH_STEPS and kt != K - 1:
+            if sm_ptr > 127:
+                sm_ptr = 127
+            j = 0
+            for s in range(_BLOCK):
+                g[s] *= sm[sm_ptr]
+                j += 1
+                if j == _SMOOTH_LEN:
+                    j = 0
+                    if sm_ptr > 0:
+                        sm_ptr -= 1
+        env[bi * _BLOCK:(bi + 1) * _BLOCK] = g
+        prev_tone = True
+    return env

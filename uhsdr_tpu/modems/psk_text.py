@@ -72,3 +72,134 @@ def bits_to_waveform_params(bits: np.ndarray, rate: int):
         else:
             signs[s:s + rate] = cur
     return signs, env
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact TX tone (Psk_Modulator_* semantics, psk.c:686-841)
+# ---------------------------------------------------------------------------
+
+def gen_tx_tone_ref(text: str, n: int, fs: int = 48000,
+                    speed: float = 31.25) -> np.ndarray:
+    """Reference-exact BPSK TX tone: (n,) float64 int16-scale.  Matches
+    `Psk_Modulator_GenSample` sample-for-sample: ~1 s preamble of
+    phase-reversal zeros, reversed-varicode characters separated by two
+    zeros, postamble ones, the |sine| half-bit-rate envelope DDS (its
+    accumulator advancing only while shaping, reset at each reversal's
+    bit middle), 500 Hz carrier DDS, integer gain division."""
+    from .. import data
+    from ..ops import softdds
+
+    varicode = data.digimode_tables()["psk_varicode"]
+
+    def reversed_code(c: int) -> int:
+        code, ret = int(varicode[c]), 0
+        while code > 0:
+            ret = (ret | (code & 1)) << 1
+            code >>= 1
+        return ret
+
+    SAMPLE_MAX = 32766
+    bit_len = round(fs / speed * 2)
+    half = bit_len // 2
+    carrier_step = softdds.step_for(500.0, fs)
+    env_step = softdds.step_for(speed / 2.0, fs)
+    tbl = softdds.table()
+
+    # --- bit-level state machine -> per-half-bit segments ---
+    queue = [ord(c) & 0x7F for c in text] + [0x04]
+    OFF, ACTIVE, PREAMBLE, POSTAMBLE, INACTIVE = range(5)
+    state, tx_bits, tx_zeros, tx_ones = PREAMBLE, 0, 0, 0
+    sign_next = sign_cur = 1
+    tx_win = True
+
+    signs = np.zeros(0, np.int64)
+    wins = np.zeros(0, bool)
+    offs = np.zeros(0, bool)
+    # the sample loop hits bit_start at phase bit_len//4 and bit_middle
+    # at phase 0; emit segments between those events in phase order:
+    # [0, half/2) with last decision, [half/2, half) after bit_start
+    seg_signs, seg_wins, seg_offs = [], [], []
+    phase0 = True        # phase counter starts at 0 -> first event is
+    #                      bit_middle (a no-op with tx_win initial state)
+    total = 0
+    while total < n + bit_len:
+        # bit_middle (phase 0)
+        sign_cur = sign_next
+        if tx_win:
+            env_reset = True
+        else:
+            env_reset = False
+        if state == INACTIVE:
+            state = OFF
+        # segment phase [0, half//2)
+        seg_signs.append(sign_cur)
+        seg_wins.append(tx_win)
+        seg_offs.append(state == OFF)
+        seg_resets = env_reset
+        # bit_start (phase half//2  == bit_len//4)
+        if state != OFF:
+            if tx_bits == 0:
+                if tx_zeros < 2 or state == PREAMBLE:
+                    tx_zeros += 1
+                    if state == PREAMBLE and tx_zeros >= speed:
+                        state = ACTIVE
+                elif queue:
+                    ch = queue.pop(0)
+                    state = ACTIVE
+                    if ch == 0x04:
+                        state = POSTAMBLE
+                    else:
+                        tx_bits = reversed_code(ch)
+                        tx_zeros = 0
+                        tx_ones = 0
+                if state == POSTAMBLE:
+                    if tx_ones < speed:
+                        tx_ones += 16
+                        tx_bits = 0xFFFF
+                    else:
+                        state = INACTIVE
+            if (tx_bits & 1) == 0 and tx_ones == 0:
+                sign_next *= -1
+            tx_win = (sign_next != sign_cur or state == INACTIVE)
+            tx_bits >>= 1
+        # segment phase [half//2, half)
+        seg_signs.append(sign_cur)
+        seg_wins.append(tx_win)
+        seg_offs.append(state == OFF)
+        signs = np.append(signs, [seg_signs[-2], seg_signs[-1]])
+        wins = np.append(wins, [seg_wins[-2], seg_wins[-1]])
+        offs = np.append(offs, [seg_offs[-2], seg_offs[-1]])
+        if len(signs) == 2:
+            resets = [seg_resets]
+        else:
+            resets.append(seg_resets)
+        total += half
+
+    # --- vectorized synthesis over the quarter-bit segments ---
+    q1 = half // 2                       # phase [0, q1) then [q1, half)
+    seg_lens = []
+    for k in range(len(signs) // 2):
+        seg_lens += [q1, half - q1]
+    out = np.empty(sum(seg_lens), np.float64)
+    carrier_acc = 0
+    env_acc = 0
+    pos = 0
+    for k, (ln, sg, wn, off) in enumerate(zip(seg_lens, signs, wins, offs)):
+        if k % 2 == 0 and resets[k // 2] and wins[k]:
+            # Bpsk_ResetWin at bit_middle of a shaped bit
+            env_acc = 0
+        # carrier advances ONLY while the modulator is on (retval path)
+        if off:
+            out[pos:pos + ln] = 0.0
+            pos += ln
+            continue
+        car, carrier_acc = softdds.samples(carrier_acc, carrier_step, ln)
+        if wn:
+            env, env_acc = softdds.samples(env_acc, env_step, ln)
+            coeff = np.abs(env)
+        else:
+            coeff = np.full(ln, SAMPLE_MAX, np.int64)
+        prod = coeff * sg * car
+        out[pos:pos + ln] = np.trunc(prod / SAMPLE_MAX)
+        pos += ln
+    return out[:n]
