@@ -126,6 +126,12 @@ class RxConfig:
     iq_auto_correction: bool = False  # Moseley-Slump feed-forward estimator
     fm_dev5: bool = False          # FM deviation 5 kHz (else 2.5 kHz)
     front_impl: str = "auto"       # auto | xla | pallas front FIR backend
+    front_prec: str = "default"    # MXU pass precision for the front tap
+                                   # matmuls: "default" = one bf16 pass
+                                   # (~54-56 dB on-TPU conformance) or
+                                   # "highest" = multi-pass f32 (~90 dB,
+                                   # slower) — the measured ladder lives
+                                   # in TPU_CONFORMANCE (PERF.md)
     iir_impl: str = "auto"         # auto | scan | pallas biquad backend
     iq_rate: float = IQ_RATE       # 48 kHz (reference) or 96 kHz (BASELINE
                                    # config 1 captures); decim keeps the
@@ -642,6 +648,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         else:
             tile_c_max, tile_t = 256, 256
         tile_c_max //= pallas_fir.TILE_C_DIV
+        if cfg.front_prec == "highest":
+            tile_c_max = max(tile_c_max // 2, 8)   # f32 staging VMEM
         tile_c = next((tc for tc in (tile_c_max, 128, 64, 8)
                        if tc <= tile_c_max and C % tc == 0), 8)
         # SSB demod is exactly Re(analytic signal): the kernel skips the
@@ -651,12 +659,18 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         # Hilbert combine happens in stage B, so stage A stays complex.
         real_out = (cfg.mode in ("usb", "lsb", "cw")
                     and params.front2_re is None)
+        # when stage B follows (narrow SSB/CW two-stage ref front), hand
+        # the decimated IQ over as separate f32 PLANES — the interleaved
+        # complex64 materialization + strided re-split between the two
+        # pallas calls is pure HBM waste
+        planes = params.front2_re is not None
         zf, front_carry = pallas_fir.fir_decimate_pallas(
             np.asarray(params.front_fir_re)
             + 1j * np.asarray(params.front_fir_im),
             state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=tile_t,
             nco=(state.nco_phase.reshape(-1)[0], delta) if fuse_nco else None,
-            real_out=real_out)
+            real_out=real_out, planes_out=planes,
+            prec=None if cfg.front_prec == "default" else cfg.front_prec)
     else:
         zf, front_carry = fir.fir_decimate_block(front_fir,
                                                  state.front_carry, z,
@@ -714,23 +728,33 @@ def stage_b(cfg: RxConfig, params: RxParams, state: RxState,
     if params.front2_re is not None:
         g2_np = (np.asarray(params.front2_re)
                  + 1j * np.asarray(params.front2_im))
-        use_pallas2 = (jax.default_backend() != "cpu" and zf.ndim == 2
-                       and zf.shape[0] % 8 == 0
-                       and zf.shape[-1] % 256 == 0
+        z0 = zf[0] if isinstance(zf, tuple) else zf
+        use_pallas2 = (jax.default_backend() != "cpu" and z0.ndim == 2
+                       and z0.shape[0] % 8 == 0
+                       and z0.shape[-1] % 256 == 0
                        and 256 >= g2_np.shape[-1] - 1)
         if use_pallas2:
-            C = zf.shape[0]
+            C = z0.shape[0]
             tmax = 256 // pallas_fir.TILE_C_DIV
             tile_c = next((tc for tc in (tmax, 128, 64, 8)
                            if tc <= tmax and C % tc == 0), 8)
             zf, front2_carry = pallas_fir.fir_decimate_pallas(
                 g2_np, state.front2_carry, zf, 1, tile_c=tile_c,
-                tile_t=256, real_out=True)
+                tile_t=256, real_out=True,
+                prec=(None if cfg.front_prec == "default"
+                      else cfg.front_prec))
+            if isinstance(front2_carry, tuple):
+                # RxState.front2_carry stays complex (stable pytree)
+                front2_carry = jax.lax.complex(*front2_carry)
         else:
+            if isinstance(zf, tuple):
+                zf = jax.lax.complex(*zf)
             g2 = jax.lax.complex(jnp.asarray(params.front2_re),
                                  jnp.asarray(params.front2_im))
             y2, front2_carry = fir.fir_block(g2, state.front2_carry, zf)
             zf = jnp.real(y2)
+    elif isinstance(zf, tuple):
+        zf = jax.lax.complex(*zf)
     return zf, state._replace(front2_carry=front2_carry)
 
 

@@ -46,7 +46,7 @@ TILE_C_DIV = 2 if _PREC != jax.lax.Precision.DEFAULT else 1
 
 def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
                 hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
-                mxu_dtype=None):
+                mxu_dtype=None, prec=None):
     """One (TC, tile_t) output tile.
 
     xr/xi: (TC, W) current input block (W = tile_t*decim)
@@ -67,12 +67,12 @@ def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
         xi = xi.astype(mxu_dtype)
         hr = hr.astype(mxu_dtype)
         hi = hi.astype(mxu_dtype)
-    rr = jnp.dot(xr, hr, preferred_element_type=jnp.float32, precision=_PREC)
-    ii = jnp.dot(xi, hi, preferred_element_type=jnp.float32, precision=_PREC)
+    rr = jnp.dot(xr, hr, preferred_element_type=jnp.float32, precision=(prec or _PREC))
+    ii = jnp.dot(xi, hi, preferred_element_type=jnp.float32, precision=(prec or _PREC))
     or_ref[:] = rr - ii
     if oi_ref is not None:
-        ri = jnp.dot(xr, hi, preferred_element_type=jnp.float32, precision=_PREC)
-        ir = jnp.dot(xi, hr, preferred_element_type=jnp.float32, precision=_PREC)
+        ri = jnp.dot(xr, hi, preferred_element_type=jnp.float32, precision=(prec or _PREC))
+        ir = jnp.dot(xi, hr, preferred_element_type=jnp.float32, precision=(prec or _PREC))
         oi_ref[:] = ri + ir
 
 
@@ -81,7 +81,7 @@ _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 
 def _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
                    hr_ref, or_ref, oi_ref=None, *, pad_left: int,
-                   mxu_dtype=None, nco_ref=None):
+                   mxu_dtype=None, nco_ref=None, prec=None):
     """REAL-taps variant of `_fir_kernel`/`_fir_nco_kernel`: the front
     decimators (FirRxDecimate, AM lowpass, FM lowpass — plus their
     noble-identity 96 kHz lifts) are purely real, so the imaginary tap
@@ -109,15 +109,15 @@ def _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
         xi = xi.astype(mxu_dtype)
         hr = hr.astype(mxu_dtype)
     or_ref[:] = jnp.dot(xr, hr, preferred_element_type=jnp.float32,
-                        precision=_PREC)
+                        precision=(prec or _PREC))
     if oi_ref is not None:
         oi_ref[:] = jnp.dot(xi, hr, preferred_element_type=jnp.float32,
-                            precision=_PREC)
+                            precision=(prec or _PREC))
 
 
 def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
                     hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
-                    mxu_dtype=None):
+                    mxu_dtype=None, prec=None):
     """`_fir_kernel` with the frequency-translation NCO fused in: inputs
     are the RAW IQ planes; the slab is rotated in VMEM by
     ``exp(j*2pi*(phase0 + delta*n)/2^32)`` before the tap matmuls, where
@@ -156,12 +156,12 @@ def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
         xi_rot = xi_rot.astype(mxu_dtype)
         hr = hr.astype(mxu_dtype)
         hi = hi.astype(mxu_dtype)
-    rr = jnp.dot(xr_rot, hr, preferred_element_type=jnp.float32, precision=_PREC)
-    ii = jnp.dot(xi_rot, hi, preferred_element_type=jnp.float32, precision=_PREC)
+    rr = jnp.dot(xr_rot, hr, preferred_element_type=jnp.float32, precision=(prec or _PREC))
+    ii = jnp.dot(xi_rot, hi, preferred_element_type=jnp.float32, precision=(prec or _PREC))
     or_ref[:] = rr - ii
     if oi_ref is not None:
-        ri = jnp.dot(xr_rot, hi, preferred_element_type=jnp.float32, precision=_PREC)
-        ir = jnp.dot(xi_rot, hr, preferred_element_type=jnp.float32, precision=_PREC)
+        ri = jnp.dot(xr_rot, hi, preferred_element_type=jnp.float32, precision=(prec or _PREC))
+        ir = jnp.dot(xi_rot, hr, preferred_element_type=jnp.float32, precision=(prec or _PREC))
         oi_ref[:] = ri + ir
 
 
@@ -189,9 +189,14 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         decim: int, tile_c: int = 8, tile_t: int = 512,
                         interpret: bool = False, nco=None,
                         mxu_dtype: str | None = None,
-                        real_out: bool = False):
+                        real_out: bool = False,
+                        prec: str | None = None,
+                        planes_out: bool = False):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
-    kernel.  x: (C, B) complex64; carry: (C, taps-1) complex64.
+    kernel.  x: (C, B) complex64 — or an (xr, xi) tuple of f32 planes,
+    which (with planes_out=True for the result) skips the interleaved
+    complex64 materialization between chained kernels entirely.
+    carry: (C, taps-1) complex64 (or plane tuple, matching x).
     Requires C % tile_c == 0, (B//decim) % tile_t == 0, and
     tile_t*decim >= pad_left (halo fits in one neighbor block).
 
@@ -205,9 +210,11 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     Re(analytic signal), so the two imaginary-part matmuls (half the
     kernel's MXU work) are skipped entirely for usb/lsb/cw chains."""
     taps = h.shape[-1]
-    B = x.shape[-1]
+    x_planes = isinstance(x, tuple)
+    xr, xi = x if x_planes else (None, None)
+    B = (xr if x_planes else x).shape[-1]
     h_np = np.asarray(h)
-    C = x.shape[0]
+    C = (xr if x_planes else x).shape[0]
     T_out = B // decim
     n_tt = T_out // tile_t
     W = tile_t * decim
@@ -219,15 +226,16 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     Hi = None if real_taps else jnp.asarray(
         _build_tap_matrix(np.imag(h_np).astype(np.float32),
                           decim, tile_t, pad_left))
-    xr = jnp.real(x)
-    xi = jnp.imag(x)
+    if not x_planes:
+        xr = jnp.real(x)
+        xi = jnp.imag(x)
     # carried history, left-padded to the lane multiple (the pad columns
     # line up with all-zero tap-matrix rows)
     czeros = jnp.zeros((C, pad_left - (taps - 1)), jnp.float32)
-    cr = jnp.concatenate([czeros, jnp.real(carry).astype(jnp.float32)],
-                         axis=-1)
-    ci = jnp.concatenate([czeros, jnp.imag(carry).astype(jnp.float32)],
-                         axis=-1)
+    car, cai = carry if isinstance(carry, tuple) else (
+        jnp.real(carry), jnp.imag(carry))
+    cr = jnp.concatenate([czeros, car.astype(jnp.float32)], axis=-1)
+    ci = jnp.concatenate([czeros, cai.astype(jnp.float32)], axis=-1)
 
     grid = (C // tile_c, n_tt)
     out_shape = [jax.ShapeDtypeStruct((C, T_out), jnp.float32)]
@@ -265,13 +273,16 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(Hi)
     mxu = jnp.bfloat16 if mxu_dtype == "bf16" else None
+    prec_v = ({"default": jax.lax.Precision.DEFAULT,
+               "highest": jax.lax.Precision.HIGHEST}[prec]
+              if isinstance(prec, str) else prec)
     if nco is None:
         if real_taps:
             kernel = functools.partial(_fir_kernel_rt, pad_left=pad_left,
-                                       mxu_dtype=mxu)
+                                       mxu_dtype=mxu, prec=prec_v)
         else:
             kernel = functools.partial(_fir_kernel, pad_left=pad_left,
-                                       mxu_dtype=mxu)
+                                       mxu_dtype=mxu, prec=prec_v)
     else:
         phase0, delta = nco
         nco_arr = jax.lax.bitcast_convert_type(
@@ -283,10 +294,10 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                 _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
                                ci_ref, hr_ref, or_ref, oi_ref,
                                pad_left=pad_left, mxu_dtype=mxu,
-                               nco_ref=nco_ref)
+                               nco_ref=nco_ref, prec=prec_v)
         else:
             kernel = functools.partial(_fir_nco_kernel, pad_left=pad_left,
-                                       mxu_dtype=mxu)
+                                       mxu_dtype=mxu, prec=prec_v)
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.insert(0, nco_arr)
 
@@ -301,8 +312,20 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    y = outs[0] if real_out else jax.lax.complex(outs[0], outs[1])
-    if B >= taps - 1:
+    if real_out:
+        y = outs[0]
+    elif planes_out:
+        y = (outs[0], outs[1])
+    else:
+        y = jax.lax.complex(outs[0], outs[1])
+    if x_planes:
+        if B >= taps - 1:
+            new_carry = (xr[..., -(taps - 1):], xi[..., -(taps - 1):])
+        else:
+            new_carry = (
+                jnp.concatenate([car, xr], axis=-1)[..., -(taps - 1):],
+                jnp.concatenate([cai, xi], axis=-1)[..., -(taps - 1):])
+    elif B >= taps - 1:
         new_carry = x[..., -(taps - 1):]
     else:
         new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]

@@ -147,6 +147,10 @@ def _make_stage_batched_step(chains: list):
                     zfs[k], st[k], _ = rx.process_front(
                         cfgs[k], prms[k], st[k],
                         jax.lax.complex(*planes_in[k]))
+                    if isinstance(zfs[k], tuple):   # planes handoff —
+                        # the fleet slices/concats zf across groups, so
+                        # normalize back to complex here
+                        zfs[k] = jax.lax.complex(*zfs[k])
                 continue
             sizes = [planes_in[k][0].shape[0] for k in idxs]
             k0 = idxs[0]
@@ -158,6 +162,8 @@ def _make_stage_batched_step(chains: list):
             gq = _cat([planes_in[k][1] for k in idxs])
             zf, m, _ = rx.process_front(cfgs[k0], prms[k0], m,
                                         jax.lax.complex(gi, gq))
+            if isinstance(zf, tuple):
+                zf = jax.lax.complex(*zf)
             for sl, k in zip(_slices(sizes), idxs):
                 zfs[k] = zf[sl]
                 st[k] = st[k]._replace(nco_phase=m.nco_phase[sl],
