@@ -86,6 +86,76 @@ def main() -> None:
         "groups": fl.group_sizes,
     }))
 
+    if "--freedv" in sys.argv:
+        freedv_row()
+
+
+def freedv_row() -> None:
+    """FreeDV 1600 fleet row (VERDICT r3 item 4): N channels through
+    FreeDvFleetGroup — batched on-device NCO+rate-conversion front, then
+    per-channel FDMDV+Golay+Codec2 modems in host numpy.  Reports
+    real-time channel capacity of each tier: the device front is the
+    chip-bound tier, the modem tier scales across host cores (numbers
+    here are ONE core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uhsdr_tpu.modems import freedv as freedv_mod
+    from uhsdr_tpu.parallel.fleet import FreeDvFleetGroup
+
+    n_ch = int(os.environ.get("FREEDV_CHANNELS", "64"))
+    block = 7680 * 4
+    fs8 = 8000
+
+    # a real 1600 transmission on every channel (modem must lock+decode)
+    t8 = np.arange(fs8 * 4) / fs8
+    speech = (5000 * np.sin(np.cumsum(
+        2 * np.pi * (120 + 25 * np.sin(2 * np.pi * 1.1 * t8)) / fs8))
+    ).astype(np.float32)
+    tx = freedv_mod.FreeDv1600(vocoder="codec2")
+    iq8 = tx.mod(speech)
+    from scipy.signal import resample_poly
+    iq48 = resample_poly(iq8, 6, 1).astype(np.complex64)
+    T = block * (len(iq48) // block)
+    i_np = np.broadcast_to(iq48[:T].real, (n_ch, T)).astype(np.float32)
+    q_np = np.broadcast_to(iq48[:T].imag, (n_ch, T)).astype(np.float32)
+
+    grp = FreeDvFleetGroup(n_ch, block_len_48k=block)
+    probe = jax.jit(lambda a: jnp.mean(jnp.abs(a)) * jnp.ones(
+        (4,), jnp.float32))
+
+    # tier 1: device front (NCO + decimate x6), barrier-verified
+    i_d = jax.device_put(i_np[:, :block])
+    q_d = jax.device_put(q_np[:, :block])
+    grp.front_block(i_d, q_d)          # warm
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        grp._phases, grp._ci, grp._cq, i8, q8 = grp._front(
+            grp._phases, grp._ci, grp._cq, i_d, q_d)
+    assert np.isfinite(np.asarray(probe(i8))[0])
+    dt_front = (time.perf_counter() - t0) / reps
+    front_rt = n_ch * (block / 48000.0) / dt_front
+
+    # tier 2: full step incl. per-channel modems (host, one core)
+    frames = 0
+    t0 = time.perf_counter()
+    for s in range(0, T, block):
+        grp.process_block(np.ascontiguousarray(i_np[:, s:s + block]),
+                          np.ascontiguousarray(q_np[:, s:s + block]))
+    dt_full = time.perf_counter() - t0
+    frames = grp.stats["frames_decoded"]
+    full_rt = n_ch * (T / 48000.0) / dt_full
+    assert frames >= n_ch * 10, frames
+
+    print(json.dumps({
+        "metric": f"FreeDV 1600 fleet ({n_ch} ch, real decode)",
+        "front_realtime_channels_per_chip": round(front_rt, 1),
+        "full_realtime_channels_one_host_core": round(full_rt, 1),
+        "frames_decoded": int(frames),
+        "unit": "x real-time channels",
+    }))
+
 
 if __name__ == "__main__":
     main()

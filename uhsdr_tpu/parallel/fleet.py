@@ -523,3 +523,82 @@ class WidebandTxFleet:
         i_wide, q_wide, self.bank_state = self._bank_step(
             self.bank_state, i_ch, q_ch)
         return i_wide, q_wide
+
+
+class FreeDvFleetGroup:
+    """N FreeDV channels as ONE fleet group (the north-star scaling of
+    the reference's single FreeDV path, `freedv_uhsdr.c:166-320`).
+
+    Two tiers, mirroring the firmware's IRQ/PendSV split:
+      * radio-front tier — per-channel NCO translate + 48k->8k rate
+        conversion, BATCHED on-device: one jitted step over the whole
+        (C, T) block (the `AudioDriver_RxProcessorFreeDV` role,
+        `audio_driver.c:1330-1470`, vectorized over channels);
+      * modem tier — FDMDV/OFDM demod + FEC + Codec2 vocoder per
+        channel in host NumPy (the PendSV deferral role).  Each
+        channel's modem is independent state, so this tier parallelizes
+        trivially across host cores; `bench_fleet.py --freedv` reports
+        the measured real-time channel capacity of both tiers.
+    """
+
+    def __init__(self, n_channels: int, mode: str = "freedv1600",
+                 block_len_48k: int = 7680,
+                 translate_hz: float | np.ndarray = 0.0):
+        from ..modems import freedv as freedv_mod
+        from ..ops import fir as fir_ops
+        from ..ops import design, nco as nco_mod
+
+        assert block_len_48k % freedv_mod.RATIO == 0
+        self.n_channels = n_channels
+        self.block_len = block_len_48k
+        self.modems = [
+            (freedv_mod.FreeDv1600(vocoder="codec2") if mode == "freedv1600"
+             else freedv_mod.FreeDv700D()) for _ in range(n_channels)]
+        ratio = freedv_mod.RATIO
+        h_dec = design.decimation_fir(72, ratio,
+                                      freedv_mod.IQ_RATE).astype(np.float32)
+        deltas = np.broadcast_to(
+            np.asarray([nco_mod.freq_to_delta(-f, freedv_mod.IQ_RATE)
+                        for f in np.broadcast_to(translate_hz,
+                                                 (n_channels,))],
+                       np.uint32), (n_channels,))
+
+        def front(phases, ci, cq, i_plane, q_plane):
+            z = jax.lax.complex(i_plane, q_plane)
+            z, phases = nco_mod.mix(z, phases, jnp.asarray(deltas))
+            i_d, ci = fir_ops.fir_decimate_block(
+                jnp.asarray(h_dec), ci, jnp.real(z), ratio)
+            q_d, cq = fir_ops.fir_decimate_block(
+                jnp.asarray(h_dec), cq, jnp.imag(z), ratio)
+            return phases, ci, cq, i_d, q_d
+
+        self._front = jax.jit(front)
+        # created inside jit: eager uint32 zeros poison device->host
+        # fetches on the axon relay (see bench.py docstring)
+        self._phases = jax.jit(
+            lambda d: jnp.zeros((n_channels,), jnp.uint32))(
+            jnp.zeros((), jnp.float32))
+        self._ci = fir_ops.init_carry((n_channels,), 72, jnp.float32)
+        self._cq = fir_ops.init_carry((n_channels,), 72, jnp.float32)
+
+    def front_block(self, i_plane, q_plane):
+        """Device tier only: (C, T) 48k planes -> (C, T/6) complex64
+        8 kHz baseband (host numpy)."""
+        self._phases, self._ci, self._cq, i_d, q_d = self._front(
+            self._phases, self._ci, self._cq, i_plane, q_plane)
+        return np.asarray(i_d) + 1j * np.asarray(q_d)
+
+    def process_block(self, i_plane, q_plane) -> list[np.ndarray]:
+        """Full step: device front + per-channel modem drain.  Returns
+        the per-channel decoded speech (int16-scale f32 @8k, possibly
+        empty while the modem buffers)."""
+        iq8 = self.front_block(i_plane, q_plane)
+        return [m.demod(iq8[c]) for c, m in enumerate(self.modems)]
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "frames_decoded": int(np.sum([m.frames_decoded
+                                          for m in self.modems])),
+            "channels": self.n_channels,
+        }
