@@ -85,12 +85,22 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
                  translate_hz: float = 6000.0,
                  agc_mode: str = "med", agc_thresh_db: float = 60.0,
                  fade_leveler: bool = True, sam_sideband: str = "both",
-                 fm_dev5: bool = False):
+                 fm_dev5: bool = False,
+                 notch_enable: bool = False,
+                 nr_enable: bool = False, nr_band=None,
+                 nr_strength: int = 141,
+                 nb_enable: bool = False, nb_setting: int = 8):
     """iq (T,) complex @48k -> (audio48 (T,), fs_dec).
 
-    Follows the firmware chain stage-for-stage for one channel with DSP
-    notch/NR off and flat EQ (biquad1/2 identity), which is the default
-    state the TPU chain conformance test uses.
+    Follows the firmware chain stage-for-stage for one channel; flat EQ
+    (biquad1/2 identity).  The DSP features insert at the firmware's
+    chain positions when enabled (VERDICT r3 item 8):
+      notch  — NLMS auto-notch before the PreFilter lattice
+               (audio_driver.c:2443-2469);
+      nb/nr  — LPC impulse blanker then spectral NR after the AGC
+               (audio_driver.c:2509 hand-off; audio_nr.c:357-366 runs
+               the blanker on the NR input).  nr_band = (f_low, f_high)
+               Hz VAD band (the chain passes its path's audio band).
     """
     path = data.find_path(mode, bw_key, select_id=select_id, name=path_name)
     decim = path["decim"]
@@ -155,7 +165,11 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
         audio = cmsis_fir_decimate(data.decimator(path["dec"]), audio, decim)
 
     # ---- decimated-domain post chain (audio_driver.c:2436-2592) ----
-    # notch/NR off; IIR-lattice PreFilter:
+    if notch_enable:
+        # NLMS auto-notch before the PreFilter (audio_driver.c:2443-2452)
+        audio = ref_dsp.nlms_notch(audio)
+
+    # IIR-lattice PreFilter:
     if path["pre"] is not None:
         pk, pv = data.lattice(path["pre"])
         audio, _ = iir_lattice_ref(pk, pv, audio)
@@ -163,6 +177,25 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
     audio = ref_dsp.wdsp_agc(audio, fs_dec, mode=agc_mode,
                              thresh_db=agc_thresh_db,
                              remove_dc=mode in ("am", "sam"))
+
+    if nb_enable or nr_enable:
+        from . import ref_nr
+        # the deferred NR stage consumes 128-sample frames; pad to the
+        # frame multiple and trim after (the streaming chain carries the
+        # remainder across blocks instead)
+        n0 = len(audio)
+        pad = (-n0) % 128
+        a = np.concatenate([audio, np.zeros(pad)]) if pad else audio
+        if nb_enable:
+            a = ref_nr.alt_noise_blanking_ref(a, nb_setting=nb_setting)
+        if nr_enable:
+            lo, hi = nr_band if nr_band is not None else (275.0, 2625.0)
+            bin_bw = fs_dec / 256.0
+            vad_low = int(np.clip(int(lo / bin_bw), 1, 126))
+            vad_high = int(np.clip(int(hi / bin_bw), vad_low + 1, 128))
+            a = ref_nr.spectral_nr_ref(a, vad_low, vad_high,
+                                       alpha=0.799 + nr_strength / 1000.0)
+        audio = a[:n0]
 
     post_scale = (POST_AGC_GAIN_SCALING_DECIMATE_4 if decim == 4
                   else POST_AGC_GAIN_SCALING_DECIMATE_2)

@@ -283,3 +283,34 @@ def fm_deemph_hpf(angle: np.ndarray, lpf_alpha: float = 0.05,
         hpf_a, hpf_b = a, b
         out[n] = b
     return out
+
+
+def nlms_notch(x: np.ndarray, num_taps: int = 96, delay: int = 8,
+               mu: float = 0.01) -> np.ndarray:
+    """NLMS automatic notch, scalar (the `AudioDriver_NotchFilter` role,
+    audio_driver.c:1746-1774: predict the tonal component from a
+    decorrelation-delayed reference and output the prediction ERROR —
+    speech passes, carriers cancel).  Same structure/parameters as
+    `ops/lms.notch_params`.
+
+    float32 weights/history deliberately: NLMS weight adaptation is
+    chaotic (a 1e-7 perturbation decorrelates the trajectory within a
+    second), so a float64 oracle would diverge from ANY f32
+    implementation including the firmware's own — the conformance row
+    scores the integration (insertion point, delay, state handoff) with
+    matched-precision adaptation."""
+    x32 = np.asarray(x, np.float32)
+    f32 = np.float32
+    w = np.zeros(num_taps, np.float32)
+    hist = np.zeros(num_taps + delay, np.float32)
+    y = np.empty(len(x32), np.float64)
+    for n, xn in enumerate(x32):
+        hist[:-1] = hist[1:]
+        hist[-1] = xn
+        ref = hist[:num_taps]
+        pred = f32(np.dot(w, ref))
+        err = f32(xn - pred)
+        norm = f32(np.dot(ref, ref) + f32(1e-9))
+        w += (f32(mu) * err / norm) * ref
+        y[n] = err
+    return y

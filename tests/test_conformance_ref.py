@@ -203,3 +203,115 @@ def test_product_vs_reference():
     r_ratio = tone_amp(ref, 700.0) / tone_amp(ref, 1500.0)
     o_ratio = tone_amp(out, 700.0) / tone_amp(out, 1500.0)
     assert abs(20 * np.log10(o_ratio / r_ratio)) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Feature-ON conformance rows (VERDICT r3 item 8): the shipped chain WITH
+# NR / notch / blanker engaged vs the oracle with the same features at
+# the same insertion points (audio_driver.c:2436-2527, audio_nr.c)
+# ---------------------------------------------------------------------------
+
+def _trim(iq, blk):
+    return iq[: (len(iq) // blk) * blk]
+
+
+def test_product_usb_with_nr_matches_reference():
+    """usb + spectral NR through the shipped chain vs the oracle running
+    `spectral_nr_ref` at the firmware's post-AGC position."""
+    from uhsdr_tpu.chain import rx as rx_mod
+
+    iq = _trim(make_iq("usb"), 4096)
+    cfg = rx_mod.RxConfig(mode="usb", bw_key="2P3KHZ", ref_select_id=2,
+                          block_len=4096, nr_enable=True)
+    ref, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2,
+                               nr_enable=True,
+                               nr_band=cfg.path.audio_band)
+    out = run_product_chain(cfg, iq)
+    s = snr_db(ref, out)
+    assert s >= 45.0, f"usb+NR: SNR {s:.1f} dB"
+
+
+def test_product_am_with_blanker_matches_reference():
+    """am + LPC impulse blanker through the shipped chain vs the oracle
+    running `alt_noise_blanking_ref` at the NR-input position."""
+    from uhsdr_tpu.chain import rx as rx_mod
+
+    iq = _trim(make_iq("am"), 4096)
+    cfg = rx_mod.RxConfig(mode="am", bw_key="2P5KHZ", block_len=4096,
+                          nb_enable=True)
+    ref, _ = gold.ref_rx_chain(iq, "am", "2P5KHZ", nb_enable=True)
+    out = run_product_chain(cfg, iq)
+    s = snr_db(ref, out)
+    assert s >= 45.0, f"am+blanker: SNR {s:.1f} dB"
+
+
+def test_product_usb_with_notch_functional_parity():
+    """usb + NLMS auto-notch.  NLMS weight adaptation is chaotic (the
+    same-input isolation test matches at ~134 dB, but any upstream
+    rounding difference decorrelates the trajectory), so the chain row
+    is scored FUNCTIONALLY: both implementations must reject a steady
+    in-band carrier by >= 15 dB relative to their notch-off selves, and
+    agree on the rejection depth within 6 dB."""
+    from scipy import signal as sp
+
+    from uhsdr_tpu.chain import rx as rx_mod
+
+    rng = np.random.default_rng(3)
+    t = np.arange(T_TOTAL) / FS
+    tr = 6000.0
+    v = sp.lfilter(*sp.butter(4, [300 / 24000, 2300 / 24000], "bandpass"),
+                   rng.standard_normal(T_TOTAL))
+    v = v / np.sqrt(np.mean(v ** 2))
+    base = (5000.0 * sp.hilbert(v) * np.exp(2j * np.pi * tr * t)
+            + 5000.0 * np.exp(2j * np.pi * (tr + 800) * t))
+    iq = _trim((base + (rng.standard_normal(T_TOTAL)
+                        + 1j * rng.standard_normal(T_TOTAL)) * 20.0
+                ).astype(np.complex128), 4096)
+
+    def carrier_peak(x):
+        w = np.hanning(len(x))
+        X = np.abs(np.fft.rfft(x * w))
+        fr = np.fft.rfftfreq(len(x), 1.0 / FS)
+        return X[(fr > 770) & (fr < 830)].max()
+
+    skip = 48000
+    # chain: notch on vs off
+    on = run_product_chain(rx_mod.RxConfig(
+        mode="usb", bw_key="2P3KHZ", ref_select_id=2, block_len=4096,
+        notch_enable=True), iq)
+    off = run_product_chain(rx_mod.RxConfig(
+        mode="usb", bw_key="2P3KHZ", ref_select_id=2, block_len=4096), iq)
+    rej_chain = 20 * np.log10(carrier_peak(off[skip:])
+                              / carrier_peak(on[skip:]))
+    # oracle: notch on vs off
+    r_on, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2,
+                                notch_enable=True)
+    r_off, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2)
+    rej_ref = 20 * np.log10(carrier_peak(r_off[skip:])
+                            / carrier_peak(r_on[skip:]))
+    assert rej_chain >= 15.0, rej_chain
+    assert rej_ref >= 15.0, rej_ref
+    assert abs(rej_chain - rej_ref) <= 6.0, (rej_chain, rej_ref)
+
+
+def test_notch_algorithm_same_input_exact():
+    """The isolation half of the notch row: identical input -> our NLMS
+    notch matches the scalar oracle port at >= 100 dB (proves the
+    algorithm; the chain row above proves the integration)."""
+    import jax.numpy as jnp
+
+    from tests.golden import ref_dsp
+    from uhsdr_tpu.ops import lms
+
+    rng = np.random.default_rng(0)
+    fs = 12000
+    t = np.arange(12000) / fs
+    x = (np.sin(2 * np.pi * 800 * t) * 0.5
+         + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+    p = lms.notch_params()
+    st = lms.init_state((1,), p)
+    y1, _ = lms.run(p, st, jnp.asarray(x[None]))
+    y2 = ref_dsp.nlms_notch(x)
+    err = np.asarray(y1)[0] - y2
+    s = 10 * np.log10(np.mean(y2 ** 2) / np.mean(err ** 2))
+    assert s >= 100.0, s

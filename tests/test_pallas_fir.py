@@ -234,3 +234,23 @@ def test_pallas_fir_real_taps_nco_fused():
                                       interpret=True, real_out=True)
     np.testing.assert_allclose(np.asarray(y_r), np.real(np.asarray(y_c)),
                                atol=1e-6)
+
+
+def test_pallas_fir_fused_peaks():
+    """peaks_out: the kernel's fused raw-input peak == XLA max(|i|,|q|)."""
+    from uhsdr_tpu.ops import nco
+    rng = np.random.default_rng(6)
+    C, B, taps, decim = 8, 4096, 89, 4
+    h = (rng.standard_normal(taps) * 0.05).astype(np.float32) \
+        .astype(np.complex64)
+    x = (rng.standard_normal((C, B)) +
+         1j * rng.standard_normal((C, B))).astype(np.complex64)
+    delta = nco.freq_to_delta(-6000.0, 48000.0)
+    c0 = jnp.zeros((C, taps - 1), jnp.complex64)
+    y, c2, pk = pfir.fir_decimate_pallas(
+        h, c0, jnp.asarray(x), decim, tile_c=8, tile_t=512,
+        interpret=True, nco=(jnp.zeros((), jnp.uint32), jnp.uint32(delta)),
+        peaks_out=True)
+    peak = np.max(np.asarray(pk), axis=-1)
+    want = np.maximum(np.max(np.abs(x.real), -1), np.max(np.abs(x.imag), -1))
+    np.testing.assert_allclose(peak, want, rtol=1e-6)

@@ -81,6 +81,30 @@ def main() -> int:
               f"  refchain "
               f"{'%6.1f' % s_exact if s_exact is not None else '   n/a'} dB")
 
+    # ---- feature-ON rows (VERDICT r3 item 8): NR / blanker engaged in
+    # the shipped chain vs the oracle with the same features; the notch
+    # is scored functionally (adaptive-trajectory chaos — see
+    # tests/test_conformance_ref.py notch rows) ----
+    for mode, bw, sel, feats, bound in (
+            ("usb", "2P3KHZ", 2, {"nr_enable": True}, 45.0),
+            ("am", "2P5KHZ", None, {"nb_enable": True}, 45.0)):
+        iq = make_iq(mode)
+        pcfg = rx_mod.RxConfig(mode=mode, bw_key=bw, ref_select_id=sel,
+                               block_len=4096, **feats)
+        iq = iq[: (len(iq) // 4096) * 4096]
+        kw = dict(feats)
+        if feats.get("nr_enable"):
+            kw["nr_band"] = pcfg.path.audio_band
+        ref, _ = gold.ref_rx_chain(iq, mode, bw, select_id=sel, **kw)
+        out = run_product_chain(pcfg, iq)
+        s = snr_db(ref, out)
+        fname = "+".join(k.replace("_enable", "") for k in feats)
+        rows.append({"mode": f"{mode}+{fname}", "bw": bw,
+                     "snr_product_db": round(float(s), 1),
+                     "bound_db": bound, "passed": bool(s >= bound)})
+        print(f"{mode}+{fname:8s} {bw:8s} product {s:6.1f} dB "
+              f"(bound {bound})")
+
     # ---- TX rows (VERDICT r2 item 7): the shipped TX chain (chain.tx,
     # default front="ref") vs the float64/float32 scalar port of
     # TxProcessor_Run (tests/golden/ref_tx.py) ----

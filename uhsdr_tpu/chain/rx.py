@@ -554,16 +554,6 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         q_ = jnp.imag(iq) + i_ * params.iq_phase
     z = jax.lax.complex(i_, q_)
 
-    # ADC clip / signal-level detect (audio_driver.c:2660-2685: ads.adc_clip,
-    # adc_half_clip, adc_quarter_clip feed the RF-gain auto-adjust); input
-    # full scale here is 1.0 instead of the codec's int16 counts
-    peak = jnp.maximum(jnp.max(jnp.abs(i_), axis=-1),
-                       jnp.max(jnp.abs(q_), axis=-1))
-    taps_out["adc_peak"] = peak
-    taps_out["adc_clip"] = peak > 0.985
-    taps_out["adc_half_clip"] = peak > 0.5
-    taps_out["adc_quarter_clip"] = peak > 0.25
-
     taps_out["spectrum_iq"] = z    # pre-translate tap for the scope display
 
     # --- frequency translation ---
@@ -664,17 +654,42 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         # complex64 materialization + strided re-split between the two
         # pallas calls is pure HBM waste
         planes = params.front2_re is not None
-        zf, front_carry = pallas_fir.fir_decimate_pallas(
+        # fuse the ADC peak/clip taps into the kernel when possible: the
+        # separate XLA max-|i|/|q| reduction costs ~1.7 ms of pure HBM
+        # re-read at the flagship shape (audio_driver.c:2660-2685 role)
+        peaks_fused = front_real and not real_out
+        res = pallas_fir.fir_decimate_pallas(
             np.asarray(params.front_fir_re)
             + 1j * np.asarray(params.front_fir_im),
             state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=tile_t,
             nco=(state.nco_phase.reshape(-1)[0], delta) if fuse_nco else None,
-            real_out=real_out, planes_out=planes,
+            real_out=real_out, planes_out=planes, peaks_out=peaks_fused,
             prec=None if cfg.front_prec == "default" else cfg.front_prec)
+        if peaks_fused:
+            zf, front_carry, pk_tiles = res
+            pk = jnp.max(pk_tiles, axis=-1)
+            taps_out["adc_peak"] = pk
+            taps_out["adc_clip"] = pk > 0.985
+            taps_out["adc_half_clip"] = pk > 0.5
+            taps_out["adc_quarter_clip"] = pk > 0.25
+        else:
+            zf, front_carry = res
     else:
         zf, front_carry = fir.fir_decimate_block(front_fir,
                                                  state.front_carry, z,
                                                  cfg.decim)
+
+    if "adc_peak" not in taps_out:
+        # ADC clip / signal-level detect (audio_driver.c:2660-2685:
+        # ads.adc_clip/half/quarter feed the RF-gain auto-adjust) — the
+        # XLA fallback when the kernel didn't fuse it; input full scale
+        # is 1.0 instead of the codec's int16 counts
+        peak = jnp.maximum(jnp.max(jnp.abs(i_), axis=-1),
+                           jnp.max(jnp.abs(q_), axis=-1))
+        taps_out["adc_peak"] = peak
+        taps_out["adc_clip"] = peak > 0.985
+        taps_out["adc_half_clip"] = peak > 0.5
+        taps_out["adc_quarter_clip"] = peak > 0.25
 
     state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                            front_carry=front_carry)

@@ -80,17 +80,26 @@ _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 
 
 def _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
-                   hr_ref, or_ref, oi_ref=None, *, pad_left: int,
-                   mxu_dtype=None, nco_ref=None, prec=None):
+                   hr_ref, or_ref, oi_ref=None, pk_ref=None, *,
+                   pad_left: int, mxu_dtype=None, nco_ref=None, prec=None):
     """REAL-taps variant of `_fir_kernel`/`_fir_nco_kernel`: the front
     decimators (FirRxDecimate, AM lowpass, FM lowpass — plus their
     noble-identity 96 kHz lifts) are purely real, so the imaginary tap
     matrix is ZERO and its two matmuls (plus its HBM/VMEM traffic) are
     skipped outright: y_r = x_r (x) h, y_i = x_i (x) h — 2 matmuls for
-    complex out, 1 for real_out."""
+    complex out, 1 for real_out.
+
+    pk_ref: optional (TC, 128) output — the per-tile RAW input peak
+    max(|i|, |q|) broadcast across lanes (the chain's ADC clip detect,
+    audio_driver.c:2660-2685, fused here so it costs no extra HBM pass;
+    the caller max-reduces the (C, n_tt*128) result)."""
     ti = pl.program_id(1)
     tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:])
     tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:])
+    if pk_ref is not None:
+        pk = jnp.maximum(jnp.max(jnp.abs(xr_ref[:]), axis=1, keepdims=True),
+                         jnp.max(jnp.abs(xi_ref[:]), axis=1, keepdims=True))
+        pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
     xr = jnp.concatenate([tail_r, xr_ref[:]], axis=1)   # (TC, K)
     xi = jnp.concatenate([tail_i, xi_ref[:]], axis=1)
     if nco_ref is not None:
@@ -191,7 +200,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         mxu_dtype: str | None = None,
                         real_out: bool = False,
                         prec: str | None = None,
-                        planes_out: bool = False):
+                        planes_out: bool = False,
+                        peaks_out: bool = False):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
     kernel.  x: (C, B) complex64 — or an (xr, xi) tuple of f32 planes,
     which (with planes_out=True for the result) skips the interleaved
@@ -241,6 +251,12 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     out_shape = [jax.ShapeDtypeStruct((C, T_out), jnp.float32)]
     if not real_out:
         out_shape.append(jax.ShapeDtypeStruct((C, T_out), jnp.float32))
+    if peaks_out:
+        # fused raw-input peak (ADC clip detect): per-(channel, time)
+        # tile max broadcast over 128 lanes; caller reduces axis -1
+        assert real_taps and not real_out, "peaks_out: rt complex path"
+        out_shape.append(jax.ShapeDtypeStruct((C, n_tt * 128),
+                                              jnp.float32))
 
     def cur_idx(i, j):
         return (i, j)
@@ -290,9 +306,9 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                        jnp.asarray(delta, jnp.uint32)]), jnp.int32)
         if real_taps:
             def kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
-                       ci_ref, hr_ref, or_ref, oi_ref=None):
+                       ci_ref, hr_ref, or_ref, oi_ref=None, pk_ref=None):
                 _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
-                               ci_ref, hr_ref, or_ref, oi_ref,
+                               ci_ref, hr_ref, or_ref, oi_ref, pk_ref,
                                pad_left=pad_left, mxu_dtype=mxu,
                                nco_ref=nco_ref, prec=prec_v)
         else:
@@ -304,6 +320,9 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     out_specs = [pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
                  for _ in out_shape]
+    if peaks_out:
+        out_specs[-1] = pl.BlockSpec((tile_c, 128), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -312,6 +331,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+    outs = list(outs)
+    peaks = outs.pop() if peaks_out else None
     if real_out:
         y = outs[0]
     elif planes_out:
@@ -329,6 +350,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         new_carry = x[..., -(taps - 1):]
     else:
         new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]
+    if peaks_out:
+        return y, new_carry, peaks
     return y, new_carry
 
 
