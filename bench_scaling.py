@@ -71,9 +71,42 @@ def main() -> None:
         jax.block_until_ready(audio)
         dt = time.perf_counter() - t0
         rate = C * block * steps / dt / 1e6
-        results.append((n, rate))
+
+        # CONTROL (VERDICT r3 item 6): the same per-device load with ALL
+        # collectives removed — plain channel-parallel jit over the same
+        # mesh (XLA partitions the embarrassingly-parallel chain with
+        # zero communication).  rate/ctrl_rate isolates the sharding
+        # machinery's overhead (halo ppermute + shard_map) from the
+        # shared-core ceiling of the virtual-device CPU mesh.
+        import jax.numpy as jnp
+        params_c = rx.make_params(cfg)
+
+        def _plain(state_c, i, q):
+            a, st2, _ = rx.process_block(cfg, params_c, state_c,
+                                         jax.lax.complex(i, q))
+            return a, st2
+
+        plain = jax.jit(_plain)
+        state_c = jax.jit(
+            lambda d: rx.init_state(cfg, params_c, (C,)))(
+            jnp.zeros((), jnp.float32))
+        chan_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(("dp", "sp"), None))
+        i_c = jax.device_put(np.asarray(i_p), chan_sh)
+        q_c = jax.device_put(np.asarray(q_p), chan_sh)
+        a, state_c = plain(state_c, i_c, q_c)
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            a, state_c = plain(state_c, i_c, q_c)
+        jax.block_until_ready(a)
+        ctrl_rate = C * block * steps / (time.perf_counter() - t0) / 1e6
+
+        results.append((n, rate, ctrl_rate))
         row = {"devices": n, "channels": C,
-               "Msamples_per_s": round(rate, 1)}
+               "Msamples_per_s": round(rate, 1),
+               "control_Msamples_per_s": round(ctrl_rate, 1),
+               "sharded_vs_control": round(rate / ctrl_rate, 3)}
         artifact["rows"].append(row)
         print(json.dumps(row))
 
@@ -88,20 +121,32 @@ def main() -> None:
         # sharding overhead, which compute-dominated loads must not show.
         base = results[0][1]
         summary = {"mode": "cpu-validation",
-                   "meshes_validated": [n for n, _ in results],
+                   "meshes_validated": [n for n, _, _ in results],
                    "aggregate_retention_vs_1dev": {
                        n: round(rate / base, 3)
-                       for n, rate in results[1:]},
+                       for n, rate, _ in results[1:]},
+                   "sharded_vs_control_retention": {
+                       n: round(rate / ctrl, 3)
+                       for n, rate, ctrl in results},
                    "note": "virtual devices share physical cores, so "
-                           "ideal retention is 1.0 (flat), not Nx; run "
-                           "with SCALING_BACKEND=tpu on a real slice "
-                           "for ICI efficiency vs the >=85% target"}
+                           "aggregate cannot grow with mesh size; the "
+                           "meaningful metric is sharded_vs_control — "
+                           "the halo-exchange shard_map step against "
+                           "the SAME mesh running the collective-free "
+                           "channel-parallel chain (>=0.85 target "
+                           "isolates sharding overhead from the "
+                           "shared-core ceiling).  Run with "
+                           "SCALING_BACKEND=tpu on a real slice for "
+                           "ICI efficiency."}
     else:
         base = results[0][1]
         summary = {"mode": "tpu",
                    "efficiency_vs_1dev": {
                        n: round(rate / (n * base), 3)
-                       for n, rate in results[1:]}}
+                       for n, rate, _ in results[1:]},
+                   "sharded_vs_control_retention": {
+                       n: round(rate / ctrl, 3)
+                       for n, rate, ctrl in results}}
     artifact["summary"] = summary
     print(json.dumps(summary))
     out_path = os.environ.get("SCALING_OUT")

