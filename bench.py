@@ -56,10 +56,13 @@ def main() -> None:
     # "10k simultaneous SSB channels @96 kHz"); decimation scales so the
     # decimated audio rate matches the reference paths
     iq_rate = float(os.environ.get("BENCH_IQ_RATE", "96000"))
+    # MXU pass precision for the front tap matmuls (the VERDICT r3
+    # item-5 ladder: default = one bf16 pass; highest = multi-pass f32)
+    front_prec = os.environ.get("BENCH_FRONT_PREC", "default")
 
     cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
                       translate_hz=12000.0, block_len=block,
-                      iq_rate=iq_rate)
+                      iq_rate=iq_rate, front_prec=front_prec)
     params = rx.make_params(cfg)
 
     # state created INSIDE jit (anchored on a dummy f32 arg): eager

@@ -111,14 +111,21 @@ PRODUCT_CASES = [
 ]
 
 
-def run_product_chain(cfg, iq: np.ndarray) -> np.ndarray:
+def run_product_chain(cfg, iq: np.ndarray, channels: int = 1) -> np.ndarray:
+    """channels > 1 replicates the capture across a batch so the
+    shape-gated Pallas kernels (C % 8 == 0) actually engage — REQUIRED
+    for on-TPU conformance to score the kernel path rather than the XLA
+    fallback (the conformance tool passes 8 on backend=tpu)."""
     from uhsdr_tpu.chain import rx as rx_mod
 
     chain = rx_mod.RxChain(cfg)
-    state = chain.init_state(batch_shape=(1,))
+    state = chain.init_state(batch_shape=(channels,))
     outs = []
     for s in range(0, len(iq), cfg.block_len):
-        audio, state, _ = chain(state, iq=iq[s:s + cfg.block_len][None, :])
+        blk = np.broadcast_to(iq[s:s + cfg.block_len][None, :],
+                              (channels, min(cfg.block_len,
+                                             len(iq) - s))).copy()
+        audio, state, _ = chain(state, iq=blk)
         outs.append(np.asarray(audio)[0])
     return np.concatenate(outs)
 

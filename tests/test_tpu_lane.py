@@ -221,3 +221,64 @@ def test_sharded_step_1x1_on_chip():
     probe = jax.jit(lambda a, b: _probe(a, a - b))
     out = np.asarray(probe(a_sd, a_sh))
     assert _snr_db(out) > 60, out
+
+
+def test_pallas_xla_midstream_handoff_on_chip():
+    """A kernel-friendly block followed by a PARTIAL block (whose shape
+    fails the Pallas gates and falls back to XLA) must produce the same
+    stream as the all-XLA chain — the front_carry domain contract (raw
+    IQ when translating) must hold across the handoff.  Round-4
+    regression: the pallas NCO-fused carry (raw) fed the mixed-domain
+    XLA filter and the trailing partial block collapsed to 16 dB."""
+    from uhsdr_tpu.chain import rx
+
+    C, T1, T2 = 8, 4096, 1792
+    fs = 48000.0
+    t = np.arange(T1 + T2) / fs
+    z = (0.5 * np.exp(2j * np.pi * (6000 + 700) * t)
+         + 0.2 * np.exp(2j * np.pi * (6000 + 1500) * t)).astype(np.complex64)
+
+    def run(front_impl):
+        cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", ref_select_id=2,
+                          block_len=T1, front_impl=front_impl)
+        params = rx.make_params(cfg)
+        anchor = jax.device_put(np.zeros((), np.float32))
+        state = jax.jit(lambda d: rx.init_state(cfg, params, (C,)))(anchor)
+        @jax.jit
+        def step(st, i, q):
+            audio, st2, _ = rx.process_block(cfg, params, st,
+                                             jax.lax.complex(i, q))
+            return audio, st2
+
+        outs = []
+        for blk in (z[:T1], z[T1:]):
+            b = np.tile(blk, (C, 1))
+            audio, state = step(state, jax.device_put(b.real.copy()),
+                                jax.device_put(b.imag.copy()))
+            outs.append(np.asarray(jax.device_get(audio))[0])
+        return np.concatenate(outs)
+
+    mixed = run("auto")      # first block pallas, second falls back
+    pure = run("xla")        # all-XLA reference
+    err = mixed - pure
+    snr = 10 * np.log10(np.mean(pure ** 2) / (np.mean(err ** 2) + 1e-30))
+    assert snr > 40.0, snr
+
+
+def test_kernel_path_conformance_margin_on_chip():
+    """ADVICE r3 #4: assert explicit HEADROOM of the kernel-engaged
+    chain over the 50 dB bound so a new front stage eroding the one-
+    bf16-pass margin trips a test, not the after-the-fact artifact.
+    Measured r4: usb 54.6 dB at C=8 with all gated kernels engaged."""
+    from tests.golden import ref_chain as gold
+    from tests.test_conformance_ref import (make_iq, run_product_chain,
+                                            snr_db)
+    from uhsdr_tpu.chain import rx
+
+    iq = make_iq("usb")
+    ref, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2)
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", ref_select_id=2,
+                      block_len=4096)
+    out = run_product_chain(cfg, iq, channels=8)
+    s = snr_db(ref, out[:len(ref)])
+    assert s >= 52.0, f"kernel-path margin eroded: {s:.1f} dB (want >=52)"

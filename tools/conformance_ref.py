@@ -34,8 +34,13 @@ import jax  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="CONFORMANCE_r03.json")
+    ap.add_argument("--out", default="CONFORMANCE_r04.json")
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--front-prec", default="default",
+                    choices=["default", "high", "highest"],
+                    help="MXU pass precision for the front tap matmuls "
+                         "(RxConfig.front_prec) — the measured ladder "
+                         "for VERDICT r3 item 5")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -51,6 +56,11 @@ def main() -> int:
     from uhsdr_tpu.chain import rx as rx_mod  # noqa: E402
 
     refchain_bounds = {(m, b): bd for m, b, _, bd in CASES}
+    # on TPU, run the product chain with 8 replicated channels so the
+    # shape-gated Pallas kernels (C % 8 == 0) ENGAGE — at C=1 the chain
+    # silently takes the XLA fallback and the rows would score the
+    # wrong path (caught in round 4)
+    nch = 8 if args.backend == "tpu" else 1
     rows = []
     for mode, bw, sel, bound in PRODUCT_CASES:
         iq = make_iq(mode)
@@ -58,9 +68,10 @@ def main() -> int:
 
         # the shipped chain, default config (= what bench.py times)
         pcfg = rx_mod.RxConfig(mode=mode, bw_key=bw, ref_select_id=sel,
-                               block_len=4096)
+                               block_len=4096,
+                               front_prec=args.front_prec)
         assert pcfg.use_ref_front
-        pout = run_product_chain(pcfg, iq)
+        pout = run_product_chain(pcfg, iq, channels=nch)
         s_prod = snr_db(ref, pout)
 
         s_exact = None
@@ -96,7 +107,7 @@ def main() -> int:
         if feats.get("nr_enable"):
             kw["nr_band"] = pcfg.path.audio_band
         ref, _ = gold.ref_rx_chain(iq, mode, bw, select_id=sel, **kw)
-        out = run_product_chain(pcfg, iq)
+        out = run_product_chain(pcfg, iq, channels=nch)
         s = snr_db(ref, out)
         fname = "+".join(k.replace("_enable", "") for k in feats)
         rows.append({"mode": f"{mode}+{fname}", "bw": bw,
@@ -168,6 +179,7 @@ def main() -> int:
                      "phase accumulator)",
         "tx_rows": tx_rows,
         "backend": args.backend,
+        "front_prec": args.front_prec,
         "signal": "mode-matched synthetic IQ + noise, 2 s @48k, "
                   "transient skip 0.5 s (tests/test_conformance_ref.py)",
         "notes": "snr_product_db: the SHIPPED chain (chain.rx, default "

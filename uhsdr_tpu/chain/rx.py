@@ -139,6 +139,20 @@ class RxConfig:
     eq: eq_mod.EqSettings = eq_mod.EqSettings()   # tone controls
 
     @property
+    def effective_front_prec(self) -> str:
+        """The precision the kernels actually run at.  Measured ladder
+        (TPU v5e, kernels engaged, vs the float64 oracle — r4):
+        default (one bf16 pass) base rows 52.9-54.6 dB @ 15,993 Ms/s;
+        highest (multi-pass f32) 72.0 dB @ 7,801 Ms/s (-51%).  One-pass
+        bf16 ships for plain chains (>=3 dB headroom over the 50 dB
+        bound); spectral-NR chains AUTO-ESCALATE to highest — the MMSE
+        gain machine amplifies the bf16 floor nonlinearly (32.2 dB,
+        breaching the bound; 53.7 dB at highest)."""
+        if self.front_prec == "default" and self.nr_enable:
+            return "highest"
+        return self.front_prec
+
+    @property
     def path(self) -> filterpaths.FilterPath:
         return filterpaths.find_path(self.mode, self.bw_key, self.path_name)
 
@@ -595,6 +609,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     # across channels in a chain (all init to 0, same delta), so the
     # kernel takes it as a scalar.
     fuse_nco = use_pallas and translating
+    z_raw = z
     if translating and not fuse_nco:
         z, nco_phase = nco.mix(z, state.nco_phase,
                                jnp.broadcast_to(delta,
@@ -605,6 +620,40 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
             jnp.broadcast_to(delta, state.nco_phase.shape), z.shape[-1])
     else:
         nco_phase = state.nco_phase
+
+    def _raw_tail(n_keep: int) -> jnp.ndarray:
+        """front_carry contract: when translating, the carry is RAW
+        (pre-mix) IQ — the NCO-fused Pallas kernel's convention.  The
+        XLA fallback must store the same domain, otherwise a mid-stream
+        shape fallback (e.g. a trailing partial block whose T_out stops
+        tiling) would hand raw history to a mixed-domain filter (round-4
+        bug: the flagship conformance tail collapsed to 16 dB)."""
+        if z_raw.shape[-1] >= n_keep:
+            tail = z_raw[..., -n_keep:]
+        else:
+            prev = state.front_carry
+            if prev.ndim > z_raw.ndim:       # ssbstereo (…, 2, n) carry:
+                prev = prev[..., 0, :]       # both planes share the raw RF
+            tail = jnp.concatenate([prev, z_raw], axis=-1)[..., -n_keep:]
+        if state.front_carry.ndim > tail.ndim:
+            tail = jnp.broadcast_to(tail[..., None, :],
+                                    state.front_carry.shape)
+        return tail
+
+    def _mixed_carry(n_keep: int) -> jnp.ndarray:
+        """Rotate the RAW carry into the mixed domain for the XLA
+        filter: carry sample j sits at absolute index n = -(n_keep - j),
+        so its phase is phase0 - delta*(n_keep - j) (uint32 wrap)."""
+        if not translating:
+            return state.front_carry
+        back = jnp.arange(n_keep, 0, -1, dtype=jnp.uint32)
+        ang = (state.nco_phase[..., None]
+               - jnp.asarray(delta, jnp.uint32) * back).astype(
+            jnp.float32) * np.float32(2.0 * np.pi / 2.0 ** 32)
+        rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        if state.front_carry.ndim > rot.ndim:
+            rot = rot[..., None, :]          # ssbstereo filter-pair axis
+        return state.front_carry * rot
 
     # --- FM branch: full-rate demod, no decimation path ---
     if cfg.mode == "fm":
@@ -619,10 +668,14 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
                      if fuse_nco else None))
         elif fm_decim > 1:
-            zf, front_carry = fir.fir_decimate_block(
-                front_fir, state.front_carry, z, fm_decim)
+            n_keep = state.front_carry.shape[-1]
+            zf, _ = fir.fir_decimate_block(
+                front_fir, _mixed_carry(n_keep), z, fm_decim)
+            front_carry = _raw_tail(n_keep)
         else:
-            zf, front_carry = fir.fir_block(front_fir, state.front_carry, z)
+            n_keep = state.front_carry.shape[-1]
+            zf, _ = fir.fir_block(front_fir, _mixed_carry(n_keep), z)
+            front_carry = _raw_tail(n_keep)
         state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                                front_carry=front_carry)
         return zf, state, taps_out
@@ -646,8 +699,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         else:
             tile_c_max, tile_t = 256, 256
         tile_c_max //= pallas_fir.TILE_C_DIV
-        if cfg.front_prec == "highest":
-            tile_c_max = max(tile_c_max // 2, 8)   # f32 staging VMEM
+        if cfg.effective_front_prec in ("high", "highest"):
+            tile_c_max = max(tile_c_max // 2, 8)   # multi-pass staging VMEM
         tile_c = next((tc for tc in (tile_c_max, 128, 64, 8)
                        if tc <= tile_c_max and C % tc == 0), 8)
         # SSB demod is exactly Re(analytic signal): the kernel skips the
@@ -672,7 +725,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
             state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=tile_t,
             nco=(state.nco_phase.reshape(-1)[0], delta) if fuse_nco else None,
             real_out=real_out, planes_out=planes, peaks_out=peaks_fused,
-            prec=None if cfg.front_prec == "default" else cfg.front_prec)
+            prec=(None if cfg.effective_front_prec == "default"
+                  else cfg.effective_front_prec))
         if peaks_fused:
             zf, front_carry, pk_tiles = res
             pk = jnp.max(pk_tiles, axis=-1)
@@ -683,9 +737,10 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         else:
             zf, front_carry = res
     else:
-        zf, front_carry = fir.fir_decimate_block(front_fir,
-                                                 state.front_carry, z,
-                                                 cfg.decim)
+        n_keep = state.front_carry.shape[-1]
+        zf, _ = fir.fir_decimate_block(front_fir, _mixed_carry(n_keep),
+                                       z, cfg.decim)
+        front_carry = _raw_tail(n_keep)
 
     if "adc_peak" not in taps_out:
         # ADC clip / signal-level detect (audio_driver.c:2660-2685:
@@ -764,8 +819,8 @@ def stage_b(cfg: RxConfig, params: RxParams, state: RxState,
             zf, front2_carry = pallas_fir.fir_decimate_pallas(
                 g2_np, state.front2_carry, zf, 1, tile_c=tile_c,
                 tile_t=256, real_out=True,
-                prec=(None if cfg.front_prec == "default"
-                      else cfg.front_prec))
+                prec=(None if cfg.effective_front_prec == "default"
+                      else cfg.effective_front_prec))
             if isinstance(front2_carry, tuple):
                 # RxState.front2_carry stays complex (stable pytree)
                 front2_carry = jax.lax.complex(*front2_carry)
@@ -894,7 +949,9 @@ def interp_stage(cfg: RxConfig, params: RxParams, state: RxState,
                        if tc <= tmax and C % tc == 0), 8)
         audio48, interp_carry = pallas_fir.fir_interpolate_pallas(
             params.interp_fir, state.interp_carry, audio, cfg.decim,
-            tile_c=tile_c, tile_t_in=512)
+            tile_c=tile_c, tile_t_in=512,
+            prec=(None if cfg.effective_front_prec == "default"
+                  else cfg.effective_front_prec))
     else:
         audio48, interp_carry = fir.fir_interpolate_block(
             params.interp_fir, state.interp_carry, audio, cfg.decim)

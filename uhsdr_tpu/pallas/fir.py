@@ -290,6 +290,7 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         inputs.append(Hi)
     mxu = jnp.bfloat16 if mxu_dtype == "bf16" else None
     prec_v = ({"default": jax.lax.Precision.DEFAULT,
+               "high": jax.lax.Precision.HIGH,
                "highest": jax.lax.Precision.HIGHEST}[prec]
               if isinstance(prec, str) else prec)
     if nco is None:
@@ -451,7 +452,8 @@ def fir_real_analytic_pallas(h: jnp.ndarray, carry: jnp.ndarray,
 # Polyphase interpolation (real audio): the RX chain's back-to-48k stage.
 # ---------------------------------------------------------------------------
 
-def _interp_kernel(x_ref, p_ref, c_ref, h_ref, o_ref, *, pad_left: int):
+def _interp_kernel(x_ref, p_ref, c_ref, h_ref, o_ref, *, pad_left: int,
+                   prec=None):
     """One (TC, W_in*interp) output tile from a (TC, pad_left + W_in)
     low-rate input slab (current block + halo from the previous block /
     carried history) — a single real MXU matmul."""
@@ -459,7 +461,8 @@ def _interp_kernel(x_ref, p_ref, c_ref, h_ref, o_ref, *, pad_left: int):
     W = x_ref.shape[1]
     tail = jnp.where(ti == 0, c_ref[:], p_ref[:, W - pad_left:])
     x = jnp.concatenate([tail, x_ref[:]], axis=1)       # (TC, K)
-    o_ref[:] = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32, precision=_PREC)
+    o_ref[:] = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32,
+                       precision=(prec or _PREC))
 
 
 def _build_interp_tap_matrix(h: np.ndarray, interp: int, tile_t_in: int,
@@ -486,7 +489,8 @@ def _build_interp_tap_matrix(h: np.ndarray, interp: int, tile_t_in: int,
 
 def fir_interpolate_pallas(h: jnp.ndarray, carry: jnp.ndarray,
                            x: jnp.ndarray, interp: int, tile_c: int = 8,
-                           tile_t_in: int = 512, interpret: bool = False):
+                           tile_t_in: int = 512, interpret: bool = False,
+                           prec: str | None = None):
     """Drop-in for `ops.fir.fir_interpolate_block` (real audio).
     x: (C, B) f32 at the low rate; carry: (C, sub_len-1) f32.
     Returns (y (C, B*interp), new_carry).  Requires C % tile_c == 0,
@@ -503,8 +507,11 @@ def fir_interpolate_pallas(h: jnp.ndarray, carry: jnp.ndarray,
     czeros = jnp.zeros((C, pad_left - (sub_len - 1)), jnp.float32)
     c0 = jnp.concatenate([czeros, carry.astype(jnp.float32)], axis=-1)
 
+    prec_v = ({"default": jax.lax.Precision.DEFAULT,
+               "highest": jax.lax.Precision.HIGHEST}[prec]
+              if isinstance(prec, str) else prec)
     y, = pl.pallas_call(
-        functools.partial(_interp_kernel, pad_left=pad_left),
+        functools.partial(_interp_kernel, pad_left=pad_left, prec=prec_v),
         grid=(C // tile_c, n_tt),
         in_specs=[
             pl.BlockSpec((tile_c, tile_t_in), lambda i, j: (i, j),
