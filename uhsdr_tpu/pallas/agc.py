@@ -63,11 +63,6 @@ def _make_machine_step(pp, hang_level=None, min_volts=None):
         hba = (one - hang_bm) * hba + hang_bm * ax
         hang = jnp.maximum(hang - one, f32(0.0))
 
-        attack_v = volts + (rm - volts) * attack
-        fast_v = volts + (rm - volts) * fast_d
-        long_v = volts + (rm - volts) * long_d
-        hangd_v = volts + (rm - volts) * hang_d
-
         att = (rm >= volts).astype(jnp.float32)
         natt = one - att
         is0 = (st < f32(0.5)).astype(jnp.float32)
@@ -80,41 +75,48 @@ def _make_machine_step(pp, hang_level=None, min_volts=None):
         s0_fast = (volts > pop_ratio * fba).astype(jnp.float32)
         s1_fastc = (volts > save).astype(jnp.float32)
         hc_wait = (hang > f32(0.5)).astype(jnp.float32)
-        hc_zero = one - hc_wait
-        dt1 = decay
-        dt0 = one - dt1
 
-        m0a = is0 * att
-        m0f = is0 * natt * s0_fast
-        m0h = is0 * natt * (one - s0_fast) * ht
-        m0l = is0 * natt * (one - s0_fast) * (one - ht)
-        m1a = is1 * att
-        m1f = is1 * natt * s1_fastc
-        m1w = is1 * natt * (one - s1_fastc) * hc_wait
-        m1l = is1 * natt * (one - s1_fastc) * hc_zero * dt0
-        m1h = is1 * natt * (one - s1_fastc) * hc_zero * dt1
-        m2a = is2 * att
-        m2d = is2 * natt * hc_zero
-        m2s = is2 * natt * hc_wait
-        m3a = is3 * att
+        # Branch masks, differenced instead of multiplied-out: every
+        # non-attack state splits as nf = m_taken + m_rest with both
+        # factors in {0,1}, so nf - m_taken is exact and each level
+        # costs one multiply + one subtract (~25% fewer ops/step than
+        # the fully-expanded products, same bit-exact arithmetic).
+        nf0 = is0 * natt
+        m0f = nf0 * s0_fast
+        m0nf = nf0 - m0f
+        m0h = m0nf * ht
+        m0l = m0nf - m0h
+        nf1 = is1 * natt
+        m1f = nf1 * s1_fastc
+        m1nf = nf1 - m1f
+        m1w = m1nf * hc_wait
+        m1z = m1nf - m1w
+        m1h = m1z * decay
+        m1l = m1z - m1h
+        n2 = is2 * natt
+        m2s = n2 * hc_wait
+        m2d = n2 - m2s
         m3d = is3 * natt
-        m4a = is4 * att
         m4d = is4 * natt
 
-        new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
-                     + (m0f + m1f) * fast_v
-                     + (m0l + m1l + m3d) * long_v
-                     + (m1h + m2d + m4d) * hangd_v
-                     + (m0h + m1w + m2s) * volts)
-        new_st = ((m0f + m1f) * f32(1.0) + (m0h + m1w + m2s) * f32(2.0)
-                  + (m0l + m1l + m3d) * f32(3.0)
-                  + (m1h + m2d + m4d) * f32(4.0))
-        save_upd = m2a + m3a + m4a
+        gF = m0f + m1f                       # -> fast decay
+        gL = m0l + m1l + m3d                 # -> long decay
+        gH = m1h + m2d + m4d                 # -> hang decay
+        gW = m0h + m1w + m2s                 # -> hold (k = 0)
+
+        # every volts outcome is volts + (rm - volts) * k with k in
+        # {attack, fast, long, hang, 0}, so one blended k replaces the
+        # four candidate FMAs + 5-way blend (masks partition unity, so
+        # the blend is exact: exactly one term is nonzero)
+        keff = att * attack + gF * fast_d + gL * long_d + gH * hang_d
+        new_volts = jnp.maximum(volts + (rm - volts) * keff, min_volts)
+
+        new_st = gF + gW * f32(2.0) + gL * f32(3.0) + gH * f32(4.0)
+        save_upd = att * (one - (is0 + is1))     # = m2a + m3a + m4a
         new_save = save_upd * volts + (one - save_upd) * save
         new_hang = m0h * hang_time + (one - m0h) * hang
         new_decay = m0h * one + (one - (m0h + m0l)) * decay
 
-        new_volts = jnp.maximum(new_volts, min_volts)
         return (new_volts, new_save, new_hang, new_decay, new_st,
                 fba, hba), new_volts
 
@@ -203,17 +205,17 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
         rm_s[:] = m[:t_tile]
         od_s[:] = slab[:t_tile]             # delayed output samples
 
+        # The sequential loop emits only the volts series; the gain law
+        # (log10 + divide — the VPU's multi-cycle ops) is applied in a
+        # VECTORIZED epilogue over the whole tile, off the recurrence's
+        # critical path.  y_ref doubles as the volts staging buffer.
         sc = scratch[:]
         carry0 = tuple(sc[i] for i in range(N_CARRY))
         if unroll == 1:
             def step(t, carry):
-                od = od_s[t]
                 new_carry, new_volts = machine_step(carry, rm_s[t],
-                                                    jnp.abs(od))
-                vo = jnp.minimum(jnp.log10(inv_max_input * new_volts),
-                                 f32(0.0))
-                y_ref[t] = od * ((out_target - slope_constant * vo)
-                                 / new_volts)
+                                                    jnp.abs(od_s[t]))
+                y_ref[t] = new_volts
                 return new_carry
 
             carry = jax.lax.fori_loop(0, t_tile, step, carry0)
@@ -228,19 +230,18 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
                 base = tu * U
                 rm_blk = rm_s[pl.ds(base, U)]       # (U, sub, 128)
                 od_blk = od_s[pl.ds(base, U)]
-                ys = []
+                vs = []
                 for u in range(U):
-                    od = od_blk[u]
                     carry, nv = machine_step(carry, rm_blk[u],
-                                             jnp.abs(od))
-                    vo = jnp.minimum(jnp.log10(inv_max_input * nv),
-                                     f32(0.0))
-                    ys.append(od * ((out_target - slope_constant * vo)
-                                    / nv))
-                y_ref[pl.ds(base, U)] = jnp.stack(ys, axis=0)
+                                             jnp.abs(od_blk[u]))
+                    vs.append(nv)
+                y_ref[pl.ds(base, U)] = jnp.stack(vs, axis=0)
                 return carry
 
             carry = jax.lax.fori_loop(0, t_tile // U, stepu, carry0)
+        v = y_ref[:]                         # volts series, whole tile
+        vo = jnp.minimum(jnp.log10(inv_max_input * v), f32(0.0))
+        y_ref[:] = od_s[:] * ((out_target - slope_constant * vo) / v)
         new_sc = jnp.stack(carry, axis=0)
         scratch[:] = new_sc
         stout_ref[:] = new_sc
