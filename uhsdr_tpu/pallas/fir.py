@@ -79,49 +79,74 @@ def _fir_kernel(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
 _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 
 
-def _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
-                   hr_ref, or_ref, oi_ref=None, pk_ref=None, *,
-                   pad_left: int, mxu_dtype=None, nco_ref=None, prec=None):
-    """REAL-taps variant of `_fir_kernel`/`_fir_nco_kernel`: the front
-    decimators (FirRxDecimate, AM lowpass, FM lowpass — plus their
-    noble-identity 96 kHz lifts) are purely real, so the imaginary tap
-    matrix is ZERO and its two matmuls (plus its HBM/VMEM traffic) are
-    skipped outright: y_r = x_r (x) h, y_i = x_i (x) h — 2 matmuls for
-    complex out, 1 for real_out.
+def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
+                     or_ref, oi_ref=None, pk_ref=None, tr_s=None,
+                     ti_s=None, *, pad_left: int, mxu_dtype=None,
+                     nco_ref=None, prec=None):
+    """Scratch-halo + split-dot variant of `_fir_kernel_rt`:
 
-    pk_ref: optional (TC, 128) output — the per-tile RAW input peak
-    max(|i|, |q|) broadcast across lanes (the chain's ADC clip detect,
-    audio_driver.c:2660-2685, fused here so it costs no extra HBM pass;
-    the caller max-reduces the (C, n_tt*128) result)."""
+      * the left halo lives in VMEM scratch (the previous tile's last
+        pad_left ROTATED samples), so the neighbor block is never
+        re-fetched from HBM (the shifted-BlockSpec halo cost +12.5% of
+        the input) and the ti==0 carry rotation happens once;
+      * the tap matrix is split at the halo boundary (H = [H_top;
+        H_bot]) and the two dots are summed in f32 — no (TC, K) concat
+        copy of the slab in VMEM, the single biggest vector-copy in the
+        old kernel.
+
+    Requires sequential time-grid execution (dimension_semantics
+    ("arbitrary", "arbitrary") and scratch persistence, like
+    `pallas/agc`/`pallas/iir`)."""
     ti = pl.program_id(1)
-    tail_r = jnp.where(ti == 0, cr_ref[:], pr_ref[:])
-    tail_i = jnp.where(ti == 0, ci_ref[:], pi_ref[:])
+    xr = xr_ref[:]
+    xi = xi_ref[:]
     if pk_ref is not None:
-        pk = jnp.maximum(jnp.max(jnp.abs(xr_ref[:]), axis=1, keepdims=True),
-                         jnp.max(jnp.abs(xi_ref[:]), axis=1, keepdims=True))
+        pk = jnp.maximum(jnp.max(jnp.abs(xr), axis=1, keepdims=True),
+                         jnp.max(jnp.abs(xi), axis=1, keepdims=True))
         pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
-    xr = jnp.concatenate([tail_r, xr_ref[:]], axis=1)   # (TC, K)
-    xi = jnp.concatenate([tail_i, xi_ref[:]], axis=1)
+    W = xr.shape[1]
     if nco_ref is not None:
-        K = xr.shape[1]
-        W = xr_ref.shape[1]
-        k = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        n = ti * W - pad_left + k
-        ang = ((nco_ref[0] + nco_ref[1] * n)
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        ang = ((nco_ref[0] + nco_ref[1] * (ti * W + k))
                .astype(jnp.float32) * _PHASE_SCALE)
         c = jnp.cos(ang)
         s = jnp.sin(ang)
         xr, xi = xr * c - xi * s, xr * s + xi * c
-    hr = hr_ref[:]
+        # ti==0 carry rotation: history sample j sits at n = -pad_left+j
+        kc = jax.lax.broadcasted_iota(jnp.int32, (1, pad_left), 1)
+        angc = ((nco_ref[0] + nco_ref[1] * (kc - pad_left))
+                .astype(jnp.float32) * _PHASE_SCALE)
+        cc = jnp.cos(angc)
+        sc = jnp.sin(angc)
+        cr0 = cr_ref[:] * cc - ci_ref[:] * sc
+        ci0 = cr_ref[:] * sc + ci_ref[:] * cc
+    else:
+        cr0 = cr_ref[:]
+        ci0 = ci_ref[:]
+    tail_r = jnp.where(ti == 0, cr0, tr_s[:])
+    tail_i = jnp.where(ti == 0, ci0, ti_s[:])
+    tr_s[:] = xr[:, W - pad_left:]
+    ti_s[:] = xi[:, W - pad_left:]
+    hrt = hrt_ref[:]
+    hrb = hrb_ref[:]
     if mxu_dtype is not None:
         xr = xr.astype(mxu_dtype)
         xi = xi.astype(mxu_dtype)
-        hr = hr.astype(mxu_dtype)
-    or_ref[:] = jnp.dot(xr, hr, preferred_element_type=jnp.float32,
-                        precision=(prec or _PREC))
+        tail_r = tail_r.astype(mxu_dtype)
+        tail_i = tail_i.astype(mxu_dtype)
+        hrt = hrt.astype(mxu_dtype)
+        hrb = hrb.astype(mxu_dtype)
+    p = prec or _PREC
+    or_ref[:] = (jnp.dot(tail_r, hrt, preferred_element_type=jnp.float32,
+                         precision=p)
+                 + jnp.dot(xr, hrb, preferred_element_type=jnp.float32,
+                           precision=p))
     if oi_ref is not None:
-        oi_ref[:] = jnp.dot(xi, hr, preferred_element_type=jnp.float32,
-                            precision=(prec or _PREC))
+        oi_ref[:] = (jnp.dot(tail_i, hrt,
+                             preferred_element_type=jnp.float32, precision=p)
+                     + jnp.dot(xi, hrb,
+                               preferred_element_type=jnp.float32,
+                               precision=p))
 
 
 def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
@@ -264,7 +289,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     # halo: the LAST pad_left columns of the previous W-window, viewed with
     # block width pad_left (requires W % pad_left == 0) — reading only the
     # halo instead of the whole previous block cuts the kernel's HBM input
-    # from 2x to (1 + pad_left/W)x of the signal
+    # from 2x to (1 + pad_left/W)x of the signal.  (The real-taps path
+    # goes further: its halo lives in VMEM scratch, no re-read at all.)
     assert W % pad_left == 0, (W, pad_left)
     ratio = W // pad_left
 
@@ -273,50 +299,86 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         # at j==0 the kernel selects the carry instead
         return (i, jnp.maximum(j * ratio - 1, 0))
 
-    in_specs = [
-        pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, pad_left), halo_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, pad_left), halo_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-    ]
-    inputs = [xr, xi, xr, xi, cr, ci, Hr]
-    if not real_taps:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        inputs.append(Hi)
     mxu = jnp.bfloat16 if mxu_dtype == "bf16" else None
     prec_v = ({"default": jax.lax.Precision.DEFAULT,
                "high": jax.lax.Precision.HIGH,
                "highest": jax.lax.Precision.HIGHEST}[prec]
               if isinstance(prec, str) else prec)
-    if nco is None:
-        if real_taps:
-            kernel = functools.partial(_fir_kernel_rt, pad_left=pad_left,
-                                       mxu_dtype=mxu, prec=prec_v)
+    scratch_shapes = []
+    if real_taps:
+        # scratch-halo + split-dot kernel (`_fir_kernel_rt_s`)
+        in_specs = [
+            pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs = [xr, xi, cr, ci, Hr[:pad_left], Hr[pad_left:]]
+        scratch_shapes = [pltpu.VMEM((tile_c, pad_left), jnp.float32),
+                          pltpu.VMEM((tile_c, pad_left), jnp.float32)]
+        base = functools.partial(_fir_kernel_rt_s, pad_left=pad_left,
+                                 mxu_dtype=mxu, prec=prec_v)
+        n_out = len(out_shape)
+        if nco is None:
+            if n_out == 1:                      # real_out
+                def kernel(a, b, c, d, e, f, o, s1, s2):
+                    base(a, b, c, d, e, f, o, None, None, s1, s2)
+            elif peaks_out:
+                def kernel(a, b, c, d, e, f, o, oi, pk, s1, s2):
+                    base(a, b, c, d, e, f, o, oi, pk, s1, s2)
+            else:
+                def kernel(a, b, c, d, e, f, o, oi, s1, s2):
+                    base(a, b, c, d, e, f, o, oi, None, s1, s2)
         else:
+            phase0, delta = nco
+            nco_arr = jax.lax.bitcast_convert_type(
+                jnp.stack([jnp.asarray(phase0, jnp.uint32),
+                           jnp.asarray(delta, jnp.uint32)]), jnp.int32)
+            if n_out == 1:
+                def kernel(nr, a, b, c, d, e, f, o, s1, s2):
+                    base(a, b, c, d, e, f, o, None, None, s1, s2,
+                         nco_ref=nr)
+            elif peaks_out:
+                def kernel(nr, a, b, c, d, e, f, o, oi, pk, s1, s2):
+                    base(a, b, c, d, e, f, o, oi, pk, s1, s2, nco_ref=nr)
+            else:
+                def kernel(nr, a, b, c, d, e, f, o, oi, s1, s2):
+                    base(a, b, c, d, e, f, o, oi, None, s1, s2,
+                         nco_ref=nr)
+            in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.insert(0, nco_arr)
+    else:
+        in_specs = [
+            pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, W), cur_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), halo_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), halo_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs = [xr, xi, xr, xi, cr, ci, Hr, Hi]
+        if nco is None:
             kernel = functools.partial(_fir_kernel, pad_left=pad_left,
                                        mxu_dtype=mxu, prec=prec_v)
-    else:
-        phase0, delta = nco
-        nco_arr = jax.lax.bitcast_convert_type(
-            jnp.stack([jnp.asarray(phase0, jnp.uint32),
-                       jnp.asarray(delta, jnp.uint32)]), jnp.int32)
-        if real_taps:
-            def kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
-                       ci_ref, hr_ref, or_ref, oi_ref=None, pk_ref=None):
-                _fir_kernel_rt(xr_ref, xi_ref, pr_ref, pi_ref, cr_ref,
-                               ci_ref, hr_ref, or_ref, oi_ref, pk_ref,
-                               pad_left=pad_left, mxu_dtype=mxu,
-                               nco_ref=nco_ref, prec=prec_v)
         else:
+            phase0, delta = nco
+            nco_arr = jax.lax.bitcast_convert_type(
+                jnp.stack([jnp.asarray(phase0, jnp.uint32),
+                           jnp.asarray(delta, jnp.uint32)]), jnp.int32)
             kernel = functools.partial(_fir_nco_kernel, pad_left=pad_left,
                                        mxu_dtype=mxu, prec=prec_v)
-        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.insert(0, nco_arr)
+            in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.insert(0, nco_arr)
 
     out_specs = [pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
@@ -330,6 +392,11 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        # sequential time grid (the scratch halo of the real-taps path
+        # depends on it; "arbitrary" is also the TPU default)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(*inputs)
     outs = list(outs)
@@ -456,10 +523,13 @@ def _interp_kernel(x_ref, p_ref, c_ref, h_ref, o_ref, *, pad_left: int,
                    prec=None):
     """One (TC, W_in*interp) output tile from a (TC, pad_left + W_in)
     low-rate input slab (current block + halo from the previous block /
-    carried history) — a single real MXU matmul."""
+    carried history) — a single real MXU matmul.  p_ref is the narrow
+    (TC, pad_left) halo view of the previous block (same array under a
+    pad_left-wide shifted BlockSpec, like the decimator kernels), so
+    the halo costs pad_left/W extra input instead of re-reading the
+    whole neighbor block."""
     ti = pl.program_id(1)
-    W = x_ref.shape[1]
-    tail = jnp.where(ti == 0, c_ref[:], p_ref[:, W - pad_left:])
+    tail = jnp.where(ti == 0, c_ref[:], p_ref[:])
     x = jnp.concatenate([tail, x_ref[:]], axis=1)       # (TC, K)
     o_ref[:] = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32,
                        precision=(prec or _PREC))
@@ -502,6 +572,8 @@ def fir_interpolate_pallas(h: jnp.ndarray, carry: jnp.ndarray,
     n_tt = B // tile_t_in
     pad_left = -(-(sub_len - 1) // 128) * 128
     assert tile_t_in >= pad_left, (tile_t_in, pad_left)
+    assert tile_t_in % pad_left == 0, (tile_t_in, pad_left)
+    ratio = tile_t_in // pad_left
     H = jnp.asarray(_build_interp_tap_matrix(h_np, interp, tile_t_in,
                                              pad_left))
     czeros = jnp.zeros((C, pad_left - (sub_len - 1)), jnp.float32)
@@ -516,8 +588,10 @@ def fir_interpolate_pallas(h: jnp.ndarray, carry: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tile_c, tile_t_in), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, tile_t_in),
-                         lambda i, j: (i, jnp.maximum(j - 1, 0)),
+            # narrow halo: the last pad_left columns of the previous
+            # block, viewed at block width pad_left (decimator pattern)
+            pl.BlockSpec((tile_c, pad_left),
+                         lambda i, j: (i, jnp.maximum(j * ratio - 1, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
