@@ -73,3 +73,44 @@ def test_rx_chain_iir_impl_pallas_matches_scan():
         outs[impl] = np.asarray(audio)
     np.testing.assert_allclose(outs["scan"], outs["pallas"],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_blocked_cascade_matches_exact_carry():
+    """`biquad_cascade_blocked_pallas` (fused Toeplitz+carry, one HBM
+    pass) vs `biquad_cascade_blocked(exact_carry=True)` — same chunk
+    tables, same sequential carry; must agree to f32 rounding on a
+    reference-class high-Q cascade, including streaming continuity and
+    flattened batch dims."""
+    from uhsdr_tpu import data as refdata
+    from uhsdr_tpu.ops.latconv import lattice_to_sos
+
+    pk, pv = refdata.lattice("IIR_2k3_1k412")
+    sos6 = lattice_to_sos(pk, pv)
+    sos = np.array([[s[0], s[1], s[2], s[4], s[5]] for s in sos6],
+                   np.float32)
+    S = sos.shape[0]
+    C, T = 16, 512
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32) * 0.1)
+    st = jnp.asarray(rng.standard_normal((S, C, 2)).astype(np.float32) * .01)
+
+    y_ref, st_ref = xiir.biquad_cascade_blocked(sos, st, x,
+                                                exact_carry=True)
+    y_pal, st_pal = piir.biquad_cascade_blocked_pallas(sos, st, x)
+    err = np.max(np.abs(np.asarray(y_ref) - np.asarray(y_pal)))
+    assert err < 1e-5, err
+    np.testing.assert_allclose(np.asarray(st_ref), np.asarray(st_pal),
+                               rtol=1e-5, atol=1e-6)
+
+    # streaming continuity: two chained half blocks == one full block
+    y1, st1 = piir.biquad_cascade_blocked_pallas(sos, st, x[:, :T // 2])
+    y2, st2 = piir.biquad_cascade_blocked_pallas(sos, st1, x[:, T // 2:])
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1),
+        np.asarray(y_pal), rtol=1e-5, atol=1e-5)
+
+    # flattened batch dims take the same path
+    y3, st3 = piir.biquad_cascade_blocked_pallas(
+        sos, st.reshape(S, 4, 4, 2), x.reshape(4, 4, T))
+    np.testing.assert_allclose(np.asarray(y3).reshape(C, T),
+                               np.asarray(y_pal), rtol=1e-6, atol=1e-6)
