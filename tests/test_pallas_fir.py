@@ -254,3 +254,61 @@ def test_pallas_fir_fused_peaks():
     peak = np.max(np.asarray(pk), axis=-1)
     want = np.maximum(np.max(np.abs(x.real), -1), np.max(np.abs(x.imag), -1))
     np.testing.assert_allclose(peak, want, rtol=1e-6)
+
+
+def test_fused_stage_b_matches_two_stage():
+    """`fuse2` (stage-B Hilbert-combine in the stage-A epilogue,
+    `_fir_kernel_rt_s2`) vs the two separate kernels: same audio, same
+    peaks, same front2 carry, and exact streaming continuity across a
+    block split with the NCO phase advanced."""
+    from uhsdr_tpu.ops import nco as nco_mod
+
+    rng = np.random.default_rng(5)
+    C, B, decim = 8, 4096, 2
+    taps, taps2 = 89, 199
+    h = np.hanning(taps).astype(np.float32)
+    h /= h.sum()
+    g2 = (np.hanning(taps2)
+          * np.exp(1j * np.linspace(0, 3, taps2))).astype(np.complex64)
+    i_p = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32) * 0.1)
+    q_p = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32) * 0.1)
+    carry = (jnp.zeros((C, taps - 1), jnp.float32),
+             jnp.zeros((C, taps - 1), jnp.float32))
+    c2 = (jnp.zeros((C, taps2 - 1), jnp.float32),
+          jnp.zeros((C, taps2 - 1), jnp.float32))
+    phase0, delta = jnp.uint32(12345), jnp.uint32(987654321)
+
+    y, nc, pk, (f2r, f2i) = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, fuse2=(g2, c2),
+        interpret=True)
+
+    (ar, ai), _, pk2 = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, planes_out=True,
+        interpret=True)
+    y2, _ = pfir.fir_decimate_pallas(
+        g2, jax.lax.complex(c2[0], c2[1]), jax.lax.complex(ar, ai), 1,
+        tile_c=8, tile_t=256, real_out=True, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(pk2))
+    np.testing.assert_allclose(np.asarray(f2r),
+                               np.asarray(ar)[:, -(taps2 - 1):], atol=1e-6)
+
+    # streaming: two chained half blocks == one full block (carry + NCO
+    # phase advance + front2 carry all hand off through the kernel)
+    y_1, nc_1, _, f2_1 = pfir.fir_decimate_pallas(
+        h, carry, (i_p[:, :B // 2], q_p[:, :B // 2]), decim, tile_c=8,
+        tile_t=256, nco=(phase0, delta), peaks_out=True, fuse2=(g2, c2),
+        interpret=True)
+    ph2 = nco_mod.advance(jnp.broadcast_to(phase0, (1,)),
+                          jnp.broadcast_to(delta, (1,)), B // 2)[0]
+    y_2, _, _, _ = pfir.fir_decimate_pallas(
+        h, nc_1, (i_p[:, B // 2:], q_p[:, B // 2:]), decim, tile_c=8,
+        tile_t=256, nco=(ph2, delta), peaks_out=True, fuse2=(g2, f2_1),
+        interpret=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(y_1), np.asarray(y_2)], axis=-1),
+        np.asarray(y))

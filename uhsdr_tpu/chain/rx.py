@@ -685,6 +685,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         # duplicate the RF stream across the (2,) stereo axis; the (2, taps)
         # USB/LSB filter pair then demodulates both sidebands in one pass
         z = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (2, z.shape[-1]))
+    front2_new = None
     if use_pallas:
         C = z.shape[0]
         # Tile choice (swept on v5e at the 96k flagship, 8192ch x 16k):
@@ -719,23 +720,54 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         # separate XLA max-|i|/|q| reduction costs ~1.7 ms of pure HBM
         # re-read at the flagship shape (audio_driver.c:2660-2685 role)
         peaks_fused = front_real and not real_out
-        res = pallas_fir.fir_decimate_pallas(
-            np.asarray(params.front_fir_re)
-            + 1j * np.asarray(params.front_fir_im),
-            state.front_carry, z, cfg.decim, tile_c=tile_c, tile_t=tile_t,
-            nco=(state.nco_phase.reshape(-1)[0], delta) if fuse_nco else None,
-            real_out=real_out, planes_out=planes, peaks_out=peaks_fused,
-            prec=(None if cfg.effective_front_prec == "default"
-                  else cfg.effective_front_prec))
-        if peaks_fused:
-            zf, front_carry, pk_tiles = res
+        # stage-B fusion (`pallas.fir._fir_kernel_rt_s2`): the ref
+        # front's fs_dec Hilbert-combine FIR runs in the stage-A
+        # kernel's epilogue on the VMEM-resident output tile — the
+        # decimated IQ planes never round-trip HBM and the kernel hands
+        # the post chain REAL audio directly (stage_b then no-ops)
+        taps2 = (params.front2_re.shape[-1]
+                 if params.front2_re is not None else 0)
+        pad2 = -(-(taps2 - 1) // 128) * 128 if taps2 else 0
+        fuse_b = (front_real and taps2 > 0 and fuse_nco
+                  and peaks_fused and pad2 <= tile_t
+                  and cfg.mode != "ssbstereo")
+        prec_arg = (None if cfg.effective_front_prec == "default"
+                    else cfg.effective_front_prec)
+        front2_new = None
+        if fuse_b:
+            c2 = state.front2_carry
+            zf, front_carry, pk_tiles, (f2r, f2i) = \
+                pallas_fir.fir_decimate_pallas(
+                    np.asarray(params.front_fir_re)
+                    + 1j * np.asarray(params.front_fir_im),
+                    state.front_carry, z, cfg.decim, tile_c=tile_c,
+                    tile_t=tile_t,
+                    nco=(state.nco_phase.reshape(-1)[0], delta),
+                    peaks_out=True, prec=prec_arg,
+                    fuse2=(np.asarray(params.front2_re)
+                           + 1j * np.asarray(params.front2_im),
+                           (jnp.real(c2), jnp.imag(c2))))
+            front2_new = jax.lax.complex(f2r, f2i)
+        else:
+            res = pallas_fir.fir_decimate_pallas(
+                np.asarray(params.front_fir_re)
+                + 1j * np.asarray(params.front_fir_im),
+                state.front_carry, z, cfg.decim, tile_c=tile_c,
+                tile_t=tile_t,
+                nco=((state.nco_phase.reshape(-1)[0], delta)
+                     if fuse_nco else None),
+                real_out=real_out, planes_out=planes,
+                peaks_out=peaks_fused, prec=prec_arg)
+            if peaks_fused:
+                zf, front_carry, pk_tiles = res
+            else:
+                zf, front_carry = res
+        if fuse_b or peaks_fused:
             pk = jnp.max(pk_tiles, axis=-1)
             taps_out["adc_peak"] = pk
             taps_out["adc_clip"] = pk > 0.985
             taps_out["adc_half_clip"] = pk > 0.5
             taps_out["adc_quarter_clip"] = pk > 0.25
-        else:
-            zf, front_carry = res
     else:
         n_keep = state.front_carry.shape[-1]
         zf, _ = fir.fir_decimate_block(front_fir, _mixed_carry(n_keep),
@@ -756,6 +788,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
 
     state = state._replace(iqcorr=iqc_state, nco_phase=nco_phase,
                            front_carry=front_carry)
+    if front2_new is not None:
+        state = state._replace(front2_carry=front2_new)
     return zf, state, taps_out
 
 
@@ -804,6 +838,11 @@ def stage_b(cfg: RxConfig, params: RxParams, state: RxState,
     mixed-mode fleets can batch it across same-filter groups."""
     front2_carry = state.front2_carry
     if params.front2_re is not None:
+        if not isinstance(zf, tuple) and not jnp.iscomplexobj(zf):
+            # already REAL audio: the front kernel fused stage B into
+            # its epilogue (`process_front` fuse_b) and updated
+            # front2_carry itself
+            return zf, state
         g2_np = (np.asarray(params.front2_re)
                  + 1j * np.asarray(params.front2_im))
         z0 = zf[0] if isinstance(zf, tuple) else zf

@@ -149,6 +149,84 @@ def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
                                precision=p))
 
 
+def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
+                      hrb_ref, gtr_ref, gbr_ref, gti_ref, gbi_ref,
+                      c2r_ref, c2i_ref, o_ref, pk_ref, f2r_ref, f2i_ref,
+                      tr_s, ti_s, br_s, bi_s, *, pad_left: int, pad2: int,
+                      mxu_dtype=None, prec=None):
+    """`_fir_kernel_rt_s` with the ref front's STAGE B fused into the
+    epilogue: the 199-tap complex Hilbert-combine FIR at fs_dec
+    (`chain.rx.stage_b`, audio_driver.c:2748-2790) runs on the stage-A
+    output tile while it is still in VMEM — its decimated IQ planes
+    never round-trip HBM (0.2 GB/block at the flagship shape) and the
+    kernel emits the REAL demodulated audio directly.
+
+    B's left halo is the previous A-output tile's last pad2 samples
+    (VMEM scratch br_s/bi_s; the ti==0 history comes from the carried
+    `front2_carry` planes c2r/c2i), and its tap matrix splits at the
+    halo boundary like A's.  y = Re(zA (*) g) = ar (*) g_r - ai (*) g_i.
+    Specialized to the ref-front SSB/CW chains: NCO fused, ADC peaks
+    fused, real audio out + (TC, pad2) A-tail planes for the carry."""
+    ti = pl.program_id(1)
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    pk = jnp.maximum(jnp.max(jnp.abs(xr), axis=1, keepdims=True),
+                     jnp.max(jnp.abs(xi), axis=1, keepdims=True))
+    pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
+    W = xr.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    ang = ((nco_ref[0] + nco_ref[1] * (ti * W + k))
+           .astype(jnp.float32) * _PHASE_SCALE)
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    xr, xi = xr * c - xi * s, xr * s + xi * c
+    kc = jax.lax.broadcasted_iota(jnp.int32, (1, pad_left), 1)
+    angc = ((nco_ref[0] + nco_ref[1] * (kc - pad_left))
+            .astype(jnp.float32) * _PHASE_SCALE)
+    cc = jnp.cos(angc)
+    sc = jnp.sin(angc)
+    cr0 = cr_ref[:] * cc - ci_ref[:] * sc
+    ci0 = cr_ref[:] * sc + ci_ref[:] * cc
+    tail_r = jnp.where(ti == 0, cr0, tr_s[:])
+    tail_i = jnp.where(ti == 0, ci0, ti_s[:])
+    tr_s[:] = xr[:, W - pad_left:]
+    ti_s[:] = xi[:, W - pad_left:]
+    p = prec or _PREC
+
+    def _c(a):
+        return a.astype(mxu_dtype) if mxu_dtype is not None else a
+
+    hrt, hrb = _c(hrt_ref[:]), _c(hrb_ref[:])
+    ar = (jnp.dot(_c(tail_r), hrt, preferred_element_type=jnp.float32,
+                  precision=p)
+          + jnp.dot(_c(xr), hrb, preferred_element_type=jnp.float32,
+                    precision=p))
+    ai = (jnp.dot(_c(tail_i), hrt, preferred_element_type=jnp.float32,
+                  precision=p)
+          + jnp.dot(_c(xi), hrb, preferred_element_type=jnp.float32,
+                    precision=p))
+    TT = ar.shape[1]
+    tb_r = jnp.where(ti == 0, c2r_ref[:], br_s[:])
+    tb_i = jnp.where(ti == 0, c2i_ref[:], bi_s[:])
+    a_tail_r = ar[:, TT - pad2:]
+    a_tail_i = ai[:, TT - pad2:]
+    br_s[:] = a_tail_r
+    bi_s[:] = a_tail_i
+    f2r_ref[:] = a_tail_r
+    f2i_ref[:] = a_tail_i
+    gtr, gbr = _c(gtr_ref[:]), _c(gbr_ref[:])
+    gti, gbi = _c(gti_ref[:]), _c(gbi_ref[:])
+    o_ref[:] = ((jnp.dot(_c(tb_r), gtr, preferred_element_type=jnp.float32,
+                         precision=p)
+                 + jnp.dot(_c(ar), gbr, preferred_element_type=jnp.float32,
+                           precision=p))
+                - (jnp.dot(_c(tb_i), gti,
+                           preferred_element_type=jnp.float32, precision=p)
+                   + jnp.dot(_c(ai), gbi,
+                             preferred_element_type=jnp.float32,
+                             precision=p)))
+
+
 def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
                     hr_ref, hi_ref, or_ref, oi_ref=None, *, pad_left: int,
                     mxu_dtype=None, prec=None):
@@ -226,7 +304,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         real_out: bool = False,
                         prec: str | None = None,
                         planes_out: bool = False,
-                        peaks_out: bool = False):
+                        peaks_out: bool = False,
+                        fuse2=None):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
     kernel.  x: (C, B) complex64 — or an (xr, xi) tuple of f32 planes,
     which (with planes_out=True for the result) skips the interleaved
@@ -271,6 +350,95 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         jnp.real(carry), jnp.imag(carry))
     cr = jnp.concatenate([czeros, car.astype(jnp.float32)], axis=-1)
     ci = jnp.concatenate([czeros, cai.astype(jnp.float32)], axis=-1)
+
+    if fuse2 is not None:
+        # stage-B fusion (`_fir_kernel_rt_s2`): complex Hilbert-combine
+        # FIR applied to the stage-A output tile in VMEM, real audio out.
+        # fuse2 = (g2 complex taps, (c2r, c2i) carried fs_dec history).
+        assert real_taps and nco is not None and peaks_out \
+            and not real_out, "fuse2: ref-front rt+nco+peaks path only"
+        g2_np, (c2r_in, c2i_in) = fuse2
+        g2_np = np.asarray(g2_np)
+        taps2 = g2_np.shape[-1]
+        pad2 = -(-(taps2 - 1) // 128) * 128
+        assert pad2 <= tile_t, (pad2, tile_t)
+        G_r = _build_tap_matrix(np.real(g2_np).astype(np.float32), 1,
+                                tile_t, pad2)
+        G_i = _build_tap_matrix(np.imag(g2_np).astype(np.float32), 1,
+                                tile_t, pad2)
+        z2 = jnp.zeros((C, pad2 - (taps2 - 1)), jnp.float32)
+        c2r = jnp.concatenate([z2, c2r_in.astype(jnp.float32)], axis=-1)
+        c2i = jnp.concatenate([z2, c2i_in.astype(jnp.float32)], axis=-1)
+        mxu2 = jnp.bfloat16 if mxu_dtype == "bf16" else None
+        prec2 = ({"default": jax.lax.Precision.DEFAULT,
+                  "high": jax.lax.Precision.HIGH,
+                  "highest": jax.lax.Precision.HIGHEST}[prec]
+                 if isinstance(prec, str) else prec)
+        phase0, delta = nco
+        nco_arr = jax.lax.bitcast_convert_type(
+            jnp.stack([jnp.asarray(phase0, jnp.uint32),
+                       jnp.asarray(delta, jnp.uint32)]), jnp.int32)
+        y, pk_tiles, f2r, f2i = pl.pallas_call(
+            functools.partial(_fir_kernel_rt_s2, pad_left=pad_left,
+                              pad2=pad2, mxu_dtype=mxu2, prec=prec2),
+            grid=(C // tile_c, n_tt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_c, W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, 128), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, T_out), jnp.float32),
+                jax.ShapeDtypeStruct((C, n_tt * 128), jnp.float32),
+                jax.ShapeDtypeStruct((C, pad2), jnp.float32),
+                jax.ShapeDtypeStruct((C, pad2), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tile_c, pad_left), jnp.float32),
+                            pltpu.VMEM((tile_c, pad_left), jnp.float32),
+                            pltpu.VMEM((tile_c, pad2), jnp.float32),
+                            pltpu.VMEM((tile_c, pad2), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(nco_arr, xr, xi, cr, ci,
+          jnp.asarray(Hr[:pad_left]), jnp.asarray(Hr[pad_left:]),
+          jnp.asarray(G_r[:pad2]), jnp.asarray(G_r[pad2:]),
+          jnp.asarray(G_i[:pad2]), jnp.asarray(G_i[pad2:]), c2r, c2i)
+        if B >= taps - 1:
+            nc_pl = (xr[..., -(taps - 1):], xi[..., -(taps - 1):])
+        else:
+            nc_pl = (
+                jnp.concatenate([car, xr], axis=-1)[..., -(taps - 1):],
+                jnp.concatenate([cai, xi], axis=-1)[..., -(taps - 1):])
+        new_carry = nc_pl if x_planes else jax.lax.complex(*nc_pl)
+        return y, new_carry, pk_tiles, (f2r[..., -(taps2 - 1):],
+                                        f2i[..., -(taps2 - 1):])
 
     grid = (C // tile_c, n_tt)
     out_shape = [jax.ShapeDtypeStruct((C, T_out), jnp.float32)]
