@@ -312,3 +312,84 @@ def test_fused_stage_b_matches_two_stage():
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(y_1), np.asarray(y_2)], axis=-1),
         np.asarray(y))
+
+
+def test_pallas_fir_int16_ingest():
+    """int16 plane ingest (the codec's native sample width): the kernel
+    converts i16 -> normalized f32 in VMEM and must match feeding the
+    converted planes to float rounding (XLA may reassociate the constant
+    scale into the NCO rotation, ~2 ulp) — audio, peaks, stage-B planes
+    and the carried history (returned complex f32) — on the rt_s and
+    fused rt_s2 paths and across a streamed block split (the same
+    reassociation applies to the carry-domain rotation)."""
+    from uhsdr_tpu.ops import nco as nco_mod
+
+    rng = np.random.default_rng(7)
+    C, B, decim = 8, 4096, 2
+    taps, taps2 = 89, 199
+    h = np.hanning(taps).astype(np.float32)
+    h /= h.sum()
+    g2 = (np.hanning(taps2)
+          * np.exp(1j * np.linspace(0, 3, taps2))).astype(np.complex64)
+    i16 = jnp.asarray(
+        np.clip(rng.standard_normal((C, B)) * 3277, -32767,
+                32767).astype(np.int16))
+    q16 = jnp.asarray(
+        np.clip(rng.standard_normal((C, B)) * 3277, -32767,
+                32767).astype(np.int16))
+    sc = np.float32(1.0 / 32767.0)
+    i_f = i16.astype(jnp.float32) * sc
+    q_f = q16.astype(jnp.float32) * sc
+    carry_c = jnp.zeros((C, taps - 1), jnp.complex64)
+    carry_p = (jnp.zeros((C, taps - 1), jnp.float32),
+               jnp.zeros((C, taps - 1), jnp.float32))
+    c2 = (jnp.zeros((C, taps2 - 1), jnp.float32),
+          jnp.zeros((C, taps2 - 1), jnp.float32))
+    phase0, delta = jnp.uint32(12345), jnp.uint32(987654321)
+
+    # fused stage-B (rt_s2) path
+    y16, nc16, pk16, f2_16 = pfir.fir_decimate_pallas(
+        h, carry_c, (i16, q16), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, fuse2=(g2, c2),
+        interpret=True)
+    yf, ncf, pkf, f2_f = pfir.fir_decimate_pallas(
+        h, carry_p, (i_f, q_f), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, fuse2=(g2, c2),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(yf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pk16), np.asarray(pkf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(f2_16[0]), np.asarray(f2_f[0]),
+                               atol=2e-6)
+    assert jnp.iscomplexobj(nc16)   # i16 in -> complex f32 history out
+    np.testing.assert_allclose(np.asarray(nc16),
+                               np.asarray(jax.lax.complex(*ncf)), atol=2e-6)
+
+    # rt_s path (planes out, no fusion)
+    (a16r, a16i), c16b, _ = pfir.fir_decimate_pallas(
+        h, carry_c, (i16, q16), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, planes_out=True,
+        interpret=True)
+    (afr, afi), cfb, _ = pfir.fir_decimate_pallas(
+        h, carry_p, (i_f, q_f), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, planes_out=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(a16r), np.asarray(afr), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a16i), np.asarray(afi), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c16b),
+                               np.asarray(jax.lax.complex(*cfb)), atol=2e-6)
+
+    # streaming: two chained i16 half-blocks == one full block (the
+    # second call's carry is the f32 complex history from the first)
+    y_1, nc_1, _, f2_1 = pfir.fir_decimate_pallas(
+        h, carry_c, (i16[:, :B // 2], q16[:, :B // 2]), decim, tile_c=8,
+        tile_t=256, nco=(phase0, delta), peaks_out=True, fuse2=(g2, c2),
+        interpret=True)
+    ph2 = nco_mod.advance(jnp.broadcast_to(phase0, (1,)),
+                          jnp.broadcast_to(delta, (1,)), B // 2)[0]
+    y_2, _, _, _ = pfir.fir_decimate_pallas(
+        h, nc_1, (i16[:, B // 2:], q16[:, B // 2:]), decim, tile_c=8,
+        tile_t=256, nco=(ph2, delta), peaks_out=True, fuse2=(g2, f2_1),
+        interpret=True)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y_1), np.asarray(y_2)], axis=-1),
+        np.asarray(y16), atol=2e-6)

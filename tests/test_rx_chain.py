@@ -206,3 +206,37 @@ def test_rx_chain_96khz_iq_rate():
     spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
     pk = np.fft.rfftfreq(len(y), 1 / fs)[spec.argmax()]
     assert abs(pk - 700.0) < 10.0, pk
+
+
+def test_int16_plane_ingest_matches_complex():
+    """`process_block` accepts (i16, q16) int16 planes (the codec's
+    native sample width; runtime/iq_ingest.cpp ring) and matches the
+    complex-f32 chain fed the identically converted signal exactly —
+    here on the XLA fallback path; the Pallas kernels' i16 path is
+    covered by test_pallas_fir.test_pallas_fir_int16_ingest."""
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                      translate_hz=6000.0, block_len=4096)
+    params = rx.make_params(cfg)
+    rng = np.random.default_rng(3)
+    C, B = 2, 4096
+    i16 = np.clip(rng.standard_normal((C, 2 * B)) * 3277, -32767,
+                  32767).astype(np.int16)
+    q16 = np.clip(rng.standard_normal((C, 2 * B)) * 3277, -32767,
+                  32767).astype(np.int16)
+    sc = np.float32(1.0 / 32767.0)
+    zc = (i16.astype(np.float32) * sc
+          + 1j * (q16.astype(np.float32) * sc)).astype(np.complex64)
+
+    st16 = rx.init_state(cfg, params, (C,))
+    stc = rx.init_state(cfg, params, (C,))
+    outs16, outsc = [], []
+    for i in range(0, 2 * B, B):
+        a16, st16, _ = rx.process_block(
+            cfg, params, st16,
+            (jnp.asarray(i16[:, i:i + B]), jnp.asarray(q16[:, i:i + B])))
+        ac, stc, _ = rx.process_block(cfg, params, stc,
+                                      jnp.asarray(zc[:, i:i + B]))
+        outs16.append(np.asarray(a16))
+        outsc.append(np.asarray(ac))
+    np.testing.assert_array_equal(np.concatenate(outs16, -1),
+                                  np.concatenate(outsc, -1))

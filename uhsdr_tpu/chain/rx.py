@@ -558,6 +558,23 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     front_fir = jax.lax.complex(jnp.asarray(params.front_fir_re),
                                 jnp.asarray(params.front_fir_im))
 
+    # --- int16 ingest (the codec's native sample width) ---
+    # iq may be an (i16, q16) tuple of int16 planes straight off the
+    # ADC/ingest ring (audio_driver.c ISR hands 16-bit codec frames; our
+    # runtime/iq_ingest.cpp ring is int16 end-to-end).  The Pallas front
+    # kernel reads the i16 block directly — HALF the HBM bytes of the
+    # chain's dominant input term — and converts to normalized f32 in
+    # VMEM.  Every non-kernel consumer sees the lazily-converted complex
+    # view below (XLA drops it when only the kernel path is live).
+    i16 = q16 = None
+    if isinstance(iq, tuple) and iq[0].dtype == jnp.int16:
+        i16, q16 = iq
+        sc = np.float32(1.0 / 32767.0)
+        iq = jax.lax.complex(i16.astype(jnp.float32) * sc,
+                             q16.astype(jnp.float32) * sc)
+    elif isinstance(iq, tuple):
+        iq = jax.lax.complex(*iq)
+
     # --- IQ imbalance correction (audio_driver.c:2254-2316) ---
     iqc_state = state.iqcorr
     if cfg.iq_auto_correction:
@@ -609,6 +626,13 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     # across channels in a chain (all init to 0, same delta), so the
     # kernel takes it as a scalar.
     fuse_nco = use_pallas and translating
+    # raw int16 planes go to the kernel only when they truly ARE its
+    # input domain: identity calibration (no correction arithmetic ran)
+    # and either a fused NCO (the kernel rotates the raw slab itself)
+    # or no translation at all
+    i16_direct = (i16 is not None and not cfg.iq_auto_correction
+                  and params.iq_gain == 1.0 and params.iq_phase == 0.0
+                  and (fuse_nco or not translating))
     z_raw = z
     if translating and not fuse_nco:
         z, nco_phase = nco.mix(z, state.nco_phase,
@@ -664,7 +688,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
             zf, front_carry = pallas_fir.fir_decimate_pallas(
                 np.asarray(params.front_fir_re)
                 + 1j * np.asarray(params.front_fir_im),
-                state.front_carry, z, fm_decim, tile_c=tile_c, tile_t=256,
+                state.front_carry, (i16, q16) if i16_direct else z,
+                fm_decim, tile_c=tile_c, tile_t=256,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
                      if fuse_nco else None))
         elif fm_decim > 1:
@@ -740,7 +765,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                 pallas_fir.fir_decimate_pallas(
                     np.asarray(params.front_fir_re)
                     + 1j * np.asarray(params.front_fir_im),
-                    state.front_carry, z, cfg.decim, tile_c=tile_c,
+                    state.front_carry, (i16, q16) if i16_direct else z,
+                    cfg.decim, tile_c=tile_c,
                     tile_t=tile_t,
                     nco=(state.nco_phase.reshape(-1)[0], delta),
                     peaks_out=True, prec=prec_arg,
@@ -752,7 +778,8 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
             res = pallas_fir.fir_decimate_pallas(
                 np.asarray(params.front_fir_re)
                 + 1j * np.asarray(params.front_fir_im),
-                state.front_carry, z, cfg.decim, tile_c=tile_c,
+                state.front_carry, (i16, q16) if i16_direct else z,
+                cfg.decim, tile_c=tile_c,
                 tile_t=tile_t,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
                      if fuse_nco else None),

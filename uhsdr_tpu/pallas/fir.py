@@ -82,7 +82,7 @@ _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
                      or_ref, oi_ref=None, pk_ref=None, tr_s=None,
                      ti_s=None, *, pad_left: int, mxu_dtype=None,
-                     nco_ref=None, prec=None):
+                     nco_ref=None, prec=None, in_scale=None):
     """Scratch-halo + split-dot variant of `_fir_kernel_rt`:
 
       * the left halo lives in VMEM scratch (the previous tile's last
@@ -100,6 +100,13 @@ def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
     ti = pl.program_id(1)
     xr = xr_ref[:]
     xi = xi_ref[:]
+    if in_scale is not None:
+        # int16 ingest (the reference codec's native sample width,
+        # audio_driver.c ADC path): the HBM block is i16 — HALF the f32
+        # input traffic of the dominant chain term — converted to
+        # normalized f32 (full scale 1.0) in VMEM on load
+        xr = xr.astype(jnp.float32) * in_scale
+        xi = xi.astype(jnp.float32) * in_scale
     if pk_ref is not None:
         pk = jnp.maximum(jnp.max(jnp.abs(xr), axis=1, keepdims=True),
                          jnp.max(jnp.abs(xi), axis=1, keepdims=True))
@@ -153,7 +160,7 @@ def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
                       hrb_ref, gtr_ref, gbr_ref, gti_ref, gbi_ref,
                       c2r_ref, c2i_ref, o_ref, pk_ref, f2r_ref, f2i_ref,
                       tr_s, ti_s, br_s, bi_s, *, pad_left: int, pad2: int,
-                      mxu_dtype=None, prec=None):
+                      mxu_dtype=None, prec=None, in_scale=None):
     """`_fir_kernel_rt_s` with the ref front's STAGE B fused into the
     epilogue: the 199-tap complex Hilbert-combine FIR at fs_dec
     (`chain.rx.stage_b`, audio_driver.c:2748-2790) runs on the stage-A
@@ -170,6 +177,11 @@ def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
     ti = pl.program_id(1)
     xr = xr_ref[:]
     xi = xi_ref[:]
+    if in_scale is not None:
+        # int16 ingest: i16 HBM block -> normalized f32 in VMEM (see
+        # `_fir_kernel_rt_s`); halves the chain's dominant HBM term
+        xr = xr.astype(jnp.float32) * in_scale
+        xi = xi.astype(jnp.float32) * in_scale
     pk = jnp.maximum(jnp.max(jnp.abs(xr), axis=1, keepdims=True),
                      jnp.max(jnp.abs(xi), axis=1, keepdims=True))
     pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
@@ -305,12 +317,19 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         prec: str | None = None,
                         planes_out: bool = False,
                         peaks_out: bool = False,
-                        fuse2=None):
+                        fuse2=None,
+                        in_scale: float | None = None):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
     kernel.  x: (C, B) complex64 — or an (xr, xi) tuple of f32 planes,
     which (with planes_out=True for the result) skips the interleaved
-    complex64 materialization between chained kernels entirely.
-    carry: (C, taps-1) complex64 (or plane tuple, matching x).
+    complex64 materialization between chained kernels entirely — or an
+    (xr, xi) tuple of INT16 planes (the reference codec's native sample
+    width): the kernel then reads half the HBM bytes and converts to
+    normalized f32 (full scale 1.0 = 32767 counts, or `in_scale` per
+    count if given) in VMEM; output, carries and peaks are identical to
+    feeding `x.astype(f32) * in_scale`.
+    carry: (C, taps-1) complex64 (or plane tuple, matching x; always
+    the f32/complex domain — int16 inputs still carry f32 history).
     Requires C % tile_c == 0, (B//decim) % tile_t == 0, and
     tile_t*decim >= pad_left (halo fits in one neighbor block).
 
@@ -335,6 +354,20 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     pad_left = -(-(taps - 1) // 128) * 128
     assert W >= pad_left, (W, pad_left)
     real_taps = not np.iscomplexobj(h_np) or not np.any(np.imag(h_np))
+    in_i16 = x_planes and xr.dtype == jnp.int16
+    if in_i16 and in_scale is None:
+        in_scale = 1.0 / 32767.0
+    if in_i16 and not real_taps:
+        # only the real-taps kernels take i16 blocks; convert up front
+        # for the complex-taps path (correct, no bandwidth win)
+        xr = xr.astype(jnp.float32) * np.float32(in_scale)
+        xi = xi.astype(jnp.float32) * np.float32(in_scale)
+        in_i16 = False
+    kern_scale = np.float32(in_scale) if in_i16 else None
+
+    def _tail_f32(a):
+        """carry tail in the f32 domain regardless of the input dtype"""
+        return (a.astype(jnp.float32) * kern_scale) if in_i16 else a
     Hr = jnp.asarray(_build_tap_matrix(np.real(h_np).astype(np.float32),
                                        decim, tile_t, pad_left))
     Hi = None if real_taps else jnp.asarray(
@@ -380,7 +413,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                        jnp.asarray(delta, jnp.uint32)]), jnp.int32)
         y, pk_tiles, f2r, f2i = pl.pallas_call(
             functools.partial(_fir_kernel_rt_s2, pad_left=pad_left,
-                              pad2=pad2, mxu_dtype=mxu2, prec=prec2),
+                              pad2=pad2, mxu_dtype=mxu2, prec=prec2,
+                              in_scale=kern_scale),
             grid=(C // tile_c, n_tt),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -431,12 +465,16 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
           jnp.asarray(G_r[:pad2]), jnp.asarray(G_r[pad2:]),
           jnp.asarray(G_i[:pad2]), jnp.asarray(G_i[pad2:]), c2r, c2i)
         if B >= taps - 1:
-            nc_pl = (xr[..., -(taps - 1):], xi[..., -(taps - 1):])
+            nc_pl = (_tail_f32(xr[..., -(taps - 1):]),
+                     _tail_f32(xi[..., -(taps - 1):]))
         else:
             nc_pl = (
-                jnp.concatenate([car, xr], axis=-1)[..., -(taps - 1):],
-                jnp.concatenate([cai, xi], axis=-1)[..., -(taps - 1):])
-        new_carry = nc_pl if x_planes else jax.lax.complex(*nc_pl)
+                jnp.concatenate([car, _tail_f32(xr)],
+                                axis=-1)[..., -(taps - 1):],
+                jnp.concatenate([cai, _tail_f32(xi)],
+                                axis=-1)[..., -(taps - 1):])
+        new_carry = (nc_pl if x_planes and not in_i16
+                     else jax.lax.complex(*nc_pl))
         return y, new_carry, pk_tiles, (f2r[..., -(taps2 - 1):],
                                         f2i[..., -(taps2 - 1):])
 
@@ -489,7 +527,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         scratch_shapes = [pltpu.VMEM((tile_c, pad_left), jnp.float32),
                           pltpu.VMEM((tile_c, pad_left), jnp.float32)]
         base = functools.partial(_fir_kernel_rt_s, pad_left=pad_left,
-                                 mxu_dtype=mxu, prec=prec_v)
+                                 mxu_dtype=mxu, prec=prec_v,
+                                 in_scale=kern_scale)
         n_out = len(out_shape)
         if nco is None:
             if n_out == 1:                      # real_out
@@ -577,15 +616,22 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         y = jax.lax.complex(outs[0], outs[1])
     if x_planes:
         if B >= taps - 1:
-            new_carry = (xr[..., -(taps - 1):], xi[..., -(taps - 1):])
+            new_carry = (_tail_f32(xr[..., -(taps - 1):]),
+                         _tail_f32(xi[..., -(taps - 1):]))
         else:
             new_carry = (
-                jnp.concatenate([car, xr], axis=-1)[..., -(taps - 1):],
-                jnp.concatenate([cai, xi], axis=-1)[..., -(taps - 1):])
+                jnp.concatenate([car, _tail_f32(xr)],
+                                axis=-1)[..., -(taps - 1):],
+                jnp.concatenate([cai, _tail_f32(xi)],
+                                axis=-1)[..., -(taps - 1):])
     elif B >= taps - 1:
         new_carry = x[..., -(taps - 1):]
     else:
         new_carry = jnp.concatenate([carry, x], axis=-1)[..., -(taps - 1):]
+    if in_i16 and isinstance(new_carry, tuple):
+        # int16 ingest keeps the carried history complex f32 (stable
+        # RxState pytree; the tail is tiny next to the block)
+        new_carry = jax.lax.complex(*new_carry)
     if peaks_out:
         return y, new_carry, peaks
     return y, new_carry
