@@ -282,3 +282,42 @@ def test_kernel_path_conformance_margin_on_chip():
     out = run_product_chain(cfg, iq, channels=8)
     s = snr_db(ref, out[:len(ref)])
     assert s >= 52.0, f"kernel-path margin eroded: {s:.1f} dB (want >=52)"
+
+
+def test_int16_ingest_on_chip():
+    """int16 plane ingest through the fused front kernel (the i16 HBM
+    blocks + VMEM convert path) vs the same chain fed the converted
+    complex f32 signal — the two must agree to float rounding on the
+    real chip (both run the identical kernel dots; only the load/convert
+    differs)."""
+    from uhsdr_tpu.chain import rx
+
+    C, T = 1024, 8192
+    fs = 48000.0
+    cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
+                      translate_hz=6000.0, block_len=T)
+    params = rx.make_params(cfg)
+    t = np.arange(T) / fs
+    z = (0.4 * np.exp(2j * np.pi * (6000 + 700) * t)
+         + 0.2 * np.exp(2j * np.pi * (6000 + 1500) * t))
+    i16 = np.tile(np.clip(np.round(z.real * 32767), -32767, 32767)
+                  .astype(np.int16), (C, 1))
+    q16 = np.tile(np.clip(np.round(z.imag * 32767), -32767, 32767)
+                  .astype(np.int16), (C, 1))
+    sc = np.float32(1.0 / 32767.0)
+
+    anchor = jax.device_put(np.zeros((), np.float32))
+    st16 = jax.jit(lambda d: rx.init_state(cfg, params, (C,)))(anchor)
+    stf = jax.jit(lambda d: rx.init_state(cfg, params, (C,)))(anchor)
+
+    @jax.jit
+    def both(st_a, st_b, i, q):
+        a16, _, _ = rx.process_block(cfg, params, st_a, (i, q))
+        zf = jax.lax.complex(i.astype(jnp.float32) * sc,
+                             q.astype(jnp.float32) * sc)
+        af, _, _ = rx.process_block(cfg, params, st_b, zf)
+        return _probe(af, a16 - af)
+
+    out = np.asarray(both(st16, stf, jax.device_put(i16),
+                          jax.device_put(q16)))
+    assert _snr_db(out) > 60, out
