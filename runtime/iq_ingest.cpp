@@ -9,7 +9,12 @@
 //
 // C ABI (ctypes-friendly):
 //   handle = uhsdr_ingest_open(path, block_samples, ring_blocks, loop)
+//   handle = uhsdr_ingest_open2(path, block, ring, loop, raw_i16)
 //   n = uhsdr_ingest_next(handle, i_out, q_out)   // block_samples floats
+//   n = uhsdr_ingest_next_i16(handle, i_out, q_out)  // raw_i16 mode: the
+//       ring stores the UNCONVERTED int16 planes (half the ring memory
+//       and memcpy traffic); feeds the chain's int16 ingest path, which
+//       converts on the TPU in VMEM (pallas/fir in_scale)
 //   uhsdr_ingest_close(handle)
 //
 // Build: g++ -O3 -shared -fPIC -o libuhsdr_ingest.so iq_ingest.cpp -lpthread
@@ -66,8 +71,11 @@ struct Ingest {
     long block_samples = 0;
     long ring_blocks = 0;
 
+    bool raw = false;                 // raw_i16 mode: ring holds int16
+
     // ring of converted blocks: [slot][i-plane | q-plane]
     std::vector<float> ring;
+    std::vector<int16_t> ring16;      // raw mode storage (instead of ring)
     std::vector<long> valid;          // samples valid per slot
     std::atomic<long> head{0};        // produced count
     std::atomic<long> tail{0};        // consumed count
@@ -81,6 +89,8 @@ struct Ingest {
 
     float* slot_i(long s) { return ring.data() + (s % ring_blocks) * 2 * block_samples; }
     float* slot_q(long s) { return slot_i(s) + block_samples; }
+    int16_t* slot_i16(long s) { return ring16.data() + (s % ring_blocks) * 2 * block_samples; }
+    int16_t* slot_q16(long s) { return slot_i16(s) + block_samples; }
 
     void produce_loop() {
         const float scale = 1.0f / 32768.0f;
@@ -112,13 +122,23 @@ struct Ingest {
             if (remaining >= 0) remaining -= got;
 
             long s = head.load();
-            float* ip = slot_i(s);
-            float* qp = slot_q(s);
-            for (long k = 0; k < got; ++k) {
-                ip[k] = scratch[2 * k] * scale;
-                qp[k] = scratch[2 * k + 1] * scale;
+            if (raw) {
+                int16_t* ip = slot_i16(s);
+                int16_t* qp = slot_q16(s);
+                for (long k = 0; k < got; ++k) {
+                    ip[k] = scratch[2 * k];
+                    qp[k] = scratch[2 * k + 1];
+                }
+                for (long k = got; k < block_samples; ++k) ip[k] = qp[k] = 0;
+            } else {
+                float* ip = slot_i(s);
+                float* qp = slot_q(s);
+                for (long k = 0; k < got; ++k) {
+                    ip[k] = scratch[2 * k] * scale;
+                    qp[k] = scratch[2 * k + 1] * scale;
+                }
+                for (long k = got; k < block_samples; ++k) ip[k] = qp[k] = 0.0f;
             }
-            for (long k = got; k < block_samples; ++k) ip[k] = qp[k] = 0.0f;
             valid[s % ring_blocks] = got;
             {
                 std::lock_guard<std::mutex> lk(mu);
@@ -135,13 +155,14 @@ struct Ingest {
 
 extern "C" {
 
-void* uhsdr_ingest_open(const char* path, long block_samples,
-                        long ring_blocks, int loop) {
+void* uhsdr_ingest_open2(const char* path, long block_samples,
+                         long ring_blocks, int loop, int raw_i16) {
     FILE* f = fopen(path, "rb");
     if (!f) return nullptr;
     Ingest* in = new Ingest();
     in->file = f;
     in->loop = loop != 0;
+    in->raw = raw_i16 != 0;
     in->block_samples = block_samples;
     in->ring_blocks = ring_blocks > 1 ? ring_blocks : 2;
 
@@ -154,27 +175,63 @@ void* uhsdr_ingest_open(const char* path, long block_samples,
         }
         in->is_wav = true;
     }
-    in->ring.resize((size_t)in->ring_blocks * 2 * block_samples);
+    if (in->raw)
+        in->ring16.resize((size_t)in->ring_blocks * 2 * block_samples);
+    else
+        in->ring.resize((size_t)in->ring_blocks * 2 * block_samples);
     in->valid.resize(in->ring_blocks);
     in->scratch.resize((size_t)2 * block_samples);
     in->producer = std::thread([in] { in->produce_loop(); });
     return in;
 }
 
-// returns number of valid samples copied (0 = end of stream)
-long uhsdr_ingest_next(void* handle, float* i_out, float* q_out) {
-    Ingest* in = (Ingest*)handle;
+void* uhsdr_ingest_open(const char* path, long block_samples,
+                        long ring_blocks, int loop) {
+    return uhsdr_ingest_open2(path, block_samples, ring_blocks, loop, 0);
+}
+
+namespace {
+// shared pop: waits for a produced slot, returns it in *slot (or false at
+// end of stream)
+bool pop_slot(Ingest* in, long* slot, long* n) {
     {
         std::unique_lock<std::mutex> lk(in->mu);
         in->cv_cons.wait(lk, [&] {
             return in->head.load() > in->tail.load() || in->eof.load();
         });
-        if (in->head.load() <= in->tail.load()) return 0;
+        if (in->head.load() <= in->tail.load()) return false;
     }
-    long s = in->tail.load();
-    long n = in->valid[s % in->ring_blocks];
+    *slot = in->tail.load();
+    *n = in->valid[*slot % in->ring_blocks];
+    return true;
+}
+}  // namespace
+
+// returns number of valid samples copied (0 = end of stream)
+long uhsdr_ingest_next(void* handle, float* i_out, float* q_out) {
+    Ingest* in = (Ingest*)handle;
+    if (in->raw) return -1;           // wrong-mode guard
+    long s, n;
+    if (!pop_slot(in, &s, &n)) return 0;
     memcpy(i_out, in->slot_i(s), in->block_samples * sizeof(float));
     memcpy(q_out, in->slot_q(s), in->block_samples * sizeof(float));
+    {
+        std::lock_guard<std::mutex> lk(in->mu);
+        in->tail.store(s + 1);
+    }
+    in->cv_prod.notify_one();
+    return n;
+}
+
+// raw_i16 mode pop: UNCONVERTED int16 planes (half the memcpy traffic);
+// the chain converts on-device (pallas/fir in_scale).  -1 = wrong mode.
+long uhsdr_ingest_next_i16(void* handle, int16_t* i_out, int16_t* q_out) {
+    Ingest* in = (Ingest*)handle;
+    if (!in->raw) return -1;          // wrong-mode guard
+    long s, n;
+    if (!pop_slot(in, &s, &n)) return 0;
+    memcpy(i_out, in->slot_i16(s), in->block_samples * sizeof(int16_t));
+    memcpy(q_out, in->slot_q16(s), in->block_samples * sizeof(int16_t));
     {
         std::lock_guard<std::mutex> lk(in->mu);
         in->tail.store(s + 1);

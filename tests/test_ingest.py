@@ -87,3 +87,39 @@ def test_fleet_ingest_batches_channels(tmp_path):
         blk2 = fl.next_block()
         assert blk2 is not None
         assert fl.next_block() is None
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_ingest_raw_i16_mode(tmp_path, force_numpy):
+    """raw_i16 mode hands the file's int16 samples UNCONVERTED (the
+    chain's int16 ingest path scales on-device), native ring and numpy
+    fallback alike; the f32 mode of the same capture equals the raw
+    planes times the ring's 1/32768 scale exactly."""
+    if not force_numpy and (ingest._LIB is None
+                            or not getattr(ingest._LIB, "_has_i16", False)):
+        pytest.skip("native lib (with raw_i16) not built")
+    iq = _make_capture(tmp_path, n=8192)
+    p = str(tmp_path / "cap16.wav")
+    ingest.write_iq_wav(p, iq)
+    want_i, want_q = ingest.read_iq_file_i16(p)
+
+    got_i, got_q = [], []
+    with ingest.IqIngest(p, 2048, force_numpy=force_numpy,
+                         raw_i16=True) as src:
+        while True:
+            b = src.next_block()
+            if b is None:
+                break
+            assert b[0].dtype == np.int16 and b[1].dtype == np.int16
+            got_i.append(b[0])
+            got_q.append(b[1])
+    gi = np.concatenate(got_i)[:8192]
+    gq = np.concatenate(got_q)[:8192]
+    np.testing.assert_array_equal(gi, want_i)
+    np.testing.assert_array_equal(gq, want_q)
+
+    # f32 mode of the same stream == raw * (1/32768)
+    with ingest.IqIngest(p, 2048, force_numpy=force_numpy) as src:
+        f = src.next_block()
+    np.testing.assert_array_equal(
+        f[0], gi[:2048].astype(np.float32) / 32768.0)

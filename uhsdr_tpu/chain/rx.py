@@ -560,8 +560,9 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
 
     # --- int16 ingest (the codec's native sample width) ---
     # iq may be an (i16, q16) tuple of int16 planes straight off the
-    # ADC/ingest ring (audio_driver.c ISR hands 16-bit codec frames; our
-    # runtime/iq_ingest.cpp ring is int16 end-to-end).  The Pallas front
+    # ADC/ingest ring (audio_driver.c ISR hands 16-bit codec frames; the
+    # native ring's raw_i16 mode, io.ingest.IqIngest, hands exactly
+    # these planes unconverted).  The Pallas front
     # kernel reads the i16 block directly — HALF the HBM bytes of the
     # chain's dominant input term — and converts to normalized f32 in
     # VMEM.  Every non-kernel consumer sees the lazily-converted complex

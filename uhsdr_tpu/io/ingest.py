@@ -3,8 +3,10 @@
 The native engine (`runtime/iq_ingest.cpp`) is the framework's data-plane
 transport, the analog of the reference's I2S DMA double-buffering + USB
 audio streaming (`uhsdr_hw_i2s.c`, `usbd_audio_if.c`): a producer thread
-reads raw int16 IQ (or 16-bit stereo WAV) and converts to f32 planes into
-a ring of blocks; `next_block()` pops without blocking on disk.
+reads raw int16 IQ (or 16-bit stereo WAV) into a ring of blocks —
+pre-converted f32 planes, or UNCONVERTED int16 planes in raw_i16 mode
+(half the ring memory/traffic; the chain's int16 ingest path converts on
+the TPU in VMEM); `next_block()` pops without blocking on disk.
 
 Falls back to a pure-NumPy reader when the shared library is missing
 (e.g. before `make -C runtime`).
@@ -34,6 +36,18 @@ def _load_lib():
                                       ctypes.POINTER(ctypes.c_float),
                                       ctypes.POINTER(ctypes.c_float)]
     lib.uhsdr_ingest_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.uhsdr_ingest_open2.restype = ctypes.c_void_p
+        lib.uhsdr_ingest_open2.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                           ctypes.c_long, ctypes.c_int,
+                                           ctypes.c_int]
+        lib.uhsdr_ingest_next_i16.restype = ctypes.c_long
+        lib.uhsdr_ingest_next_i16.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16)]
+        lib._has_i16 = True
+    except AttributeError:       # stale .so without the raw_i16 mode
+        lib._has_i16 = False
     lib.uhsdr_fleet_open.restype = ctypes.c_void_p
     lib.uhsdr_fleet_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
                                      ctypes.c_long, ctypes.c_long,
@@ -72,38 +86,71 @@ _SINK_LIB = _load_sink_lib()
 
 
 class IqIngest:
-    """Streaming IQ block source.  Produces (i_plane, q_plane) float32."""
+    """Streaming IQ block source.  Produces (i_plane, q_plane) float32 —
+    or UNCONVERTED int16 planes with raw_i16=True (half the ring memory,
+    memcpy and host->device traffic; `chain.rx.process_block` takes the
+    (i16, q16) tuple directly and the front kernel converts in VMEM)."""
 
     def __init__(self, path: str, block_samples: int,
                  ring_blocks: int = 4, loop: bool = False,
-                 force_numpy: bool = False):
+                 force_numpy: bool = False, raw_i16: bool = False):
         self.block = block_samples
+        self.raw_i16 = raw_i16
         self._native = None
         self._np_data = None
         self._np_pos = 0
         self._loop = loop
-        if _LIB is not None and not force_numpy:
-            h = _LIB.uhsdr_ingest_open(path.encode(), block_samples,
-                                       ring_blocks, int(loop))
+        use_native = (_LIB is not None and not force_numpy
+                      and (not raw_i16 or getattr(_LIB, "_has_i16", False)))
+        if use_native:
+            h = _LIB.uhsdr_ingest_open2(path.encode(), block_samples,
+                                        ring_blocks, int(loop),
+                                        int(raw_i16))
             if not h:
                 raise OSError(f"ingest_open failed: {path}")
             self._native = h
+        elif raw_i16:
+            i16, q16 = read_iq_file_i16(path)
+            self._np_data = (i16, q16)
         else:
             self._np_data = read_iq_file(path)
 
     def next_block(self):
-        """Returns (i, q) f32 arrays of block length, or None at stream end."""
+        """Returns (i, q) planes of block length — float32, or int16 in
+        raw_i16 mode — or None at stream end."""
         if self._native is not None:
-            i = np.empty(self.block, np.float32)
-            q = np.empty(self.block, np.float32)
-            n = _LIB.uhsdr_ingest_next(
-                self._native,
-                i.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if self.raw_i16:
+                i = np.empty(self.block, np.int16)
+                q = np.empty(self.block, np.int16)
+                n = _LIB.uhsdr_ingest_next_i16(
+                    self._native,
+                    i.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+            else:
+                i = np.empty(self.block, np.float32)
+                q = np.empty(self.block, np.float32)
+                n = _LIB.uhsdr_ingest_next(
+                    self._native,
+                    i.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            assert n >= 0, "ingest mode mismatch"
             if n == 0:
                 return None
             return i, q
         # numpy fallback
+        if self.raw_i16:
+            i16, q16 = self._np_data
+            if self._np_pos >= len(i16):
+                if not self._loop:
+                    return None
+                self._np_pos = 0
+            end = self._np_pos + self.block
+            ci, cq = i16[self._np_pos:end], q16[self._np_pos:end]
+            self._np_pos = end
+            if len(ci) < self.block:
+                ci = np.pad(ci, (0, self.block - len(ci)))
+                cq = np.pad(cq, (0, self.block - len(cq)))
+            return ci.copy(), cq.copy()
         z = self._np_data
         if self._np_pos >= len(z):
             if not self._loop:
@@ -127,6 +174,18 @@ class IqIngest:
 
     def __exit__(self, *a):
         self.close()
+
+
+def read_iq_file_i16(path: str):
+    """Whole-file IQ read as UNCONVERTED (i16, q16) planes."""
+    if path.lower().endswith(".wav"):
+        with wave.open(path, "rb") as w:
+            assert w.getnchannels() == 2 and w.getsampwidth() == 2
+            raw = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    else:
+        raw = np.fromfile(path, np.int16)
+    raw = raw[: len(raw) // 2 * 2]
+    return raw[0::2].copy(), raw[1::2].copy()
 
 
 def read_iq_file(path: str) -> np.ndarray:
