@@ -337,7 +337,7 @@ def test_pallas_fir_int16_ingest():
     q16 = jnp.asarray(
         np.clip(rng.standard_normal((C, B)) * 3277, -32767,
                 32767).astype(np.int16))
-    sc = np.float32(1.0 / 32767.0)
+    sc = np.float32(1.0 / 32768.0)
     i_f = i16.astype(jnp.float32) * sc
     q_f = q16.astype(jnp.float32) * sc
     carry_c = jnp.zeros((C, taps - 1), jnp.complex64)

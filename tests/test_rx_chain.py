@@ -223,7 +223,7 @@ def test_int16_plane_ingest_matches_complex():
                   32767).astype(np.int16)
     q16 = np.clip(rng.standard_normal((C, 2 * B)) * 3277, -32767,
                   32767).astype(np.int16)
-    sc = np.float32(1.0 / 32767.0)
+    sc = np.float32(1.0 / 32768.0)
     zc = (i16.astype(np.float32) * sc
           + 1j * (q16.astype(np.float32) * sc)).astype(np.complex64)
 

@@ -304,7 +304,7 @@ def test_int16_ingest_on_chip():
                   .astype(np.int16), (C, 1))
     q16 = np.tile(np.clip(np.round(z.imag * 32767), -32767, 32767)
                   .astype(np.int16), (C, 1))
-    sc = np.float32(1.0 / 32767.0)
+    sc = np.float32(1.0 / 32768.0)
 
     anchor = jax.device_put(np.zeros((), np.float32))
     st16 = jax.jit(lambda d: rx.init_state(cfg, params, (C,)))(anchor)

@@ -570,7 +570,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     i16 = q16 = None
     if isinstance(iq, tuple) and iq[0].dtype == jnp.int16:
         i16, q16 = iq
-        sc = np.float32(1.0 / 32767.0)
+        sc = np.float32(1.0 / 32768.0)
         iq = jax.lax.complex(i16.astype(jnp.float32) * sc,
                              q16.astype(jnp.float32) * sc)
     elif isinstance(iq, tuple):
@@ -1056,22 +1056,29 @@ class RxChain:
 
     Host I/O is restricted to float32 (the axon TPU relay cannot transfer
     complex64): pass I and Q as separate f32 planes, or a complex array
-    which is split host-side.
+    which is split host-side.  int16 planes (the codec's native width,
+    e.g. `io.ingest.IqIngest(raw_i16=True)`) are also accepted and flow
+    to the front kernel unconverted (jit specializes per dtype).
     """
 
     def __init__(self, cfg: RxConfig):
         self.cfg = cfg
         self.params = make_params(cfg)
 
+        def _as_iq(i_plane, q_plane):
+            if i_plane.dtype == jnp.int16:
+                return (i_plane, q_plane)
+            return jax.lax.complex(i_plane, q_plane)
+
         def _run(state, i_plane, q_plane):
-            iq = jax.lax.complex(i_plane, q_plane)
-            return process_block(self.cfg, self.params, state, iq)
+            return process_block(self.cfg, self.params, state,
+                                 _as_iq(i_plane, q_plane))
 
         self._jit = jax.jit(_run)
 
         def _run_tuned(state, i_plane, q_plane, tune_offset_hz):
-            iq = jax.lax.complex(i_plane, q_plane)
-            return process_block(self.cfg, self.params, state, iq,
+            return process_block(self.cfg, self.params, state,
+                                 _as_iq(i_plane, q_plane),
                                  tune_offset_hz=tune_offset_hz)
 
         # live-retune variant: the dial offset is a traced f32 scalar, so

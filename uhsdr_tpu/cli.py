@@ -181,7 +181,8 @@ def cmd_rx(args) -> int:
 
     out = []
     nblocks = 0
-    with ingest.IqIngest(args.input, args.block) as src:
+    with ingest.IqIngest(args.input, args.block,
+                         raw_i16=getattr(args, "raw_i16", False)) as src:
         while True:
             blk = src.next_block()
             if blk is None:
@@ -474,6 +475,9 @@ def main(argv=None) -> int:
     rxp.add_argument("--nr", action="store_true")
     rxp.add_argument("--notch", action="store_true")
     rxp.add_argument("--block", type=int, default=4096)
+    rxp.add_argument("--raw-i16", action="store_true",
+                     help="keep the capture's int16 samples unconverted "
+                          "through the native ring and front kernel")
     rxp.add_argument("--max-blocks", type=int, default=0)
     rxp.set_defaults(fn=cmd_rx)
 

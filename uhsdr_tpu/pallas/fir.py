@@ -325,7 +325,9 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     complex64 materialization between chained kernels entirely — or an
     (xr, xi) tuple of INT16 planes (the reference codec's native sample
     width): the kernel then reads half the HBM bytes and converts to
-    normalized f32 (full scale 1.0 = 32767 counts, or `in_scale` per
+    normalized f32 (full scale 1.0 = 32768 counts — the native ring's
+    f32 convention, so raw and pre-converted ingest agree exactly — or
+    `in_scale` per
     count if given) in VMEM; output, carries and peaks are identical to
     feeding `x.astype(f32) * in_scale`.
     carry: (C, taps-1) complex64 (or plane tuple, matching x; always
@@ -356,7 +358,7 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     real_taps = not np.iscomplexobj(h_np) or not np.any(np.imag(h_np))
     in_i16 = x_planes and xr.dtype == jnp.int16
     if in_i16 and in_scale is None:
-        in_scale = 1.0 / 32767.0
+        in_scale = 1.0 / 32768.0
     if in_i16 and not real_taps:
         # only the real-taps kernels take i16 blocks; convert up front
         # for the complex-taps path (correct, no bandwidth win)
