@@ -103,9 +103,16 @@ class IqIngest:
         use_native = (_LIB is not None and not force_numpy
                       and (not raw_i16 or getattr(_LIB, "_has_i16", False)))
         if use_native:
-            h = _LIB.uhsdr_ingest_open2(path.encode(), block_samples,
-                                        ring_blocks, int(loop),
-                                        int(raw_i16))
+            if getattr(_LIB, "_has_i16", False):
+                h = _LIB.uhsdr_ingest_open2(path.encode(), block_samples,
+                                            ring_blocks, int(loop),
+                                            int(raw_i16))
+            else:
+                # Stale .so without the raw_i16 mode: the f32 path still
+                # works through the original entry point (raw_i16 with a
+                # stale lib already fell back to numpy via use_native).
+                h = _LIB.uhsdr_ingest_open(path.encode(), block_samples,
+                                           ring_blocks, int(loop))
             if not h:
                 raise OSError(f"ingest_open failed: {path}")
             self._native = h
@@ -133,7 +140,9 @@ class IqIngest:
                     self._native,
                     i.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-            assert n >= 0, "ingest mode mismatch"
+            if n < 0:  # wrong-mode sentinel; must survive `python -O`
+                raise RuntimeError("ingest mode mismatch (raw_i16 flag "
+                                   "does not match the open mode)")
             if n == 0:
                 return None
             return i, q

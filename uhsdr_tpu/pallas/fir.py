@@ -327,9 +327,10 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     width): the kernel then reads half the HBM bytes and converts to
     normalized f32 (full scale 1.0 = 32768 counts — the native ring's
     f32 convention, so raw and pre-converted ingest agree exactly — or
-    `in_scale` per
-    count if given) in VMEM; output, carries and peaks are identical to
-    feeding `x.astype(f32) * in_scale`.
+    `in_scale` per count if given) in VMEM; output, carries and peaks
+    are identical to feeding `x.astype(f32) * in_scale`.  `in_scale` is
+    only meaningful for int16 plane inputs and raises for any other
+    input dtype (f32/complex inputs must be pre-scaled by the caller).
     carry: (C, taps-1) complex64 (or plane tuple, matching x; always
     the f32/complex domain — int16 inputs still carry f32 history).
     Requires C % tile_c == 0, (B//decim) % tile_t == 0, and
@@ -357,6 +358,9 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     assert W >= pad_left, (W, pad_left)
     real_taps = not np.iscomplexobj(h_np) or not np.any(np.imag(h_np))
     in_i16 = x_planes and xr.dtype == jnp.int16
+    if not in_i16 and in_scale is not None:
+        raise ValueError("in_scale applies only to int16 plane inputs; "
+                         "pre-scale f32/complex inputs at the caller")
     if in_i16 and in_scale is None:
         in_scale = 1.0 / 32768.0
     if in_i16 and not real_taps:
