@@ -198,12 +198,18 @@ def test_dispatch_path_recorded():
     fs = 12000
     params = agc.make_params(fs, mode="med")
 
-    # 500 channels does not satisfy channels % 1024 == 0 -> scan path,
-    # on every backend.
+    # 500 channels does not satisfy channels % 1024 == 0: on CPU this
+    # records the scan fallback; off-CPU the channels are PADDED to the
+    # kernel gate instead (pallas_fused_padded — the r4 fallback cliff
+    # measured ~30x, so run() never takes the scan for 2D TPU batches).
     state = agc.init_state((500,), params)
     x = jnp.zeros((500, 512), jnp.float32)
     agc.run(params, state, x)
-    assert agc.last_path == "xla_scan"
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        assert agc.last_path == "xla_scan"
+    else:
+        assert agc.last_path == "pallas_fused_padded"
 
     # agc_off is recorded too.
     off = agc.make_params(fs, mode="off")
@@ -220,3 +226,46 @@ def test_dispatch_path_recorded():
         assert agc.last_path == "xla_scan"
     else:
         assert agc.last_path in ("pallas_fused", "pallas_scan")
+
+
+def test_padded_kernel_path_matches_scan():
+    """Channel counts off the 1024 gate run the fused kernel on PADDED
+    channels (VERDICT r4 #8: the fallback cliff) — the padded dispatch
+    must be exact vs the XLA scan path and must not leak pad channels
+    into outputs or state."""
+    fs = 12000
+    params = agc.make_params(fs, mode="med")
+    C, T = 130, 256
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((C, T)) * 800).astype(np.float32)
+
+    state = agc.init_state((C,), params)
+    y_ref, st_ref = agc.run(params, state, jnp.asarray(x))
+    assert agc.last_path == "xla_scan"
+
+    y_k, st_k = agc.run(params, state, jnp.asarray(x),
+                        _force_kernel=True)
+    assert agc.last_path == "pallas_fused_padded"
+    assert y_k.shape == (C, T)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-3)
+    for name in ("volts", "save_volts", "fast_backaverage",
+                 "hang_backaverage", "hang_counter", "decay_type",
+                 "state", "delay"):
+        a = np.asarray(getattr(st_k, name))
+        b = np.asarray(getattr(st_ref, name))
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3,
+                                   err_msg=name)
+
+    # per-channel gain-law params survive the padding too
+    params_pc = agc.make_params(fs, mode="med",
+                                thresh_db=np.linspace(40.0, 70.0, C),
+                                slope_db=np.linspace(2.0, 8.0, C))
+    state_pc = agc.init_state((C,), params_pc)
+    y_ref2, _ = agc.run(params_pc, state_pc, jnp.asarray(x))
+    y_k2, _ = agc.run(params_pc, state_pc, jnp.asarray(x),
+                      _force_kernel=True)
+    assert agc.last_path == "pallas_fused_padded"
+    np.testing.assert_allclose(np.asarray(y_k2), np.asarray(y_ref2),
+                               rtol=2e-4, atol=2e-3)

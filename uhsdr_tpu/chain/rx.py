@@ -147,8 +147,16 @@ class RxConfig:
         bf16 ships for plain chains (>=3 dB headroom over the 50 dB
         bound); spectral-NR chains AUTO-ESCALATE to highest — the MMSE
         gain machine amplifies the bf16 floor nonlinearly (32.2 dB,
-        breaching the bound; 53.7 dB at highest)."""
-        if self.front_prec == "default" and self.nr_enable:
+        breaching the bound; 53.7 dB at highest).  FM chains escalate
+        too (r5): the r4 fm TPU row lost 21 dB vs CPU and the bisect
+        (`tools/fm_bisect.py`) pinned ALL of it on the bf16 front
+        (front 61.9 dB, discriminator tracking it at 60.8, no later
+        stage adding error; at highest the full FM chain measures
+        129.7 dB TPU-vs-CPU).  FM's front is the decim-1 89-tap lowpass
+        at 48 kHz — not the flagship bench path — so the escalation
+        costs only FM-fleet throughput (measured delta in PERF.md)."""
+        if self.front_prec == "default" and (self.nr_enable
+                                             or self.mode == "fm"):
             return "highest"
         return self.front_prec
 
@@ -692,7 +700,9 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                 state.front_carry, (i16, q16) if i16_direct else z,
                 fm_decim, tile_c=tile_c, tile_t=256,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
-                     if fuse_nco else None))
+                     if fuse_nco else None),
+                prec=(None if cfg.effective_front_prec == "default"
+                      else cfg.effective_front_prec))
         elif fm_decim > 1:
             n_keep = state.front_carry.shape[-1]
             zf, _ = fir.fir_decimate_block(

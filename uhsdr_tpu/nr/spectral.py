@@ -156,7 +156,11 @@ def _musical_noise_smooth(params: NrParams, hk: jnp.ndarray, X: jnp.ndarray):
         (0.5 + MN_WIDTH * (1.0 - ratio / params.power_threshold))
         .astype(jnp.int32), 0)
     A = jnp.asarray(_mn_avg_matrices(lo, hi))           # (nb, MN_WIDTH*nb)
-    avg = jnp.matmul(hk, A)                             # (..., MN_WIDTH*nb)
+    # HIGHEST: the gain machine is precision-critical (discrete
+    # window-width / threshold decisions amplify rounding) and this
+    # matmul is tiny (nb x 4nb) — one-bf16-pass MXU rounding here costs
+    # conformance for free perf that doesn't matter at this size
+    avg = jnp.matmul(hk, A, precision=jax.lax.Precision.HIGHEST)
     avg = avg.reshape(avg.shape[:-1] + (MN_WIDTH, nb))
     onehot = (nn_half[..., None] ==
               jnp.arange(1, MN_WIDTH + 1)).astype(hk.dtype)

@@ -252,11 +252,16 @@ def _chan(v):
 
 
 # Which implementation the most recent `run()` trace dispatched to — one
-# of "off", "pallas_fused", "pallas_scan", "xla_scan".  The kernel paths
-# are shape-gated (channels % 1024 == 0, T % 256 == 0, w <= 256) and fall
-# back silently otherwise; tests and fleet telemetry read this to confirm
-# which path actually ran for a given batch shape.  Set at trace time
-# (the dispatch is static), so it is valid under jit.
+# of "off", "pallas_fused", "pallas_fused_padded", "pallas_scan",
+# "xla_scan".  The fused kernel needs channels % 1024 == 0 (8 sublanes x
+# 128 lanes per tile); channel counts off the gate are PADDED up to it
+# (pallas_fused_padded) rather than falling back to the masked-arithmetic
+# XLA scan, which measured ~30x slower at 1536 ch (the r4 "fallback
+# cliff", BENCH_AGC_PAD row in PERF.md).  Remaining fallback conditions:
+# CPU backend, non-2D batch, T % 256 != 0, or look-ahead w > 256.  Tests
+# and fleet telemetry read this to confirm which path actually ran for a
+# given batch shape.  Set at trace time (the dispatch is static), so it
+# is valid under jit.
 last_path = None
 
 
@@ -265,8 +270,13 @@ def _record(path):
     last_path = path
 
 
-def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
-    """x: (..., T) audio at decimated rate. Returns (y, new_state)."""
+def run(params: AgcParams, state: AgcState, x: jnp.ndarray,
+        _force_kernel: bool = False):
+    """x: (..., T) audio at decimated rate. Returns (y, new_state).
+
+    _force_kernel: test hook — takes the fused Pallas path (interpret
+    mode on CPU) even off-TPU, so the channel-padding dispatch is
+    exactness-testable hermetically."""
     if params.agc_off:
         _record("off")
         y = x * _chan(params.fixed_gain)
@@ -279,21 +289,40 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray):
     # sliding max, 5-state machine AND gain application in ONE kernel —
     # the v2 path's pack transposes, XLA max passes and mult/log10 HBM
     # passes all disappear (see pallas/agc.py `_make_fused_kernel`).
-    if (jax.default_backend() != "cpu" and x.ndim == 2
-            and x.shape[0] % 1024 == 0 and T % 256 == 0 and 256 >= w):
-        _record("pallas_fused")
+    if ((_force_kernel or jax.default_backend() != "cpu") and x.ndim == 2
+            and T % 256 == 0 and 256 >= w):
+        C0 = x.shape[0]
+        pad = (-C0) % 1024
+        _record("pallas_fused" if pad == 0 else "pallas_fused_padded")
         from ..pallas import agc as pallas_agc
         scalar = _scalar_params(params)
         pp = _pallas_params(params, params.hang_time_samples, fused=True,
                             scalar=scalar)
         carry = _machine_carry(state)
+        delay = state.delay
+        if pad:
+            # pad channels up to the kernel's 1024 gate (zeros run the
+            # machine harmlessly: volts clamps at min_volts) — measured
+            # far cheaper than the masked-arithmetic XLA scan fallback
+            # (the r4 "fallback cliff", ops/agc.py:283)
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            delay = jnp.pad(delay, ((0, pad), (0, 0)))
+            carry = jnp.pad(carry, ((0, 0), (0, pad)))
+        chan = None
+        if not scalar:
+            chan = _chan_rows(params, C0, True)
+            if pad:
+                chan = jnp.pad(chan, ((0, 0), (0, pad)),
+                               constant_values=1.0)
         # unroll=8: one dynamic VMEM load/store per 8 machine steps
         # (measured 6.43 -> 5.33 ms at 8192ch x 2048 on v5e; the rolled
         # loop is dominated by per-step dynamic indexing, not the VPU ops)
         y, carry_out, new_delay = pallas_agc.agc_pallas_fused(
-            pp, carry, state.delay, x,
-            chan=None if scalar else _chan_rows(params, x.shape[0], True),
-            unroll=8)
+            pp, carry, delay, x, chan=chan, unroll=8)
+        if pad:
+            y = y[:C0]
+            carry_out = carry_out[:, :C0]
+            new_delay = new_delay[:C0]
         dc_state = state.dc
         if params.remove_dc:
             y, dc_state = iir.dc_blocker_block(0.9999, dc_state, y)
