@@ -393,3 +393,92 @@ def test_pallas_fir_int16_ingest():
     np.testing.assert_allclose(
         np.concatenate([np.asarray(y_1), np.asarray(y_2)], axis=-1),
         np.asarray(y16), atol=2e-6)
+
+
+def test_rotor_plane_fast_path_matches_transcendental(monkeypatch):
+    """`nco_static_delta` (precomputed cos/sin(delta*k) rotor planes +
+    per-tile scalar rotor) vs the in-kernel full-rate transcendental
+    rotation — both the rt_s kernel and the fuse2 (stage-B-in-epilogue)
+    kernel, at a nonzero starting phase and across a streamed split.
+    UHSDR_FRONT_MT=1 makes the fuse2+static combination take the
+    modulated-taps kernel (ships off by default — measured slower on
+    the full chain — but stays correctness-tested here)."""
+    monkeypatch.setenv("UHSDR_FRONT_MT", "1")
+    rng = np.random.default_rng(9)
+    C, B, decim = 8, 4096, 2
+    taps, taps2 = 89, 199
+    h = np.hanning(taps).astype(np.float32)
+    h /= h.sum()
+    g2 = (np.hanning(taps2)
+          * np.exp(1j * np.linspace(0, 3, taps2))).astype(np.complex64)
+    i_p = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32) * 0.1)
+    q_p = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32) * 0.1)
+    carry = (jnp.zeros((C, taps - 1), jnp.float32),
+             jnp.zeros((C, taps - 1), jnp.float32))
+    c2 = (jnp.zeros((C, taps2 - 1), jnp.float32),
+          jnp.zeros((C, taps2 - 1), jnp.float32))
+    phase0, delta = jnp.uint32(12345), jnp.uint32(987654321)
+
+    # fuse2 kernel + static delta = the MODULATED-TAPS kernel
+    # (`_fir_kernel_rt_s2_mt`): taps carry the translation, the slab is
+    # never rotated, the absolute rotor applies at the decimated rate.
+    # It runs its dots in explicit bf16 (the arithmetic the DEFAULT-
+    # precision TPU dot performs), so the comparison tolerance is the
+    # one-bf16-pass floor, not f32.
+    y_t, nc_t, pk_t, (f2r_t, f2i_t) = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, fuse2=(g2, c2),
+        interpret=True)
+    y_r, nc_r, pk_r, (f2r_r, f2i_r) = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), nco_static_delta=987654321,
+        peaks_out=True, fuse2=(g2, c2), interpret=True)
+    scale = float(np.max(np.abs(np.asarray(y_t))))
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_t),
+                               rtol=0, atol=2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(f2r_r), np.asarray(f2r_t),
+                               rtol=0, atol=2e-2 * scale)
+    np.testing.assert_array_equal(np.asarray(pk_r), np.asarray(pk_t))
+
+    # rt_s kernel (planes out, no fuse2)
+    (ar_t, ai_t), _, pkx = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), peaks_out=True, planes_out=True,
+        interpret=True)
+    (ar_r, ai_r), _, _ = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), nco_static_delta=987654321,
+        peaks_out=True, planes_out=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(ar_r), np.asarray(ar_t),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ai_r), np.asarray(ai_t),
+                               rtol=0, atol=2e-5)
+
+    # streaming continuity on the mt fast path itself: two chained half
+    # blocks must equal the single full-block run EXACTLY (the carry
+    # hand-off and the per-tile rotor share the same arithmetic)
+    from uhsdr_tpu.ops import nco as nco_mod
+    y_1, nc_1, _, f2_1 = pfir.fir_decimate_pallas(
+        h, carry, (i_p[:, :B // 2], q_p[:, :B // 2]), decim, tile_c=8,
+        tile_t=256, nco=(phase0, delta), nco_static_delta=987654321,
+        peaks_out=True, fuse2=(g2, c2), interpret=True)
+    ph2 = nco_mod.advance(jnp.broadcast_to(phase0, (1,)),
+                          jnp.broadcast_to(delta, (1,)), B // 2)[0]
+    y_2, _, _, _ = pfir.fir_decimate_pallas(
+        h, nc_1, (i_p[:, B // 2:], q_p[:, B // 2:]), decim, tile_c=8,
+        tile_t=256, nco=(ph2, delta), nco_static_delta=987654321,
+        peaks_out=True, fuse2=(g2, f2_1), interpret=True)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y_1), np.asarray(y_2)], axis=-1),
+        np.asarray(y_r), rtol=0, atol=1e-6 * scale)
+
+    # with mt off (the shipping default), fuse2+static takes the
+    # rotor-PLANE path: same f32 dot structure as the transcendental
+    # kernel, so the match is tight
+    monkeypatch.delenv("UHSDR_FRONT_MT")
+    y_p, _, _, _ = pfir.fir_decimate_pallas(
+        h, carry, (i_p, q_p), decim, tile_c=8, tile_t=256,
+        nco=(phase0, delta), nco_static_delta=987654321,
+        peaks_out=True, fuse2=(g2, c2), interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_t),
+                               rtol=0, atol=1e-6 * scale)

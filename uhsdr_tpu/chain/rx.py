@@ -623,6 +623,11 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                       and (z.shape[-1] // fm_decim) % 256 == 0)
 
     delta = None
+    # the compile-time delta value, when no traced tune offset rides on
+    # top — enables the front kernels' precomputed-rotor fast path
+    # (pallas/fir nco_static_delta: no full-rate cos/sin pass)
+    static_delta = (int(params.nco_delta) if tune_offset_hz is None
+                    else None)
     if translating:
         delta = jnp.asarray(params.nco_delta)
         if tune_offset_hz is not None:
@@ -701,6 +706,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                 fm_decim, tile_c=tile_c, tile_t=256,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
                      if fuse_nco else None),
+                nco_static_delta=static_delta if fuse_nco else None,
                 prec=(None if cfg.effective_front_prec == "default"
                       else cfg.effective_front_prec))
         elif fm_decim > 1:
@@ -780,6 +786,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                     cfg.decim, tile_c=tile_c,
                     tile_t=tile_t,
                     nco=(state.nco_phase.reshape(-1)[0], delta),
+                    nco_static_delta=static_delta,
                     peaks_out=True, prec=prec_arg,
                     fuse2=(np.asarray(params.front2_re)
                            + 1j * np.asarray(params.front2_im),
@@ -794,6 +801,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
                 tile_t=tile_t,
                 nco=((state.nco_phase.reshape(-1)[0], delta)
                      if fuse_nco else None),
+                nco_static_delta=static_delta if fuse_nco else None,
                 real_out=real_out, planes_out=planes,
                 peaks_out=peaks_fused, prec=prec_arg)
             if peaks_fused:

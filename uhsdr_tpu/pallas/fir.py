@@ -82,7 +82,8 @@ _PHASE_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
                      or_ref, oi_ref=None, pk_ref=None, tr_s=None,
                      ti_s=None, *, pad_left: int, mxu_dtype=None,
-                     nco_ref=None, prec=None, in_scale=None):
+                     nco_ref=None, prec=None, in_scale=None,
+                     rk_refs=None):
     """Scratch-halo + split-dot variant of `_fir_kernel_rt`:
 
       * the left halo lives in VMEM scratch (the previous tile's last
@@ -113,18 +114,28 @@ def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
         pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
     W = xr.shape[1]
     if nco_ref is not None:
-        k = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-        ang = ((nco_ref[0] + nco_ref[1] * (ti * W + k))
-               .astype(jnp.float32) * _PHASE_SCALE)
-        c = jnp.cos(ang)
-        s = jnp.sin(ang)
+        if rk_refs is not None:
+            # static-delta rotor planes (see `_fir_kernel_rt_s2`): no
+            # full-rate transcendentals, one per-tile scalar rotor
+            rkc_ref, rks_ref, rkcc_ref, rkcs_ref = rk_refs
+            ct, st = _tile_rotor(nco_ref, ti, W)
+            c = ct * rkc_ref[:] - st * rks_ref[:]
+            s = st * rkc_ref[:] + ct * rks_ref[:]
+            cc = ct * rkcc_ref[:] - st * rkcs_ref[:]
+            sc = st * rkcc_ref[:] + ct * rkcs_ref[:]
+        else:
+            k = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            ang = ((nco_ref[0] + nco_ref[1] * (ti * W + k))
+                   .astype(jnp.float32) * _PHASE_SCALE)
+            c = jnp.cos(ang)
+            s = jnp.sin(ang)
+            # ti==0 carry rotation: history sample j is at n=-pad_left+j
+            kc = jax.lax.broadcasted_iota(jnp.int32, (1, pad_left), 1)
+            angc = ((nco_ref[0] + nco_ref[1] * (kc - pad_left))
+                    .astype(jnp.float32) * _PHASE_SCALE)
+            cc = jnp.cos(angc)
+            sc = jnp.sin(angc)
         xr, xi = xr * c - xi * s, xr * s + xi * c
-        # ti==0 carry rotation: history sample j sits at n = -pad_left+j
-        kc = jax.lax.broadcasted_iota(jnp.int32, (1, pad_left), 1)
-        angc = ((nco_ref[0] + nco_ref[1] * (kc - pad_left))
-                .astype(jnp.float32) * _PHASE_SCALE)
-        cc = jnp.cos(angc)
-        sc = jnp.sin(angc)
         cr0 = cr_ref[:] * cc - ci_ref[:] * sc
         ci0 = cr_ref[:] * sc + ci_ref[:] * cc
     else:
@@ -156,11 +167,21 @@ def _fir_kernel_rt_s(xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref, hrb_ref,
                                precision=p))
 
 
+def _tile_rotor(nco_ref, ti, W):
+    """Per-tile scalar rotor e^{j(phase0 + delta*W*ti)} as (1, 1) cos/sin.
+    int32 multiply wraps mod 2^32 exactly like the uint32 phase math."""
+    ang = ((nco_ref[0] + nco_ref[1] * (ti * W))
+           .astype(jnp.float32) * _PHASE_SCALE)
+    ang = jnp.full((1, 1), ang, jnp.float32)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
 def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
                       hrb_ref, gtr_ref, gbr_ref, gti_ref, gbi_ref,
                       c2r_ref, c2i_ref, o_ref, pk_ref, f2r_ref, f2i_ref,
                       tr_s, ti_s, br_s, bi_s, *, pad_left: int, pad2: int,
-                      mxu_dtype=None, prec=None, in_scale=None):
+                      mxu_dtype=None, prec=None, in_scale=None,
+                      rk_refs=None):
     """`_fir_kernel_rt_s` with the ref front's STAGE B fused into the
     epilogue: the 199-tap complex Hilbert-combine FIR at fs_dec
     (`chain.rx.stage_b`, audio_driver.c:2748-2790) runs on the stage-A
@@ -173,7 +194,15 @@ def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
     `front2_carry` planes c2r/c2i), and its tap matrix splits at the
     halo boundary like A's.  y = Re(zA (*) g) = ar (*) g_r - ai (*) g_i.
     Specialized to the ref-front SSB/CW chains: NCO fused, ADC peaks
-    fused, real audio out + (TC, pad2) A-tail planes for the carry."""
+    fused, real audio out + (TC, pad2) A-tail planes for the carry.
+
+    rk_refs: optional (rkc, rks, rkcc, rkcs) VMEM plane refs — the
+    STATIC-delta rotor fast path: rkc/rks = cos/sin(delta*k) for k in
+    [0, W) and rkcc/rkcs = cos/sin(delta*(j - pad_left)) for the carry,
+    precomputed host-side.  The per-sample rotor is then one per-tile
+    scalar rotor times the shared plane (angle-sum identity) — the
+    full-rate cos/sin transcendental pass over the slab (the PERF.md
+    "rotate slab" cost, the kernel's largest VPU term) disappears."""
     ti = pl.program_id(1)
     xr = xr_ref[:]
     xi = xi_ref[:]
@@ -186,17 +215,26 @@ def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
                      jnp.max(jnp.abs(xi), axis=1, keepdims=True))
     pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
     W = xr.shape[1]
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    ang = ((nco_ref[0] + nco_ref[1] * (ti * W + k))
-           .astype(jnp.float32) * _PHASE_SCALE)
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
+    if rk_refs is not None:
+        rkc_ref, rks_ref, rkcc_ref, rkcs_ref = rk_refs
+        ct, st = _tile_rotor(nco_ref, ti, W)
+        c = ct * rkc_ref[:] - st * rks_ref[:]
+        s = st * rkc_ref[:] + ct * rks_ref[:]
+        # carry plane: at ti == 0 the tile rotor is exactly e^{j*phase0}
+        cc = ct * rkcc_ref[:] - st * rkcs_ref[:]
+        sc = st * rkcc_ref[:] + ct * rkcs_ref[:]
+    else:
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        ang = ((nco_ref[0] + nco_ref[1] * (ti * W + k))
+               .astype(jnp.float32) * _PHASE_SCALE)
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
+        kc = jax.lax.broadcasted_iota(jnp.int32, (1, pad_left), 1)
+        angc = ((nco_ref[0] + nco_ref[1] * (kc - pad_left))
+                .astype(jnp.float32) * _PHASE_SCALE)
+        cc = jnp.cos(angc)
+        sc = jnp.sin(angc)
     xr, xi = xr * c - xi * s, xr * s + xi * c
-    kc = jax.lax.broadcasted_iota(jnp.int32, (1, pad_left), 1)
-    angc = ((nco_ref[0] + nco_ref[1] * (kc - pad_left))
-            .astype(jnp.float32) * _PHASE_SCALE)
-    cc = jnp.cos(angc)
-    sc = jnp.sin(angc)
     cr0 = cr_ref[:] * cc - ci_ref[:] * sc
     ci0 = cr_ref[:] * sc + ci_ref[:] * cc
     tail_r = jnp.where(ti == 0, cr0, tr_s[:])
@@ -220,8 +258,15 @@ def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
     TT = ar.shape[1]
     tb_r = jnp.where(ti == 0, c2r_ref[:], br_s[:])
     tb_i = jnp.where(ti == 0, c2i_ref[:], bi_s[:])
-    a_tail_r = ar[:, TT - pad2:]
-    a_tail_i = ai[:, TT - pad2:]
+    if TT >= pad2:
+        a_tail_r = ar[:, TT - pad2:]
+        a_tail_i = ai[:, TT - pad2:]
+    else:
+        # rolling halo (tile_t < pad2, e.g. the MXU-lean tile_t=128):
+        # the stage-B window spans several A tiles — shift the kept
+        # window left by TT and append this tile's outputs
+        a_tail_r = jnp.concatenate([tb_r[:, TT:], ar], axis=1)
+        a_tail_i = jnp.concatenate([tb_i[:, TT:], ai], axis=1)
     br_s[:] = a_tail_r
     bi_s[:] = a_tail_i
     f2r_ref[:] = a_tail_r
@@ -237,6 +282,89 @@ def _fir_kernel_rt_s2(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref, hrt_ref,
                    + jnp.dot(_c(ai), gbi,
                              preferred_element_type=jnp.float32,
                              precision=p)))
+
+
+def _fir_kernel_rt_s2_mt(nco_ref, xr_ref, xi_ref, cr_ref, ci_ref,
+                         hct_ref, hcb_ref, hst_ref, hsb_ref,
+                         gtr_ref, gbr_ref, gti_ref, gbi_ref,
+                         c2r_ref, c2i_ref, rdc_ref, rds_ref,
+                         o_ref, pk_ref, f2r_ref, f2i_ref,
+                         tr_s, ti_s, br_s, bi_s, *, pad_left: int,
+                         pad2: int, mxu_dtype=None, prec=None,
+                         in_scale=None):
+    """MODULATED-TAPS variant of `_fir_kernel_rt_s2` (static NCO delta):
+
+    the frequency translation is folded into the stage-A taps host-side
+    (h'[k] = h[k]·e^{-j·delta·k}, split into hc = h·cos(delta*k) and
+    hs = -h·sin(delta*k)) so the (TC, W) input slab is NEVER rotated —
+    the kernel's dominant VPU cost (6 ops/sample over the full-rate
+    slab, ~2.6 ms of the 4.4 ms kernel at the flagship shape; the
+    rotor-plane fast path only removed the (1, W) transcendentals and
+    measured -4%).  The absolute phase e^{j(phase0 + delta*n)} is
+    applied to the DECIMATED stage-A output tile instead (1/decim the
+    elements), via the static plane rdc/rds = cos/sin(delta*decim*m)
+    and the per-tile scalar rotor.  Identity:
+
+      y[m] = sum_k h[k]·x[md-k]·e^{j(phase0+delta*(md-k))}
+           = e^{j(phase0+delta*md)} · sum_k (h[k]e^{-j delta k})·x[md-k]
+
+    Stage A costs 4 dot-pairs instead of 2 (the modulated taps are
+    complex), but the MXU is ~80% idle in this kernel, so trading the
+    slab VPU pass for MXU passes wins.  Raw-IQ carry needs no rotation
+    at all (relative phase is in the taps; absolute phase is applied
+    after).  Stage B and all carries are unchanged."""
+    ti = pl.program_id(1)
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    if in_scale is not None:
+        xr = xr.astype(jnp.float32) * in_scale
+        xi = xi.astype(jnp.float32) * in_scale
+    pk = jnp.maximum(jnp.max(jnp.abs(xr), axis=1, keepdims=True),
+                     jnp.max(jnp.abs(xi), axis=1, keepdims=True))
+    pk_ref[:] = jnp.broadcast_to(pk, pk_ref.shape)
+    W = xr.shape[1]
+    tail_r = jnp.where(ti == 0, cr_ref[:], tr_s[:])
+    tail_i = jnp.where(ti == 0, ci_ref[:], ti_s[:])
+    tr_s[:] = xr[:, W - pad_left:]
+    ti_s[:] = xi[:, W - pad_left:]
+    p = prec or _PREC
+
+    def _c(a):
+        return a.astype(mxu_dtype) if mxu_dtype is not None else a
+
+    def _dot(a, b):
+        return jnp.dot(_c(a), _c(b), preferred_element_type=jnp.float32,
+                       precision=p)
+
+    hct, hcb = hct_ref[:], hcb_ref[:]
+    hst, hsb = hst_ref[:], hsb_ref[:]
+    # w = (x raw) * h'  (complex taps, complex out)
+    wr = (_dot(tail_r, hct) + _dot(xr, hcb)
+          - _dot(tail_i, hst) - _dot(xi, hsb))
+    wi = (_dot(tail_r, hst) + _dot(xr, hsb)
+          + _dot(tail_i, hct) + _dot(xi, hcb))
+    # absolute rotor at the DECIMATED rate: e^{j(phase0 + delta*(ti*W +
+    # m*decim))} = tile_rotor * (rdc + j rds)[m]
+    ct, st = _tile_rotor(nco_ref, ti, W)
+    c = ct * rdc_ref[:] - st * rds_ref[:]
+    s = st * rdc_ref[:] + ct * rds_ref[:]
+    ar = wr * c - wi * s
+    ai = wr * s + wi * c
+    TT = ar.shape[1]
+    tb_r = jnp.where(ti == 0, c2r_ref[:], br_s[:])
+    tb_i = jnp.where(ti == 0, c2i_ref[:], bi_s[:])
+    if TT >= pad2:
+        a_tail_r = ar[:, TT - pad2:]
+        a_tail_i = ai[:, TT - pad2:]
+    else:                       # rolling stage-B halo (see rt_s2)
+        a_tail_r = jnp.concatenate([tb_r[:, TT:], ar], axis=1)
+        a_tail_i = jnp.concatenate([tb_i[:, TT:], ai], axis=1)
+    br_s[:] = a_tail_r
+    bi_s[:] = a_tail_i
+    f2r_ref[:] = a_tail_r
+    f2i_ref[:] = a_tail_i
+    o_ref[:] = ((_dot(tb_r, gtr_ref[:]) + _dot(ar, gbr_ref[:]))
+                - (_dot(tb_i, gti_ref[:]) + _dot(ai, gbi_ref[:])))
 
 
 def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
@@ -289,6 +417,25 @@ def _fir_nco_kernel(nco_ref, xr_ref, xi_ref, pr_ref, pi_ref, cr_ref, ci_ref,
         oi_ref[:] = ri + ir
 
 
+def _rotor_planes(delta_u32: int, W: int, pad_left: int):
+    """Static-delta NCO rotor planes for the kernels' fast path:
+    (rkc, rks) = cos/sin(delta*k), k in [0, W) and (rkcc, rkcs) =
+    cos/sin(delta*(j - pad_left)), j in [0, pad_left) — computed in
+    float64 from the exact uint32 modular phase, so the only error vs
+    the in-kernel transcendental path is one f32 rounding (~1e-7 rad).
+    Shapes (1, n) for VMEM broadcast against (TC, n) slabs."""
+    two_pi = 2.0 * np.pi / 2.0 ** 32
+    d = int(delta_u32) & 0xFFFFFFFF
+    ang = np.array([(d * kk) % (1 << 32) for kk in range(W)],
+                   np.float64) * two_pi
+    angc = np.array([(d * (j - pad_left)) % (1 << 32)
+                     for j in range(pad_left)], np.float64) * two_pi
+    return (np.cos(ang).astype(np.float32)[None, :],
+            np.sin(ang).astype(np.float32)[None, :],
+            np.cos(angc).astype(np.float32)[None, :],
+            np.sin(angc).astype(np.float32)[None, :])
+
+
 def _build_tap_matrix(h: np.ndarray, decim: int, tile_t: int,
                       pad_left: int) -> np.ndarray:
     """(pad_left + tile_t*decim, tile_t): col m holds h reversed at row
@@ -318,7 +465,8 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                         planes_out: bool = False,
                         peaks_out: bool = False,
                         fuse2=None,
-                        in_scale: float | None = None):
+                        in_scale: float | None = None,
+                        nco_static_delta: int | None = None):
     """Drop-in for `ops.fir.fir_decimate_block` backed by the Pallas MXU
     kernel.  x: (C, B) complex64 — or an (xr, xi) tuple of f32 planes,
     which (with planes_out=True for the result) skips the interleaved
@@ -341,6 +489,12 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
     channels) into the kernel: x and carry are then the RAW pre-mix IQ, and
     the result equals `fir(mix(x))` with mix-domain carry.  The caller
     advances its phase state by `nco.advance(phase0, delta, B)`.
+
+    nco_static_delta: the COMPILE-TIME value of nco's delta when the
+    caller knows it (no traced tune offset) — enables the rotor-plane
+    fast path: cos/sin(delta*k) planes are precomputed host-side and the
+    kernel rotates with one per-tile scalar rotor instead of a full-rate
+    transcendental pass over the slab (real-taps kernels only).
 
     real_out: return only Re(y) as f32 — the SSB demod is exactly
     Re(analytic signal), so the two imaginary-part matmuls (half the
@@ -400,7 +554,9 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         g2_np = np.asarray(g2_np)
         taps2 = g2_np.shape[-1]
         pad2 = -(-(taps2 - 1) // 128) * 128
-        assert pad2 <= tile_t, (pad2, tile_t)
+        # pad2 > tile_t is fine: the kernels keep a rolling (TC, pad2)
+        # stage-B window across A tiles (small tiles cut the dense-K
+        # MXU waste of the shifted-diagonal tap matrix)
         G_r = _build_tap_matrix(np.real(g2_np).astype(np.float32), 1,
                                 tile_t, pad2)
         G_i = _build_tap_matrix(np.imag(g2_np).astype(np.float32), 1,
@@ -417,10 +573,107 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
         nco_arr = jax.lax.bitcast_convert_type(
             jnp.stack([jnp.asarray(phase0, jnp.uint32),
                        jnp.asarray(delta, jnp.uint32)]), jnp.int32)
+        # mt engages only at one-bf16-pass precision (DEFAULT): its tap
+        # matrices are pre-cast to bf16 so the 4 stage-A matrices fit
+        # VMEM, and the kernel casts the slab to bf16 explicitly — the
+        # same arithmetic XLA's DEFAULT f32 dot performs on the MXU.
+        # Multi-pass (high/highest) keeps the rotate-slab kernel.
+        # MEASURED (r5, v5e flagship): the slab rotation it eliminates
+        # is NOT the kernel's binding cost (a bare convert+peaks pass
+        # over the same input already takes ~3.2 of the kernel's
+        # ~4.4 ms — see CEILINGS_r05.json), and the doubled stage-A
+        # dots cost more than the rotation saved: full chain 22,691 vs
+        # 24,421 Ms/s.  Ships OFF by default (UHSDR_FRONT_MT=1 to
+        # re-enable for experiments); the rotor-PLANE path below keeps
+        # the transcendental savings with unchanged dot structure.
+        import os as _os
+        use_mt = (nco_static_delta is not None
+                  and _os.environ.get("UHSDR_FRONT_MT") == "1"
+                  and prec2 in (None, jax.lax.Precision.DEFAULT)
+                  and _PREC == jax.lax.Precision.DEFAULT)
+        if use_mt:
+            mxu2 = mxu2 or jnp.bfloat16
+            # MODULATED-TAPS fast path (`_fir_kernel_rt_s2_mt`): the
+            # static delta is folded into the stage-A taps host-side
+            # (h' = h * e^{-j delta k}, exact uint32 modular phase in
+            # float64), the slab is never rotated, and the absolute
+            # rotor is applied to the decimated output tile via the
+            # static (1, tile_t) rdc/rds plane + per-tile scalar.
+            # Tap/G matrices are pre-cast to bf16 (what the kernel's
+            # MXU pass uses anyway) so the 4 A-matrices fit VMEM.
+            two_pi = 2.0 * np.pi / 2.0 ** 32
+            d = int(nco_static_delta) & 0xFFFFFFFF
+            h_np_r = np.real(h_np).astype(np.float64)
+            angk = np.array([(d * kk) % (1 << 32)
+                             for kk in range(taps)], np.float64) * two_pi
+            hc = (h_np_r * np.cos(angk)).astype(np.float32)
+            hs = (-h_np_r * np.sin(angk)).astype(np.float32)
+            Hc = _build_tap_matrix(hc, decim, tile_t, pad_left)
+            Hs = _build_tap_matrix(hs, decim, tile_t, pad_left)
+            angm = np.array([(d * decim * m) % (1 << 32)
+                             for m in range(tile_t)], np.float64) * two_pi
+            rdc = np.cos(angm).astype(np.float32)[None, :]
+            rds = np.sin(angm).astype(np.float32)[None, :]
+
+            def _pc(a):          # pre-cast matrices to the MXU dtype
+                return jnp.asarray(np.asarray(a, np.float32)).astype(mxu2)
+
+            kernel2 = functools.partial(
+                _fir_kernel_rt_s2_mt, pad_left=pad_left, pad2=pad2,
+                mxu_dtype=mxu2, prec=prec2, in_scale=kern_scale)
+            mat_in = [_pc(Hc[:pad_left]), _pc(Hc[pad_left:]),
+                      _pc(Hs[:pad_left]), _pc(Hs[pad_left:]),
+                      _pc(G_r[:pad2]), _pc(G_r[pad2:]),
+                      _pc(G_i[:pad2]), _pc(G_i[pad2:])]
+            mat_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+            tail_in = [c2r, c2i, jnp.asarray(rdc), jnp.asarray(rds)]
+            tail_specs = [
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_t), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_t), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            base2 = functools.partial(_fir_kernel_rt_s2,
+                                      pad_left=pad_left,
+                                      pad2=pad2, mxu_dtype=mxu2,
+                                      prec=prec2, in_scale=kern_scale)
+            rk_in = []
+            rk_specs = []
+            if nco_static_delta is not None:
+                W2 = tile_t * decim
+                rk = _rotor_planes(nco_static_delta, W2, pad_left)
+                rk_in = [jnp.asarray(p) for p in rk]
+                rk_specs = [pl.BlockSpec(p.shape, lambda i, j: (0, 0),
+                                         memory_space=pltpu.VMEM)
+                            for p in rk]
+
+                def kernel2(nr, a, b, c_, d, e, f, g, h_, i_, j_, k_,
+                            l_, rkc, rks, rkcc, rkcs, o, pk, f2r_,
+                            f2i_, s1, s2, s3, s4):
+                    base2(nr, a, b, c_, d, e, f, g, h_, i_, j_, k_, l_,
+                          o, pk, f2r_, f2i_, s1, s2, s3, s4,
+                          rk_refs=(rkc, rks, rkcc, rkcs))
+            else:
+                kernel2 = base2
+            mat_in = [jnp.asarray(Hr[:pad_left]),
+                      jnp.asarray(Hr[pad_left:]),
+                      jnp.asarray(G_r[:pad2]), jnp.asarray(G_r[pad2:]),
+                      jnp.asarray(G_i[:pad2]), jnp.asarray(G_i[pad2:])]
+            mat_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+            tail_in = [c2r, c2i] + rk_in
+            tail_specs = [
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + rk_specs
         y, pk_tiles, f2r, f2i = pl.pallas_call(
-            functools.partial(_fir_kernel_rt_s2, pad_left=pad_left,
-                              pad2=pad2, mxu_dtype=mxu2, prec=prec2,
-                              in_scale=kern_scale),
+            kernel2,
             grid=(C // tile_c, n_tt),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -432,17 +685,7 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, pad_left), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_c, pad2), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + mat_specs + tail_specs,
             out_specs=[
                 pl.BlockSpec((tile_c, tile_t), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
@@ -466,10 +709,7 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(nco_arr, xr, xi, cr, ci,
-          jnp.asarray(Hr[:pad_left]), jnp.asarray(Hr[pad_left:]),
-          jnp.asarray(G_r[:pad2]), jnp.asarray(G_r[pad2:]),
-          jnp.asarray(G_i[:pad2]), jnp.asarray(G_i[pad2:]), c2r, c2i)
+        )(nco_arr, xr, xi, cr, ci, *mat_in, *tail_in)
         if B >= taps - 1:
             nc_pl = (_tail_f32(xr[..., -(taps - 1):]),
                      _tail_f32(xi[..., -(taps - 1):]))
@@ -551,7 +791,28 @@ def fir_decimate_pallas(h: jnp.ndarray, carry: jnp.ndarray, x: jnp.ndarray,
             nco_arr = jax.lax.bitcast_convert_type(
                 jnp.stack([jnp.asarray(phase0, jnp.uint32),
                            jnp.asarray(delta, jnp.uint32)]), jnp.int32)
-            if n_out == 1:
+            if nco_static_delta is not None:
+                rk = _rotor_planes(nco_static_delta, W, pad_left)
+                inputs += [jnp.asarray(p) for p in rk]
+                in_specs += [pl.BlockSpec(p.shape, lambda i, j: (0, 0),
+                                          memory_space=pltpu.VMEM)
+                             for p in rk]
+                if n_out == 1:
+                    def kernel(nr, a, b, c, d, e, f, r1, r2, r3, r4, o,
+                               s1, s2):
+                        base(a, b, c, d, e, f, o, None, None, s1, s2,
+                             nco_ref=nr, rk_refs=(r1, r2, r3, r4))
+                elif peaks_out:
+                    def kernel(nr, a, b, c, d, e, f, r1, r2, r3, r4, o,
+                               oi, pk, s1, s2):
+                        base(a, b, c, d, e, f, o, oi, pk, s1, s2,
+                             nco_ref=nr, rk_refs=(r1, r2, r3, r4))
+                else:
+                    def kernel(nr, a, b, c, d, e, f, r1, r2, r3, r4, o,
+                               oi, s1, s2):
+                        base(a, b, c, d, e, f, o, oi, None, s1, s2,
+                             nco_ref=nr, rk_refs=(r1, r2, r3, r4))
+            elif n_out == 1:
                 def kernel(nr, a, b, c, d, e, f, o, s1, s2):
                     base(a, b, c, d, e, f, o, None, None, s1, s2,
                          nco_ref=nr)
