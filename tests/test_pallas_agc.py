@@ -166,3 +166,51 @@ def test_agc_run_dispatch_consistency():
     y1, s1 = agc.run(params, state, x)
     y2, s2 = agc.run(params, state, x)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_agc_pair_kernel_matches_single():
+    """The dual-chain (pair, sub=16) fused kernel vs the sub=8 kernel:
+    identical outputs and carries (the two interleaved machine chains
+    are independent per-channel recurrences), incl. per-channel
+    gain-law rows split across the two halves."""
+    C, T = 2048, 256
+    rng = np.random.default_rng(11)
+    params = agc.make_params(12000.0, mode="med", hang_enable=True)
+    pp = _params_dict(params)
+    pp.update(out_target=float(params.out_target),
+              slope_constant=float(params.slope_constant),
+              inv_max_input=float(params.inv_max_input))
+    x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32) * 800)
+    carry = jnp.asarray(rng.standard_normal((7, C)).astype(np.float32)
+                        ** 2)
+    delay = jnp.asarray(
+        rng.standard_normal((C, params.attack_buffsize))
+        .astype(np.float32) * 100)
+
+    y1, c1, d1 = pallas_agc.agc_pallas_fused(pp, carry, delay, x,
+                                             t_tile=128, unroll=8)
+    y2, c2, d2 = pallas_agc.agc_pallas_fused(pp, carry, delay, x,
+                                             t_tile=128, unroll=8,
+                                             pair=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+
+    # per-channel rows through the pair path
+    pc = agc.make_params(12000.0, mode="med",
+                         thresh_db=np.linspace(40.0, 80.0, C))
+    ppc = agc._pallas_params(pc, pc.hang_time_samples, fused=True,
+                             scalar=False)
+    chan = agc._chan_rows(pc, C, True)
+    y3, c3, _ = pallas_agc.agc_pallas_fused(ppc, carry, delay, x,
+                                            t_tile=128, unroll=8,
+                                            chan=chan)
+    y4, c4, _ = pallas_agc.agc_pallas_fused(ppc, carry, delay, x,
+                                            t_tile=128, unroll=8,
+                                            chan=chan, pair=True)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y3),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c4), np.asarray(c3),
+                               rtol=1e-6, atol=1e-6)

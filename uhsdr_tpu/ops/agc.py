@@ -316,9 +316,15 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray,
                                constant_values=1.0)
         # unroll=8: one dynamic VMEM load/store per 8 machine steps
         # (measured 6.43 -> 5.33 ms at 8192ch x 2048 on v5e; the rolled
-        # loop is dominated by per-step dynamic indexing, not the VPU ops)
+        # loop is dominated by per-step dynamic indexing, not the VPU
+        # ops).  pair: dual independent (8,128) machine chains per
+        # program halve the sequential step count (r5: 3.53 vs 3.73 ms
+        # standalone; needs t_tile=128 for VMEM).
+        use_pair = (x.shape[0] % 2048 == 0 and T % 128 == 0
+                    and w <= 128)
         y, carry_out, new_delay = pallas_agc.agc_pallas_fused(
-            pp, carry, delay, x, chan=chan, unroll=8)
+            pp, carry, delay, x, chan=chan, unroll=8, pair=use_pair,
+            t_tile=128 if use_pair else 256)
         if pad:
             y = y[:C0]
             carry_out = carry_out[:, :C0]

@@ -157,7 +157,7 @@ def _make_kernel(pp, t_tile: int, chan: bool = False):
 
 
 def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
-                       unroll: int = 1):
+                       unroll: int = 1, pair: bool = False):
     """v3: the WHOLE AGC op in one kernel — |x|, the look-ahead sliding
     max (dilated max on the VMEM slab), the 5-state machine AND the
     log-domain gain application.  The slab trick: xfull (= delay ++ x) at
@@ -175,12 +175,21 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
     def kernel(xc_ref, xp_ref, dl_ref, st_ref, *rest):
         if chan:
             pc_ref, y_ref, stout_ref, scratch, rm_s, od_s = rest
-            machine_step = _make_machine_step(pp, hang_level=pc_ref[2],
-                                              min_volts=pc_ref[0])
+            if pair:
+                # per-half param closures for the two machine chains
+                machine_step = None
+                machine_step_a = _make_machine_step(
+                    pp, hang_level=pc_ref[2][:8], min_volts=pc_ref[0][:8])
+                machine_step_b = _make_machine_step(
+                    pp, hang_level=pc_ref[2][8:], min_volts=pc_ref[0][8:])
+            else:
+                machine_step = _make_machine_step(pp, hang_level=pc_ref[2],
+                                                  min_volts=pc_ref[0])
             slope_constant = pc_ref[1]
         else:
             y_ref, stout_ref, scratch, rm_s, od_s = rest
             machine_step = _make_machine_step(pp)
+            machine_step_a = machine_step_b = machine_step
             slope_constant = f32(pp["slope_constant"])
         ti = pl.program_id(1)
 
@@ -211,7 +220,39 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
         # critical path.  y_ref doubles as the volts staging buffer.
         sc = scratch[:]
         carry0 = tuple(sc[i] for i in range(N_CARRY))
-        if unroll == 1:
+        if pair:
+            # DUAL-CHAIN ILP: the refs carry sub=16 sublanes = TWO
+            # independent (8, 128) channel groups; the loop body runs
+            # both machines' steps on separate carries, so the VPU can
+            # interleave the two dependency chains — the recurrence's
+            # per-step latency (the gap to the issue-rate bound,
+            # PERF.md r4 AGC row) is hidden across chains.  sub=16 as
+            # ONE (16, 128) op-chain is the known toolchain pathology;
+            # two (8, 128) chains compile cleanly.
+            U = unroll
+            carry0a = tuple(c[:8] for c in carry0)
+            carry0b = tuple(c[8:] for c in carry0)
+
+            def stepp(tu, carry):
+                ca, cb = carry
+                base = tu * U
+                rm_blk = rm_s[pl.ds(base, U)]       # (U, 16, 128)
+                od_blk = od_s[pl.ds(base, U)]
+                vs = []
+                for u in range(U):
+                    ca, nva = machine_step_a(ca, rm_blk[u, :8],
+                                             jnp.abs(od_blk[u, :8]))
+                    cb, nvb = machine_step_b(cb, rm_blk[u, 8:],
+                                             jnp.abs(od_blk[u, 8:]))
+                    vs.append(jnp.concatenate([nva, nvb], axis=0))
+                y_ref[pl.ds(base, U)] = jnp.stack(vs, axis=0)
+                return ca, cb
+
+            ca, cb = jax.lax.fori_loop(0, t_tile // U, stepp,
+                                       (carry0a, carry0b))
+            carry = tuple(jnp.concatenate([a, b], axis=0)
+                          for a, b in zip(ca, cb))
+        elif unroll == 1:
             def step(t, carry):
                 new_carry, new_volts = machine_step(carry, rm_s[t],
                                                     jnp.abs(od_s[t]))
@@ -251,7 +292,8 @@ def _make_fused_kernel(pp, t_tile: int, w: int, chan: bool = False,
 
 def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
                      x: jnp.ndarray, t_tile: int = 256, sub: int = 8,
-                     chan: jnp.ndarray | None = None, unroll: int = 1):
+                     chan: jnp.ndarray | None = None, unroll: int = 1,
+                     pair: bool = False):
     """Full AGC op (delay line, look-ahead max, 5-state machine, gain).
     carry: (7, C); delay: (C, w) f32 (the carried delay-line tail);
     x: (C, T) f32.  Returns (y (C, T), new_carry (7, C), new_delay).
@@ -269,6 +311,13 @@ def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
     crashed the compile helper) — sub stays 8."""
     C, T = x.shape
     w = delay.shape[-1]
+    if pair:
+        # dual-chain ILP: sub=16 sublanes per block = TWO independent
+        # (8, 128) machine chains per program (see _make_fused_kernel)
+        sub = 16
+        if C % (sub * 128) != 0:
+            pair = False
+            sub = 8
     while sub > 8 and C % (sub * 128) != 0:
         sub //= 2
     assert C % (sub * 128) == 0, (C, sub)
@@ -298,7 +347,7 @@ def agc_pallas_fused(pp: dict, carry: jnp.ndarray, delay: jnp.ndarray,
 
     assert t_tile % unroll == 0, (t_tile, unroll)
     kernel = _make_fused_kernel(pp, t_tile, w, chan=chan is not None,
-                                unroll=unroll)
+                                unroll=unroll, pair=pair)
     y3, st_out = pl.pallas_call(
         kernel,
         grid=(n_c, n_t),
