@@ -78,9 +78,15 @@ def main() -> None:
     # chain's dominant HBM input term; f32 = pre-converted planes
     in_dtype = os.environ.get("BENCH_IN_DTYPE", "int16")
 
+    # BENCH_NR=1: the spectral-NR-enabled chain (auto-escalates the
+    # front to multi-pass f32 — see RxConfig.effective_front_prec; the
+    # r5 artifact row for the NR-on throughput at the precision that
+    # actually holds the conformance bound)
+    nr_on = os.environ.get("BENCH_NR") == "1"
     cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
                       translate_hz=12000.0, block_len=block,
-                      iq_rate=iq_rate, front_prec=front_prec)
+                      iq_rate=iq_rate, front_prec=front_prec,
+                      nr_enable=nr_on)
     params = rx.make_params(cfg)
 
     # state created INSIDE jit (anchored on a dummy f32 arg): eager
@@ -136,8 +142,10 @@ def main() -> None:
     assert np.isfinite(checksum)
 
     msamps = channels * block * steps * inner / dt / 1e6
+    tag = "full SSB RX chain" if not nr_on else \
+        "spectral-NR-enabled SSB RX chain (front escalated to f32)"
     print(json.dumps({
-        "metric": "IQ Msamples/s/chip, full SSB RX chain "
+        "metric": f"IQ Msamples/s/chip, {tag} "
                   f"({channels} ch x {block} blk @{int(cfg.iq_rate)} Hz IQ, "
                   "barrier-verified)",
         "value": round(msamps, 3),

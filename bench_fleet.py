@@ -32,11 +32,16 @@ def main() -> None:
     from uhsdr_tpu.chain import rx
     from uhsdr_tpu.parallel import fleet
 
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--freedv" in sys.argv and not args:
+        # freedv-only run: skip the mixed-mode fleet
+        freedv_row()
+        return
     # default = the BASELINE config-5 scale ("10k mixed-mode channels"):
     # 24,576 channels (4096/group x 6 modes) = 1.18 G complex samples/s
     # of 48 kHz IQ, ~2.4x the 10k-channel real-time target on ONE chip
-    total = int(sys.argv[1]) if len(sys.argv) > 1 else 24576
-    block = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    total = int(args[0]) if len(args) > 0 else 24576
+    block = int(args[1]) if len(args) > 1 else 16384
     steps = int(os.environ.get("BENCH_STEPS", "3"))
 
     configs = [
@@ -134,19 +139,22 @@ def main() -> None:
 
 
 def freedv_row() -> None:
-    """FreeDV 1600 fleet row (VERDICT r3 item 4): N channels through
+    """FreeDV 1600 fleet row (VERDICT r4 #3): N channels through
     FreeDvFleetGroup — batched on-device NCO+rate-conversion front, then
-    per-channel FDMDV+Golay+Codec2 modems in host numpy.  Reports
-    real-time channel capacity of each tier: the device front is the
-    chip-bound tier, the modem tier scales across host cores (numbers
-    here are ONE core)."""
+    the BATCHED host modem tier (`modems.fdmdv_batch.FreeDv1600Fleet`:
+    array-state FDMDV matched filter/timing/decision + batched Golay +
+    batched Codec2 1300 — the r4 per-channel modem-object loop is gone).
+    Reports real-time channel capacity of each tier: the device front is
+    the chip-bound tier, the modem tier scales across host cores
+    (numbers here are ONE core).  Set FLEET_FREEDV_OUT to persist the
+    row as a JSON artifact."""
     import jax
     import jax.numpy as jnp
 
     from uhsdr_tpu.modems import freedv as freedv_mod
     from uhsdr_tpu.parallel.fleet import FreeDvFleetGroup
 
-    n_ch = int(os.environ.get("FREEDV_CHANNELS", "64"))
+    n_ch = int(os.environ.get("FREEDV_CHANNELS", "512"))
     block = 7680 * 4
     fs8 = 8000
 
@@ -191,13 +199,22 @@ def freedv_row() -> None:
     full_rt = n_ch * (T / 48000.0) / dt_full
     assert frames >= n_ch * 10, frames
 
-    print(json.dumps({
-        "metric": f"FreeDV 1600 fleet ({n_ch} ch, real decode)",
+    row = {
+        "metric": f"FreeDV 1600 fleet ({n_ch} ch, real decode, "
+                  "batched modem tier)",
         "front_realtime_channels_per_chip": round(front_rt, 1),
         "full_realtime_channels_one_host_core": round(full_rt, 1),
         "frames_decoded": int(frames),
         "unit": "x real-time channels",
-    }))
+        "modem_tier": "fdmdv_batch.FreeDv1600Fleet (array state; "
+                      "batched MF/timing/DQPSK + batched Golay + "
+                      "batched Codec2 1300)",
+    }
+    print(json.dumps(row))
+    out_path = os.environ.get("FLEET_FREEDV_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(row, f, indent=1)
 
 
 if __name__ == "__main__":

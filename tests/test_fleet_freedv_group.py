@@ -43,9 +43,11 @@ def test_freedv_fleet_group_decodes_channels():
         for c in range(n_ch):
             outs[c].append(res[c])
 
+    # r5: the modem tier is the BATCHED FreeDv1600Fleet (array state,
+    # no per-channel modem objects) — per-channel counts live there
+    per_ch = grp._fleet_modem.frames_per_channel
     for c in range(n_ch):
-        m = grp.modems[c]
-        assert m.frames_decoded >= 10, (c, m.frames_decoded)
+        assert per_ch[c] >= 10, (c, per_ch[c])
         speech_out = np.concatenate(outs[c])
         assert np.isfinite(speech_out).all()
         rms = float(np.sqrt(np.mean(speech_out.astype(np.float64) ** 2)))

@@ -137,6 +137,12 @@ class RxConfig:
                                    # config 1 captures); decim keeps the
                                    # same decimated AUDIO rate per path
     eq: eq_mod.EqSettings = eq_mod.EqSettings()   # tone controls
+    nr_prec_escalate: bool = True  # NR chains escalate the front to
+                                   # multi-pass f32 (see
+                                   # effective_front_prec); False keeps
+                                   # the one-pass bf16 front for NR
+                                   # chains — the r5 measurement knob
+                                   # for scoping the escalation cost
 
     @property
     def effective_front_prec(self) -> str:
@@ -155,8 +161,9 @@ class RxConfig:
         129.7 dB TPU-vs-CPU).  FM's front is the decim-1 89-tap lowpass
         at 48 kHz — not the flagship bench path — so the escalation
         costs only FM-fleet throughput (measured delta in PERF.md)."""
-        if self.front_prec == "default" and (self.nr_enable
-                                             or self.mode == "fm"):
+        if self.front_prec == "default" and (
+                (self.nr_enable and self.nr_prec_escalate)
+                or self.mode == "fm"):
             return "highest"
         return self.front_prec
 

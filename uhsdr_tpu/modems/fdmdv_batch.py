@@ -1,0 +1,300 @@
+"""Batched FDMDV demodulator + FreeDV-1600 RX stack — C channels per
+call, state in arrays (VERDICT r4 #3).
+
+`fdmdv.FdmdvDemodulator` / `freedv.FreeDv1600` hold per-channel Python
+object state and process one channel per call; a fleet drained them in
+a host loop (`parallel/fleet.py` r4).  This module batches the whole RX
+stack over a leading channel axis:
+
+  * `FdmdvFleetDemodulator` — the matched filter (shared absolute-time
+    mixers x per-channel frequency correction), pilot-FFT acquisition,
+    50 Hz envelope timing and DQPSK decision across all channels at
+    once; per-channel state (foff, timing, prev symbols, residual
+    rotation) lives in (C,)-arrays.  The demod math is the scalar
+    `FdmdvDemodulator`'s exactly (same estimator, same decision rule);
+    tests/test_fdmdv_batch.py proves channel-for-channel bit equality.
+  * `FreeDv1600Fleet` — frame alignment (Golay-syndrome phase pick),
+    batched Golay(23,12) FEC (golay.decode_bits is natively (n, 23)),
+    and the batched Codec2 1300 vocoder
+    (`codec2_1300_batch.Codec2FleetDecoder1300`, subset-decode for
+    ragged frame arrival).  Per-channel Python survives only in the
+    tiny symbol-buffer bookkeeping (a few dozen scalar ops per channel
+    per 20 ms), not in any per-sample or per-frame DSP.
+
+Reference roles: `freedv_comprx` (freedv_api.c:1430-1480) at fleet
+scale; the scalar modules document the signal-path provenance.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.signal import fftconvolve
+
+from . import fdmdv as fd
+from . import golay
+from .codec2_1300_batch import Codec2FleetDecoder1300
+from .freedv import GOLAY_DATA_POS, frame_codeword
+
+M = fd.M
+NC = fd.NC
+FS = fd.FS
+_NTAPS = fd._NTAPS
+_W = fd._W
+_WB = fd._WB
+_GT = fd._GT
+BITS_PER_SYMBOL = fd.BITS_PER_SYMBOL
+FCENTRE = fd.FCENTRE
+
+
+class FdmdvFleetDemodulator:
+    """C-channel batched `FdmdvDemodulator` (same algorithm, array
+    state).  `demod_symbols(sig (C, n))` returns (bits (C, K, 32),
+    sync (C, K), valid (C, K)) — K = max symbols any channel produced
+    this call, with a validity mask for the ragged tail."""
+
+    def __init__(self, n_channels: int):
+        Cn = n_channels
+        self.C = Cn
+        self.foff_hz = np.zeros(Cn)
+        self.acquired = False
+        self.prev_rx_symbols = np.ones((Cn, NC + 1), complex)
+        self.buf = np.zeros((Cn, 0), np.complex128)
+        self.t0_abs = 0
+        self.timing = np.full(Cn, np.nan)
+        self.timing_acc = np.zeros(Cn, complex)
+        self.timing_n = 0
+        self.next_sample = np.full(Cn, -np.inf)
+        self.rot = np.zeros(Cn)
+
+    # cached per-carrier matched-filter spectra: H_c = FFT(gt_rev *
+    # e^{j w_c k}) — the carrier downshift commutes through the
+    # convolution (conv(m_c*s, h) = m_c(t) * conv(s, h*e^{j w_c k})),
+    # so the segment is FFT'd ONCE per channel instead of once per
+    # (channel, carrier): ~2x fewer FFTs and no (C, 17, L) mixed-slab
+    # materialization vs the scalar `_mf_all` (bit-identical decisions;
+    # float32 FFTs — the DQPSK margins dwarf the rounding).
+    _H_cache: dict = {}
+
+    @classmethod
+    def _mf_spectra(cls, nfft: int) -> np.ndarray:
+        H = cls._H_cache.get(nfft)
+        if H is None:
+            k = np.arange(_NTAPS)
+            h_c = _GT[::-1][None, :] * np.exp(
+                1j * np.outer(_W + _WB, k))           # (NC+1, NTAPS)
+            H = np.fft.fft(h_c.astype(np.complex64), nfft, axis=-1)
+            cls._H_cache[nfft] = H.astype(np.complex64)
+        return cls._H_cache[nfft]
+
+    def _mf_all(self, seg: np.ndarray, t0: int) -> np.ndarray:
+        """(C, L_seg) passband -> (C, NC+1, L_valid) matched filter."""
+        L_in = seg.shape[-1]
+        n_abs = t0 + np.arange(L_in)
+        corr = np.exp(-2j * np.pi * np.outer(self.foff_hz, n_abs) / FS)
+        s = (seg * corr).astype(np.complex64)
+        from scipy.fft import next_fast_len
+        nfft = next_fast_len(L_in + _NTAPS - 1)
+        S = np.fft.fft(s, nfft, axis=-1)              # (C, nfft)
+        H = self._mf_spectra(nfft)                    # (NC+1, nfft)
+        y = np.fft.ifft(S[:, None, :] * H[None, :, :], axis=-1)
+        y = y[:, :, _NTAPS - 1: L_in]                 # valid part
+        t_v = n_abs[_NTAPS - 1:]
+        m = np.exp(-1j * np.outer(_W + _WB, t_v % 320))
+        return y * m[None, :, :]
+
+    def _acquire_freq(self, sig: np.ndarray) -> np.ndarray:
+        """(C, n) -> (C,) coarse pilot-line frequency offsets (the
+        scalar `_acquire_freq`, batched FFT)."""
+        n = sig.shape[-1]
+        w = np.hanning(n)
+        z = sig * np.exp(-2j * np.pi * FCENTRE * np.arange(n) / FS)
+        nfft = 8 * n
+        F = np.abs(np.fft.fftshift(np.fft.fft(z * w[None, :], nfft,
+                                              axis=-1), axes=-1))
+        freqs = np.fft.fftshift(np.fft.fftfreq(nfft, 1 / FS))
+        zone = (freqs > -200) & (freqs < 200)
+        cand = freqs[zone]
+        Fz = F[:, zone]
+        df = freqs[1] - freqs[0]
+        k = int(round(12.5 / df))
+        score = Fz[:, :-2 * k] + Fz[:, 2 * k:]
+        i = np.argmax(score, axis=-1)
+        return cand[i] + 12.5
+
+    def demod_symbols(self, sig: np.ndarray):
+        sig = np.asarray(sig, np.complex128)
+        Cn = self.C
+        assert sig.shape[0] == Cn
+        if not self.acquired and self.buf.shape[-1] + sig.shape[-1] >= 6 * M:
+            probe = np.concatenate([self.buf, sig], axis=-1)[:, : 8 * M]
+            self.foff_hz = self._acquire_freq(probe)
+            self.acquired = True
+
+        seg = np.concatenate([self.buf, sig], axis=-1)
+        if seg.shape[-1] < _NTAPS + M:
+            self.buf = seg
+            return (np.zeros((Cn, 0, BITS_PER_SYMBOL), np.uint8),
+                    np.zeros((Cn, 0), bool), np.zeros((Cn, 0), bool))
+
+        mf = self._mf_all(seg, self.t0_abs)       # (C, NC+1, L)
+        L = mf.shape[-1]
+        mf_t0 = self.t0_abs + _NTAPS - 1
+
+        # --- timing: 50 Hz envelope DFT, all channels at once ---
+        env = np.abs(mf[:, :NC]).sum(axis=1)      # (C, L)
+        t_abs = mf_t0 + np.arange(L)
+        self.timing_acc += env @ np.exp(-2j * np.pi * t_abs / M)
+        self.timing_n += L
+        if self.timing_n >= 4 * M:
+            ph = -(np.angle(self.timing_acc) / (2 * np.pi)) * M
+            self.timing = ph % M
+            self.timing_acc *= 0.5
+            self.timing_n //= 2
+
+        have_t = np.isfinite(self.timing)
+        if not np.any(have_t):
+            keep = _NTAPS + M
+            self.buf = seg[:, -keep:]
+            self.t0_abs += seg.shape[-1] - keep
+            return (np.zeros((Cn, 0, BITS_PER_SYMBOL), np.uint8),
+                    np.zeros((Cn, 0), bool), np.zeros((Cn, 0), bool))
+
+        # --- symbol sampling: sequential over k (a handful per block),
+        # vectorized over channels ---
+        timing = np.where(have_t, self.timing, 0.0)
+        k0 = np.ceil((mf_t0 - timing) / M).astype(np.int64)
+        kmax = int(np.ceil(L / M)) + 1
+        bits_out = np.zeros((Cn, kmax, BITS_PER_SYMBOL), np.uint8)
+        sync_out = np.zeros((Cn, kmax), bool)
+        valid_out = np.zeros((Cn, kmax), bool)
+        count = np.zeros(Cn, np.int64)
+        rows = np.arange(Cn)
+        for _ in range(kmax + 2):
+            t_samp = timing + k0 * M
+            idx = np.round(t_samp - mf_t0).astype(np.int64)
+            in_range = (idx < L) & have_t
+            if not np.any(in_range):
+                break
+            skip = in_range & (t_samp <= self.next_sample - M / 2)
+            take = in_range & ~skip
+            if np.any(take):
+                z = mf[rows, :, np.clip(idx, 0, L - 1)]    # (C, NC+1)
+                d = z * np.conj(self.prev_rx_symbols)
+                self.prev_rx_symbols = np.where(take[:, None], z,
+                                                self.prev_rx_symbols)
+                dp = d[:, NC]
+                theta = np.angle(np.where(dp.real >= 0, dp, -dp))
+                self.rot = np.where(take, 0.9 * self.rot + 0.1 * theta,
+                                    self.rot)
+                dd = d[:, :NC] * np.exp(-1j * self.rot)[:, None]
+                bits = fd.increments_to_bits(dd)           # (C, 32)
+                slot = np.minimum(count, kmax - 1)
+                bits_out[rows, slot] = np.where(take[:, None], bits,
+                                                bits_out[rows, slot])
+                sync_out[rows, slot] = np.where(take, dp.real < 0.0,
+                                                sync_out[rows, slot])
+                valid_out[rows, slot] = valid_out[rows, slot] | take
+                count += take.astype(np.int64)
+                self.next_sample = np.where(take, t_samp + M,
+                                            self.next_sample)
+            k0 += in_range.astype(np.int64)
+        keep = _NTAPS + M
+        self.buf = seg[:, -keep:]
+        self.t0_abs += seg.shape[-1] - keep
+        kused = int(count.max()) if count.size else 0
+        return (bits_out[:, :kused], sync_out[:, :kused],
+                valid_out[:, :kused])
+
+
+class FreeDv1600Fleet:
+    """Batched FreeDV-1600 RX: batched FDMDV demod -> per-channel
+    symbol-pair framing (cheap bookkeeping) -> batched Golay FEC ->
+    batched Codec2 1300 decode.  `demod(iq8 (C, n))` returns a list of
+    per-channel speech arrays (int16-scale f32 @8 kHz, ragged)."""
+
+    def __init__(self, n_channels: int):
+        self.C = n_channels
+        self.demodulator = FdmdvFleetDemodulator(n_channels)
+        self.dec = Codec2FleetDecoder1300(n_channels)
+        self._sym: list[list] = [[] for _ in range(n_channels)]
+        self._align = np.full(n_channels, -1, np.int64)
+        self._iq_in = np.zeros((n_channels, 0), np.complex64)
+        self.ber_est = np.zeros(n_channels)
+        self.frames_decoded = 0
+        self.frames_per_channel = np.zeros(n_channels, np.int64)
+        self.parity_errors = 0
+
+    def demod(self, iq8: np.ndarray) -> list[np.ndarray]:
+        Cn = self.C
+        self._iq_in = np.concatenate(
+            [self._iq_in, np.asarray(iq8, np.complex64)], axis=-1)
+        n_sym = self._iq_in.shape[-1] // M
+        out: list[list] = [[] for _ in range(Cn)]
+        if n_sym == 0:
+            return [np.zeros(0, np.float32) for _ in range(Cn)]
+        take = self._iq_in[:, : n_sym * M]
+        self._iq_in = self._iq_in[:, n_sym * M:]
+        bits, sync, valid = self.demodulator.demod_symbols(take)
+        for c in range(Cn):
+            for k in range(bits.shape[1]):
+                if valid[c, k]:
+                    self._sym.__getitem__(c).append(
+                        (bits[c, k], bool(sync[c, k])))
+
+        # --- frame assembly: collect one 64-bit frame per ready channel
+        # per round, FEC + vocoder decode them as one batch ---
+        while True:
+            ready, b64s, synced = [], [], []
+            for c in range(Cn):
+                sb = self._sym[c]
+                if self._align[c] < 0:
+                    if len(sb) < 4:
+                        continue
+                    scores = []
+                    for ph2 in (0, 1):
+                        w64 = np.concatenate([sb[ph2][0], sb[ph2 + 1][0]])
+                        _, ncorr = golay.decode_bits(
+                            frame_codeword(w64)[None, :])
+                        scores.append(int(ncorr[0]))
+                    self._align[c] = int(np.argmin(scores))
+                    if self._align[c]:
+                        sb.pop(0)
+                if len(sb) < 3:       # keep one spare for realignment
+                    continue
+                (b0, s0), (b1, s1) = sb[0], sb[1]
+                del sb[:2]
+                ready.append(c)
+                b64s.append(np.concatenate([b0, b1]))
+                synced.append(s0 != s1)
+            if not ready:
+                break
+            idx = np.asarray(ready)
+            b64s = np.stack(b64s)                     # (R, 64)
+            synced = np.asarray(synced)
+            cw = np.stack([frame_codeword(b) for b in b64s])
+            data, ncorr = golay.decode_bits(cw)       # batched FEC
+            self.parity_errors += int(ncorr.sum())
+            self.ber_est[idx] = np.where(
+                synced,
+                0.995 * self.ber_est[idx] + 0.005 * ncorr / 23.0,
+                self.ber_est[idx])
+            slots = b64s[:, :52].copy()
+            slots[:, GOLAY_DATA_POS] = data
+            dec_idx = idx[synced]
+            if dec_idx.size:
+                pcm = self.dec.decode_frames(slots[synced],
+                                             ber_est=self.ber_est[dec_idx],
+                                             idx=dec_idx)
+                self.frames_decoded += int(dec_idx.size)
+                self.frames_per_channel[dec_idx] += 1
+                for j, c in enumerate(dec_idx):
+                    out[c].append(pcm[j].astype(np.float32))
+            for c in idx[~synced]:
+                out[c].append(np.zeros(320, np.float32))
+        return [np.concatenate(o) if o else np.zeros(0, np.float32)
+                for o in out]
+
+    @property
+    def stats(self) -> dict:
+        return {"frames_decoded": int(self.frames_decoded),
+                "parity_errors": int(self.parity_errors),
+                "channels": self.C}

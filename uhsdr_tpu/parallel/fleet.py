@@ -534,11 +534,15 @@ class FreeDvFleetGroup:
         conversion, BATCHED on-device: one jitted step over the whole
         (C, T) block (the `AudioDriver_RxProcessorFreeDV` role,
         `audio_driver.c:1330-1470`, vectorized over channels);
-      * modem tier — FDMDV/OFDM demod + FEC + Codec2 vocoder per
-        channel in host NumPy (the PendSV deferral role).  Each
-        channel's modem is independent state, so this tier parallelizes
-        trivially across host cores; `bench_fleet.py --freedv` reports
-        the measured real-time channel capacity of both tiers.
+      * modem tier — BATCHED host NumPy (the PendSV deferral role).
+        For mode 1600 the whole stack is array-state batched
+        (`modems.fdmdv_batch.FreeDv1600Fleet`: batched FDMDV matched
+        filter/timing/decision, batched Golay, batched Codec2 1300 —
+        r5; the r4 per-channel modem-object loop is gone, ~30x the
+        per-core capacity).  700D keeps per-channel modem objects (its
+        OFDM/LDPC stack is not yet batched).  `bench_fleet.py --freedv`
+        reports the measured real-time channel capacity of both tiers
+        (committed artifact FLEET_FREEDV_r05.json).
     """
 
     def __init__(self, n_channels: int, mode: str = "freedv1600",
@@ -551,9 +555,15 @@ class FreeDvFleetGroup:
         assert block_len_48k % freedv_mod.RATIO == 0
         self.n_channels = n_channels
         self.block_len = block_len_48k
-        self.modems = [
-            (freedv_mod.FreeDv1600(vocoder="codec2") if mode == "freedv1600"
-             else freedv_mod.FreeDv700D()) for _ in range(n_channels)]
+        self.mode = mode
+        if mode == "freedv1600":
+            from ..modems.fdmdv_batch import FreeDv1600Fleet
+            self._fleet_modem = FreeDv1600Fleet(n_channels)
+            self.modems = None
+        else:
+            self._fleet_modem = None
+            self.modems = [freedv_mod.FreeDv700D()
+                           for _ in range(n_channels)]
         ratio = freedv_mod.RATIO
         h_dec = design.decimation_fir(72, ratio,
                                       freedv_mod.IQ_RATE).astype(np.float32)
@@ -589,14 +599,18 @@ class FreeDvFleetGroup:
         return np.asarray(i_d) + 1j * np.asarray(q_d)
 
     def process_block(self, i_plane, q_plane) -> list[np.ndarray]:
-        """Full step: device front + per-channel modem drain.  Returns
-        the per-channel decoded speech (int16-scale f32 @8k, possibly
-        empty while the modem buffers)."""
+        """Full step: device front + batched modem tier.  Returns the
+        per-channel decoded speech (int16-scale f32 @8k, possibly empty
+        while the modem buffers)."""
         iq8 = self.front_block(i_plane, q_plane)
+        if self._fleet_modem is not None:
+            return self._fleet_modem.demod(iq8)
         return [m.demod(iq8[c]) for c, m in enumerate(self.modems)]
 
     @property
     def stats(self) -> dict:
+        if self._fleet_modem is not None:
+            return self._fleet_modem.stats
         return {
             "frames_decoded": int(np.sum([m.frames_decoded
                                           for m in self.modems])),
