@@ -87,6 +87,7 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
                  fade_leveler: bool = True, sam_sideband: str = "both",
                  fm_dev5: bool = False,
                  notch_enable: bool = False,
+                 leaky_nr_enable: bool = False,
                  nr_enable: bool = False, nr_band=None,
                  nr_strength: int = 141,
                  nb_enable: bool = False, nb_setting: int = 8):
@@ -102,7 +103,8 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
                the blanker on the NR input).  nr_band = (f_low, f_high)
                Hz VAD band (the chain passes its path's audio band).
     """
-    path = data.find_path(mode, bw_key, select_id=select_id, name=path_name)
+    path = data.find_path("usb" if mode in ("iq", "ssbstereo") else mode,
+                          bw_key, select_id=select_id, name=path_name)
     decim = path["decim"]
     fs_dec = IQ_RATE / decim
 
@@ -121,6 +123,48 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
         audio = ref_dsp.wdsp_agc(audio, IQ_RATE, mode=agc_mode,
                                  thresh_db=agc_thresh_db)
         return audio, IQ_RATE
+
+    if mode in ("iq", "ssbstereo"):
+        # two-channel modes (audio_driver.c:2770-2777) on the firmware's
+        # narrow SSB path: decimator + Hilbert pair as for SSB, then
+        #   iq:        L = filtered I, R = filtered Q       (:2770-2773)
+        #   ssbstereo: L = i+q (USB), R = i-q (LSB)         (:2774-2777)
+        # and the decimated post chain runs PER AUDIO CHANNEL (the
+        # firmware's NUM_AUDIO_CHANNELS loops).
+        assert data.uses_decimated_iq(path, "usb"), "narrow paths only"
+        h_dec = data.decimator(path["dec"])
+        i_b = cmsis_fir_decimate(h_dec, i_b, decim)
+        q_b = cmsis_fir_decimate(h_dec, q_b, decim)
+        h_i = data.fir(path["fir_i"], path["fir_numtaps"])
+        h_q = data.fir(path["fir_q"], path["fir_numtaps"])
+        i_f = cmsis_fir(h_i, i_b)
+        q_f = cmsis_fir(h_q, q_b)
+        if mode == "iq":
+            chans = [i_f, q_f]
+        else:
+            chans = [i_f + q_f, i_f - q_f]
+        # per-channel lattice (the firmware's per-audio-channel loops)
+        if path["pre"] is not None:
+            pk, pv = data.lattice(path["pre"])
+            chans = [iir_lattice_ref(pk, pv, a)[0] for a in chans]
+        # LINKED stereo AGC: one detector from max(|L|, |R|), one gain
+        # for both channels (AudioAgc_RunAgcWdsp use_stereo,
+        # audio_agc.c:349-595)
+        a2 = ref_dsp.wdsp_agc(np.stack(chans), fs_dec, mode=agc_mode,
+                              thresh_db=agc_thresh_db)
+        post_scale = (POST_AGC_GAIN_SCALING_DECIMATE_4 if decim == 4
+                      else POST_AGC_GAIN_SCALING_DECIMATE_2)
+        a2 = a2 * post_scale * 0.333
+        outs = []
+        for audio in a2:
+            if path["interpolate"] is not None:
+                h_int, _ = data.interpolator(path["interpolate"], decim)
+                audio = cmsis_fir_interpolate(h_int, audio, decim)
+            if path["antialias"] is not None:
+                pk, pv = data.lattice(path["antialias"])
+                audio, _ = iir_lattice_ref(pk, pv, audio)
+            outs.append(audio)
+        return np.stack(outs), fs_dec
 
     use_dec_iq = data.uses_decimated_iq(path, mode)
 
@@ -168,6 +212,11 @@ def ref_rx_chain(iq: np.ndarray, mode: str, bw_key: str,
     if notch_enable:
         # NLMS auto-notch before the PreFilter (audio_driver.c:2443-2452)
         audio = ref_dsp.nlms_notch(audio)
+
+    if leaky_nr_enable:
+        # WDSP variable-leak LMS NR at the firmware's pre-AGC position
+        # (AudioDriver_LeakyLmsNr insertion, audio_driver.c:2461-2468)
+        audio = ref_dsp.leaky_lms(audio, notch=False)
 
     # IIR-lattice PreFilter:
     if path["pre"] is not None:

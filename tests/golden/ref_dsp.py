@@ -122,7 +122,12 @@ def wdsp_agc(x: np.ndarray, fs: float, mode: str = "med",
     hang_time_samples = int(hangtime * fs)
 
     RB = 4 * absize  # generous ring (reference AGC_WDSP_RB_SIZE=192 @12k)
-    ring = np.zeros(RB)
+    # (nch, T) input = the reference's use_stereo path
+    # (AudioAgc_RunAgcWdsp audio_agc.c:349-595): ONE detector fed by
+    # max(|L|, |R|), the same gain applied to both channels
+    x2 = np.atleast_2d(np.asarray(x, np.float64))
+    nch, T = x2.shape
+    ring = np.zeros((nch, RB))
     abs_ring = np.zeros(RB)
     out_index = -1
     in_index = (absize + out_index) % RB
@@ -131,15 +136,16 @@ def wdsp_agc(x: np.ndarray, fs: float, mode: str = "med",
     hang_counter = 0
     decay_type = 0
     state = 0
-    y = np.zeros_like(x)
-    wold = 0.0
-    for i, xi in enumerate(x):
+    y2 = np.zeros_like(x2)
+    wold = np.zeros(nch)
+    for i in range(T):
+        xi = x2[:, i]
         out_index = (out_index + 1) % RB
         in_index = (in_index + 1) % RB
-        out_sample = ring[out_index]
+        out_sample = ring[:, out_index]
         abs_out = abs_ring[out_index]
-        ring[in_index] = xi
-        abs_ring[in_index] = abs(xi)
+        ring[:, in_index] = xi
+        abs_ring[in_index] = np.max(np.abs(xi))
 
         fast_ba = fast_backmult * abs_out + (1 - fast_backmult) * fast_ba
         hang_ba = hang_backmult * abs_out + (1 - hang_backmult) * hang_ba
@@ -209,15 +215,16 @@ def wdsp_agc(x: np.ndarray, fs: float, mode: str = "med",
         volts = max(volts, min_volts)
         vo = min(np.log10(volts / max_input), 0.0)
         mult = (out_target - slope_constant * vo) / volts
-        y[i] = out_sample * mult
+        y2[:, i] = out_sample * mult
 
     if remove_dc:
-        out = np.zeros_like(y)
-        for i, yi in enumerate(y):
-            w = yi + wold * 0.9999
-            out[i] = w - wold
+        out = np.zeros_like(y2)
+        for i in range(T):
+            w = y2[:, i] + wold * 0.9999
+            out[:, i] = w - wold
             wold = w
-        y = out
+        y2 = out
+    y = y2[0] if np.ndim(x) == 1 else y2
     return y
 
 

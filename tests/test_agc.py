@@ -134,7 +134,7 @@ def test_per_channel_agc_kernel_path():
         pass
 
     def stub(pp_, carry_, delay_, x_, t_tile=256, sub=8, chan=None,
-             unroll=1):
+             unroll=1, pair=False):
         seen["chan"] = chan
         raise _Probe
 

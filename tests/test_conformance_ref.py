@@ -322,3 +322,100 @@ def test_notch_algorithm_same_input_exact():
     err = np.asarray(y1)[0] - y2
     s = 10 * np.log10(np.mean(y2 ** 2) / np.mean(err ** 2))
     assert s >= 100.0, s
+
+
+def run_product_chain_2ch(cfg, iq: np.ndarray,
+                          channels: int = 1) -> np.ndarray:
+    """Two-channel-mode runner: returns (2, T) audio (ch0 of the batch)."""
+    from uhsdr_tpu.chain import rx as rx_mod
+
+    chain = rx_mod.RxChain(cfg)
+    state = chain.init_state(batch_shape=(channels,))
+    outs = []
+    for s in range(0, len(iq), cfg.block_len):
+        blk = np.broadcast_to(iq[s:s + cfg.block_len][None, :],
+                              (channels, min(cfg.block_len,
+                                             len(iq) - s))).copy()
+        audio, state, _ = chain(state, iq=blk)
+        outs.append(np.asarray(audio)[0])      # (2, T_blk)
+    return np.concatenate(outs, axis=-1)
+
+
+def snr_db_2ch(ref2: np.ndarray, out2: np.ndarray) -> float:
+    ref2 = ref2[:, SKIP:]
+    out2 = out2[:, SKIP:]
+    err = ref2 - out2
+    return 10.0 * np.log10(float(np.mean(ref2 ** 2))
+                           / (float(np.mean(err ** 2)) + 1e-30))
+
+
+# DEMOD_IQ / DEMOD_SSBSTEREO product rows (VERDICT r4 #7): ref-table
+# fronts on the narrow SSB path, LINKED stereo AGC, vs the float64
+# oracle extension (tests/golden/ref_chain.py two-channel branch)
+TWO_CH_CASES = [("iq", "2P3KHZ", 2, 50.0),
+                ("ssbstereo", "2P3KHZ", 2, 50.0)]
+
+
+@pytest.mark.parametrize("mode,bw,sel,bound", TWO_CH_CASES,
+                         ids=[m for m, _, _, _ in TWO_CH_CASES])
+def test_product_two_channel_modes(mode, bw, sel, bound):
+    iq = make_iq("usb")          # two-sided content exercises both chans
+    ref, _ = gold.ref_rx_chain(iq, mode, bw, select_id=sel)
+    cfg_mod = __import__("uhsdr_tpu.chain.rx", fromlist=["RxConfig"])
+    cfg = cfg_mod.RxConfig(mode=mode, bw_key=bw, ref_select_id=sel,
+                           block_len=4096)
+    assert cfg.use_ref_front and cfg.front_pair
+    out = run_product_chain_2ch(cfg, iq)
+    s = snr_db_2ch(ref, out)
+    assert s >= bound, (mode, s)
+
+
+def test_product_usb_with_leaky_lms_functional_parity():
+    """usb + WDSP leaky-LMS NR at the pre-AGC insertion point
+    (audio_driver.c:2461-2468).  Like the NLMS notch row, weight
+    adaptation is chaotic (same-input isolation matches the scalar
+    port at >=100 dB, test_leaky_lms.py; raw chain-vs-oracle SNR
+    collapses to ~8 dB from trajectory divergence, like notch's
+    ~-5 dB), so the chain row is scored FUNCTIONALLY.  Measured
+    characterization (r5): on band-limited post-demod audio the leaky
+    predictor passes the correlated content almost transparently —
+    BOTH the oracle chain and ours show |tone delta| < 1 dB on/off
+    (on an unfiltered tone+white-noise input at the decimated rate the
+    same op shows the textbook ~17 dB SNR gain — the band-limited
+    in-chain noise is itself predictable, matching firmware behavior).
+    The row therefore asserts: tone-passthrough parity chain-vs-oracle
+    within 1.5 dB, both near-transparent, with the algorithm-level
+    >=100 dB exactness proven separately."""
+    from uhsdr_tpu.chain import rx as rx_mod
+
+    rng = np.random.default_rng(5)
+    t = np.arange(T_TOTAL) / FS
+    tr = 6000.0
+    base = (6000.0 * np.exp(2j * np.pi * (tr + 800) * t)
+            + (rng.standard_normal(T_TOTAL)
+               + 1j * rng.standard_normal(T_TOTAL)) * 800.0)
+    iq = _trim(base.astype(np.complex128), 4096)
+
+    def tone_power(x):
+        w = np.hanning(len(x))
+        X = np.abs(np.fft.rfft(x * w)) ** 2
+        fr = np.fft.rfftfreq(len(x), 1.0 / FS)
+        return X[(fr > 770) & (fr < 830)].sum()
+
+    skip = 48000
+    on = run_product_chain(rx_mod.RxConfig(
+        mode="usb", bw_key="2P3KHZ", ref_select_id=2, block_len=4096,
+        leaky_nr_enable=True), iq)
+    off = run_product_chain(rx_mod.RxConfig(
+        mode="usb", bw_key="2P3KHZ", ref_select_id=2, block_len=4096), iq)
+    d_chain = 10 * np.log10(tone_power(on[skip:]) / tone_power(off[skip:]))
+
+    r_on, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2,
+                                leaky_nr_enable=True)
+    r_off, _ = gold.ref_rx_chain(iq, "usb", "2P3KHZ", select_id=2)
+    d_ref = 10 * np.log10(tone_power(r_on[skip:])
+                          / tone_power(r_off[skip:]))
+
+    assert abs(d_chain) <= 1.5, d_chain
+    assert abs(d_ref) <= 1.5, d_ref
+    assert abs(d_chain - d_ref) <= 1.5, (d_chain, d_ref)

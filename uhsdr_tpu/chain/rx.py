@@ -173,16 +173,31 @@ class RxConfig:
 
     @property
     def use_ref_front(self) -> bool:
-        """Reference-table front engaged (iq/ssbstereo are beyond-reference
-        conveniences with no imported-table analog — they keep the scipy
-        designs)."""
-        return (self.front == "ref"
-                and self.mode in ("usb", "lsb", "cw", "am", "sam", "fm"))
+        """Reference-table front engaged.  r5: the two-channel modes
+        (DEMOD_IQ / DEMOD_SSBSTEREO, audio_driver.c:2770-2777) now get
+        imported-table fronts too on the narrow (decimated-IQ) SSB
+        paths — the firmware runs its normal decimator + Hilbert pair
+        and only the final combine differs, so both channels fold into
+        complex FIRs on the same tables (see _make_params_ref); wide
+        paths keep the scipy designs."""
+        if self.front != "ref":
+            return False
+        if self.mode in ("usb", "lsb", "cw", "am", "sam", "fm"):
+            return True
+        if self.mode in ("iq", "ssbstereo"):
+            try:
+                return refdata.uses_decimated_iq(self.ref_path, "usb")
+            except KeyError:
+                return False
+        return False
 
     @property
     def ref_path(self) -> dict:
-        """The firmware FilterPathInfo row (audio_filter.c:147-928)."""
-        return refdata.find_path(self.mode, self.bw_key,
+        """The firmware FilterPathInfo row (audio_filter.c:147-928).
+        DEMOD_IQ/SSBSTEREO run the firmware's SSB paths (the demod-mode
+        branch happens after the filters, audio_driver.c:2757-2777)."""
+        mode = "usb" if self.mode in ("iq", "ssbstereo") else self.mode
+        return refdata.find_path(mode, self.bw_key,
                                  select_id=self.ref_select_id)
 
     @property
@@ -205,6 +220,15 @@ class RxConfig:
         if self.mode == "sam" and self.sam_sideband == "stereo":
             return 2
         return 1
+
+    @property
+    def front_pair(self) -> bool:
+        """Front filter is a (2, taps) pair feeding the two audio
+        channels: ssbstereo always; iq when the ref-table front is
+        engaged (legacy scipy iq uses one symmetric lowpass and splits
+        Re/Im at demod instead)."""
+        return (self.mode == "ssbstereo"
+                or (self.mode == "iq" and self.use_ref_front))
 
     @property
     def decim(self) -> int:
@@ -337,6 +361,28 @@ def _make_params_ref(cfg: RxConfig) -> RxParams:
     sgn = 1.0 if mode == "lsb" else -1.0      # g = h_i ∓ j·h_q
     if mode in ("am", "sam", "fm"):
         front = refdata.fir(rp["fir_i"], rp["fir_numtaps"]).astype(complex)
+    elif mode in ("iq", "ssbstereo"):
+        # two-channel modes on the firmware's narrow SSB path
+        # (audio_driver.c:2770-2777): the decimator + Hilbert pair are
+        # the SSB front's; only the final combine differs, and both
+        # output channels are Re(z (*) g_k) for complex g built from
+        # the imported h_i/h_q tables —
+        #   ssbstereo: g0 = h_i - j h_q (-> i(*)h_i + q(*)h_q = USB),
+        #              g1 = h_i + j h_q (-> LSB)          (:2774-2777)
+        #   iq:        g0 = h_i (-> filtered I),
+        #              g1 = -j h_q (Re((-j)(a+jb)) = b -> filtered Q)
+        #                                                  (:2770-2773)
+        # folded with the decimator into ONE input-rate (2, taps)
+        # filter pair via the noble identity (like the wide-SSB front).
+        h_i = refdata.fir(rp["fir_i"], rp["fir_numtaps"])
+        h_q = refdata.fir(rp["fir_q"], rp["fir_numtaps"])
+        dec = refdata.decimator(rp["dec"])
+        if mode == "ssbstereo":
+            gs = (h_i - 1j * h_q, h_i + 1j * h_q)
+        else:
+            gs = (h_i.astype(complex), -1j * h_q)
+        front = np.stack([np.convolve(dec, _upsample(g, rp["decim"]))
+                          for g in gs])
     elif refdata.uses_decimated_iq(rp, mode):   # narrow SSB/CW
         front = refdata.decimator(rp["dec"]).astype(complex)
         front2 = (refdata.fir(rp["fir_i"], rp["fir_numtaps"])
@@ -345,7 +391,11 @@ def _make_params_ref(cfg: RxConfig) -> RxParams:
         g_h = (refdata.fir(rp["fir_i"], rp["fir_numtaps"])
                + 1j * sgn * refdata.fir(rp["fir_q"], rp["fir_numtaps"]))
         front = np.convolve(g_h, refdata.decimator(rp["dec"]))
-    front = _rate_adapt_front(front, k, cfg.iq_rate)
+    if front.ndim == 2:
+        front = np.stack([_rate_adapt_front(f, k, cfg.iq_rate)
+                          for f in front])
+    else:
+        front = _rate_adapt_front(front, k, cfg.iq_rate)
 
     fs_dec = cfg.fs_dec                  # rate-independent (decim scales)
     if mode == "fm":
@@ -510,14 +560,18 @@ def init_state(cfg: RxConfig, params: RxParams, batch_shape) -> RxState:
     # NUM_AUDIO_CHANNELS loops); the front end stays per RF channel except
     # ssbstereo, which filters with a (2, taps) USB/LSB pair
     bs_post = bs + ((cfg.n_audio,) if cfg.n_audio > 1 else ())
-    bs_front = bs + ((2,) if cfg.mode == "ssbstereo" else ())
+    bs_front = bs + ((2,) if cfg.front_pair else ())
     return RxState(
         iqcorr=iqcorr.init_state(bs) if cfg.iq_auto_correction else None,
         nco_phase=jnp.zeros(bs, jnp.uint32),
         front_carry=fir.init_carry(bs_front, taps, jnp.complex64),
         audio_sos_state=jnp.zeros((params.audio_sos.shape[0],) + bs_post + (2,),
                                   jnp.float32),
-        agc=agc_mod.init_state(bs_post, params.agc),
+        # two-channel modes: LINKED stereo AGC (one detector from
+        # max(|L|,|R|), one gain — AudioAgc_RunAgcWdsp use_stereo,
+        # audio_agc.c:383-394,571-576), not independent per-channel AGC
+        agc=(agc_mod.init_state_stereo(bs, params.agc) if cfg.n_audio > 1
+             else agc_mod.init_state(bs_post, params.agc)),
         fade=am_mod.fade_leveler_init(bs_post),
         sam=sam_mod.init_state(bs, n_audio=cfg.n_audio),
         fm=fm_mod.init_state(bs, params.fm) if params.fm is not None else None,
@@ -623,7 +677,7 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
     # applies); all other modes decimate by cfg.decim in the front kernel
     fm_decim = (cfg.decim if cfg.use_ref_front else 1) \
         if cfg.mode == "fm" else cfg.decim
-    use_pallas = cfg.front_impl != "xla" and cfg.mode != "ssbstereo"
+    use_pallas = cfg.front_impl != "xla" and not cfg.front_pair
     if use_pallas and cfg.front_impl == "auto":
         use_pallas = (jax.default_backend() != "cpu" and z.ndim == 2
                       and z.shape[0] % 8 == 0
@@ -730,9 +784,9 @@ def process_front(cfg: RxConfig, params: RxParams, state: RxState,
         return zf, state, taps_out
 
     # --- analytic bandpass + decimate ---
-    if cfg.mode == "ssbstereo":
+    if cfg.front_pair:
         # duplicate the RF stream across the (2,) stereo axis; the (2, taps)
-        # USB/LSB filter pair then demodulates both sidebands in one pass
+        # filter pair then produces both audio channels in one pass
         z = jnp.broadcast_to(z[..., None, :], z.shape[:-1] + (2, z.shape[-1]))
     front2_new = None
     if use_pallas:
@@ -943,8 +997,15 @@ def _demod_sos_pre_agc(cfg: RxConfig, params: RxParams, state: RxState,
         # (DEMOD_SSBSTEREO, audio_driver.c:2774-2777): ch0=USB, ch1=LSB
         audio = ssb_mod.demod(zf)
     elif cfg.mode == "iq":
-        # DEMOD_IQ (audio_driver.c:2770-2773): filtered I/Q straight to L/R
-        audio = jnp.stack([jnp.real(zf), jnp.imag(zf)], axis=-2)
+        # DEMOD_IQ (audio_driver.c:2770-2773): filtered I/Q straight to
+        # L/R.  Ref front: the (2, taps) pair (h_i, -j*h_q) already
+        # routed the planes, both channels are Re(zf) (see
+        # _make_params_ref); scipy front: one symmetric lowpass on the
+        # complex signal, split Re/Im here.
+        if cfg.front_pair:
+            audio = ssb_mod.demod(zf)
+        else:
+            audio = jnp.stack([jnp.real(zf), jnp.imag(zf)], axis=-2)
     elif cfg.mode == "am":
         audio, fade_state = am_mod.demod(zf, params.fade, state.fade,
                                          cfg.fade_leveler)
@@ -1070,7 +1131,12 @@ def demod_and_post(cfg: RxConfig, params: RxParams, state: RxState,
     ``state`` (iqcorr/nco_phase/front_carry) must already be updated by the
     caller.  Returns (audio48, new_state, taps)."""
     audio, state, taps_out = demod_pre_agc(cfg, params, state, zf, taps_out)
-    audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
+    if cfg.n_audio > 1:
+        # linked stereo AGC (see init_state): shared detector + gain
+        audio, agc_state = agc_mod.run_stereo(params.agc, state.agc,
+                                              audio)
+    else:
+        audio, agc_state = agc_mod.run(params.agc, state.agc, audio)
     state = state._replace(agc=agc_state)
     return post_after_agc(cfg, params, state, audio, taps_out)
 

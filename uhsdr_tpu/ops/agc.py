@@ -270,6 +270,163 @@ def _record(path):
     last_path = path
 
 
+def init_state_stereo(batch_shape, params: AgcParams) -> AgcState:
+    """Linked two-channel AGC state (the reference's use_stereo path,
+    audio_agc.c:349-595): the DELAY line carries both channels
+    (..., 2, w) and the DC blocker is per-channel (..., 2, 2), but the
+    detector/machine state is SHARED (one gain for both channels)."""
+    z = jnp.zeros(batch_shape, jnp.float32)
+    return AgcState(
+        delay=jnp.zeros(tuple(batch_shape) + (2, params.attack_buffsize),
+                        jnp.float32),
+        volts=z, save_volts=z, fast_backaverage=z, hang_backaverage=z,
+        hang_counter=z, decay_type=z, state=z,
+        dc=jnp.zeros(tuple(batch_shape) + (2, 2), jnp.float32))
+
+
+def run_stereo(params: AgcParams, state: AgcState, x: jnp.ndarray):
+    """Linked stereo AGC: x (..., 2, T) -> (y (..., 2, T), state).
+
+    The reference's use_stereo semantics (AudioAgc_RunAgcWdsp,
+    audio_agc.c:383-394, 571-576): the look-ahead detector is fed by
+    max(|L|, |R|), one 5-state machine runs, and the SAME log-domain
+    gain multiplies both delayed channels.  State from
+    `init_state_stereo`."""
+    if params.agc_off:
+        _record("off")
+        return x * _chan(params.fixed_gain), state
+
+    T = x.shape[-1]
+    w = params.attack_buffsize
+    xfull = jnp.concatenate([state.delay, x], axis=-1)  # (..., 2, w+T)
+    out_delayed = xfull[..., :T]
+    abs_full = jnp.max(jnp.abs(xfull), axis=-2)         # linked detector
+    abs_out = abs_full[..., :T]
+    ring_max = _sliding_max_ahead(abs_full, w)[..., :T]
+    volts_t, mach = _run_machine(params, state, ring_max, abs_out)
+    vo = jnp.minimum(jnp.log10(params.inv_max_input * volts_t), 0.0)
+    mult = (params.out_target - _chan(params.slope_constant) * vo) / volts_t
+    y = out_delayed * mult[..., None, :]
+    dc_state = state.dc
+    if params.remove_dc:
+        y, dc_state = iir.dc_blocker_block(0.9999, dc_state, y)
+    volts_f, save_f, hang_f, decay_f, st_f, fba_last, hba_last = mach
+    new_state = AgcState(
+        delay=xfull[..., -w:], volts=volts_f, save_volts=save_f,
+        fast_backaverage=fba_last, hang_backaverage=hba_last,
+        hang_counter=hang_f, decay_type=decay_f, state=st_f, dc=dc_state)
+    return y, new_state
+
+
+def _run_machine(params: AgcParams, state: AgcState,
+                 ring_max: jnp.ndarray, abs_out: jnp.ndarray):
+    """The sequential detector machine on precomputed (ring_max,
+    abs_out): Pallas kernel when the shape tiles, XLA scan otherwise.
+    Returns (volts_t, (volts, save, hang, decay, st, fba, hba))."""
+    T_steps = ring_max.shape[-1]
+    use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
+                  and ring_max.shape[0] % 1024 == 0
+                  and T_steps % 256 == 0)
+    if use_pallas:
+        _record("pallas_scan")
+        from ..pallas import agc as pallas_agc
+        scalar = _scalar_params(params)
+        pp = _pallas_params(params, np.float32(params.hang_time_samples),
+                            fused=False, scalar=scalar)
+        carry = _machine_carry(state)
+        volts_t, carry_out = pallas_agc.agc_scan_pallas(
+            pp, carry, ring_max, abs_out,
+            chan=None if scalar else _chan_rows(params, ring_max.shape[0],
+                                                False))
+        return volts_t, tuple(carry_out[i] for i in range(7))
+    _record("xla_scan")
+    step = _make_xla_step(params)
+    fba, fba_last = iir.one_pole_block(1.0 - params.fast_backmult,
+                                       params.fast_backmult,
+                                       state.fast_backaverage, abs_out)
+    hba, hba_last = iir.one_pole_block(1.0 - params.hang_backmult,
+                                       params.hang_backmult,
+                                       state.hang_backaverage, abs_out)
+    seq = (jnp.moveaxis(ring_max, -1, 0),
+           jnp.moveaxis(fba, -1, 0),
+           jnp.moveaxis(hba, -1, 0))
+    carry0 = (state.volts, state.save_volts, state.hang_counter,
+              state.decay_type, state.state)
+    (volts_f, save_f, hang_f, decay_f, st_f), volts_seq = jax.lax.scan(
+        step, carry0, seq)
+    volts_t = jnp.moveaxis(volts_seq, 0, -1)
+    return volts_t, (volts_f, save_f, hang_f, decay_f, st_f,
+                     fba_last, hba_last)
+
+
+def _make_xla_step(params: AgcParams):
+    """The masked-arithmetic scan body (shared by run/run_stereo)."""
+    f32 = jnp.float32
+    hang_en = np.float32(1.0 if params.hang_enable else 0.0)
+    hang_time = np.float32(params.hang_time_samples)
+
+    def step(carry, inp):
+        volts, save_volts, hang_counter, decay_type, st = carry
+        rm, fb, hb = inp
+        hang_counter = jnp.maximum(hang_counter - 1.0, 0.0)
+
+        attack_v = volts + (rm - volts) * params.attack_mult
+        fast_v = volts + (rm - volts) * params.fast_decay_mult
+        long_v = volts + (rm - volts) * params.decay_mult
+        hangd_v = volts + (rm - volts) * params.hang_decay_mult
+
+        att = (rm >= volts).astype(f32)
+        natt = 1.0 - att
+        is0 = (st < 0.5).astype(f32)
+        is1 = ((st > 0.5) & (st < 1.5)).astype(f32)
+        is2 = ((st > 1.5) & (st < 2.5)).astype(f32)
+        is3 = ((st > 2.5) & (st < 3.5)).astype(f32)
+        is4 = (st > 3.5).astype(f32)
+
+        ht = hang_en * (hb > params.hang_level).astype(f32)
+        s0_fast = (volts > params.pop_ratio * fb).astype(f32)
+        s1_fastc = (volts > save_volts).astype(f32)
+        hc_wait = (hang_counter > 0.5).astype(f32)
+        hc_zero = 1.0 - hc_wait
+        dt1 = decay_type
+        dt0 = 1.0 - dt1
+
+        m0a = is0 * att
+        m0f = is0 * natt * s0_fast
+        m0h = is0 * natt * (1 - s0_fast) * ht
+        m0l = is0 * natt * (1 - s0_fast) * (1 - ht)
+        m1a = is1 * att
+        m1f = is1 * natt * s1_fastc
+        m1w = is1 * natt * (1 - s1_fastc) * hc_wait
+        m1l = is1 * natt * (1 - s1_fastc) * hc_zero * dt0
+        m1h = is1 * natt * (1 - s1_fastc) * hc_zero * dt1
+        m2a = is2 * att
+        m2d = is2 * natt * hc_zero
+        m2s = is2 * natt * hc_wait
+        m3a = is3 * att
+        m3d = is3 * natt
+        m4a = is4 * att
+        m4d = is4 * natt
+
+        new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
+                     + (m0f + m1f) * fast_v
+                     + (m0l + m1l + m3d) * long_v
+                     + (m1h + m2d + m4d) * hangd_v
+                     + (m0h + m1w + m2s) * volts)
+        new_state = ((m0f + m1f) * 1.0 + (m0h + m1w + m2s) * 2.0
+                     + (m0l + m1l + m3d) * 3.0 + (m1h + m2d + m4d) * 4.0)
+        save_upd = m2a + m3a + m4a
+        new_save = save_upd * volts + (1.0 - save_upd) * save_volts
+        new_hang = m0h * hang_time + (1.0 - m0h) * hang_counter
+        new_decay = m0h * 1.0 + (1.0 - (m0h + m0l)) * decay_type
+
+        new_volts = jnp.maximum(new_volts, params.min_volts)
+        return (new_volts, new_save, new_hang, new_decay,
+                new_state), new_volts
+
+    return step
+
+
 def run(params: AgcParams, state: AgcState, x: jnp.ndarray,
         _force_kernel: bool = False):
     """x: (..., T) audio at decimated rate. Returns (y, new_state).
@@ -347,120 +504,8 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray,
 
     # ring_max[n]: max over the w samples ahead of position n in xfull
     ring_max = _sliding_max_ahead(abs_full, w)[..., :T]
-
-    # --- the 5-state gain machine (sequential, tiny state) ---
-    # PERF NOTE (axon TPU): a scan carry updated through jnp.where /
-    # jnp.select whose branches are constants serializes the loop
-    # catastrophically (~1000x, measured in-session); the body below blends
-    # every update arithmetically with {0,1} float masks instead.  All
-    # carries are float32 (the state id lives in {0..4} exactly).
-    f32 = jnp.float32
-    hang_en = np.float32(1.0 if params.hang_enable else 0.0)
-    hang_time = np.float32(params.hang_time_samples)
-
-    def step(carry, inp):
-        volts, save_volts, hang_counter, decay_type, st = carry
-        rm, fb, hb = inp
-        hang_counter = jnp.maximum(hang_counter - 1.0, 0.0)
-
-        attack_v = volts + (rm - volts) * params.attack_mult
-        fast_v = volts + (rm - volts) * params.fast_decay_mult
-        long_v = volts + (rm - volts) * params.decay_mult
-        hangd_v = volts + (rm - volts) * params.hang_decay_mult
-
-        att = (rm >= volts).astype(f32)
-        natt = 1.0 - att
-        is0 = (st < 0.5).astype(f32)
-        is1 = ((st > 0.5) & (st < 1.5)).astype(f32)
-        is2 = ((st > 1.5) & (st < 2.5)).astype(f32)
-        is3 = ((st > 2.5) & (st < 3.5)).astype(f32)
-        is4 = (st > 3.5).astype(f32)
-
-        ht = hang_en * (hb > params.hang_level).astype(f32)
-        s0_fast = (volts > params.pop_ratio * fb).astype(f32)
-        s1_fastc = (volts > save_volts).astype(f32)
-        hc_wait = (hang_counter > 0.5).astype(f32)
-        hc_zero = 1.0 - hc_wait
-        dt1 = decay_type              # decay_type in {0,1} as float
-        dt0 = 1.0 - dt1
-
-        # mutually exclusive branch masks (reference case analysis,
-        # audio_agc.c:436-551)
-        m0a = is0 * att
-        m0f = is0 * natt * s0_fast
-        m0h = is0 * natt * (1 - s0_fast) * ht
-        m0l = is0 * natt * (1 - s0_fast) * (1 - ht)
-        m1a = is1 * att
-        m1f = is1 * natt * s1_fastc
-        m1w = is1 * natt * (1 - s1_fastc) * hc_wait
-        m1l = is1 * natt * (1 - s1_fastc) * hc_zero * dt0
-        m1h = is1 * natt * (1 - s1_fastc) * hc_zero * dt1
-        m2a = is2 * att
-        m2d = is2 * natt * hc_zero
-        m2s = is2 * natt * hc_wait
-        m3a = is3 * att
-        m3d = is3 * natt
-        m4a = is4 * att
-        m4d = is4 * natt
-
-        new_volts = ((m0a + m1a + m2a + m3a + m4a) * attack_v
-                     + (m0f + m1f) * fast_v
-                     + (m0l + m1l + m3d) * long_v
-                     + (m1h + m2d + m4d) * hangd_v
-                     + (m0h + m1w + m2s) * volts)
-        new_state = ((m0f + m1f) * 1.0 + (m0h + m1w + m2s) * 2.0
-                     + (m0l + m1l + m3d) * 3.0 + (m1h + m2d + m4d) * 4.0)
-        save_upd = m2a + m3a + m4a      # attack from states 2/3/4
-        new_save = save_upd * volts + (1.0 - save_upd) * save_volts
-        new_hang = m0h * hang_time + (1.0 - m0h) * hang_counter
-        new_decay = m0h * 1.0 + (1.0 - (m0h + m0l)) * decay_type
-
-        new_volts = jnp.maximum(new_volts, params.min_volts)
-        return (new_volts, new_save, new_hang, new_decay, new_state), new_volts
-
-    # Pallas VMEM kernel off-CPU when the channel count tiles as
-    # (8 sublanes x 128 lanes): the XLA scan pays per-step overhead that
-    # made this the most expensive chain stage (34.6 ms in-chain at
-    # 8192ch x 16k — see pallas/agc.py); the kernel also folds the two
-    # one-pole back-averages into its sequential loop, so the XLA affine
-    # scans for them only run on the fallback path.
-    T_steps = ring_max.shape[-1]
-    use_pallas = (jax.default_backend() != "cpu" and ring_max.ndim == 2
-                  and ring_max.shape[0] % 1024 == 0 and T_steps % 256 == 0)
-    if use_pallas:
-        _record("pallas_scan")
-        from ..pallas import agc as pallas_agc
-        scalar = _scalar_params(params)
-        pp = _pallas_params(params, hang_time, fused=False, scalar=scalar)
-        carry = _machine_carry(state)
-        volts_t, carry_out = pallas_agc.agc_scan_pallas(
-            pp, carry, ring_max, abs_out,
-            chan=None if scalar else _chan_rows(params, ring_max.shape[0],
-                                                False))
-        volts_f, save_f, hang_f, decay_f, st_f, fba_last, hba_last = (
-            carry_out[0], carry_out[1], carry_out[2], carry_out[3],
-            carry_out[4], carry_out[5], carry_out[6])
-    else:
-        _record("xla_scan")
-        # back averages of the *delayed* |x| — linear one-poles
-        fba, fba_last = iir.one_pole_block(1.0 - params.fast_backmult,
-                                           params.fast_backmult,
-                                           state.fast_backaverage, abs_out)
-        hba, hba_last = iir.one_pole_block(1.0 - params.hang_backmult,
-                                           params.hang_backmult,
-                                           state.hang_backaverage, abs_out)
-        seq = (jnp.moveaxis(ring_max, -1, 0),
-               jnp.moveaxis(fba, -1, 0),
-               jnp.moveaxis(hba, -1, 0))
-        carry0 = (state.volts, state.save_volts, state.hang_counter,
-                  state.decay_type, state.state)
-        # NOTE: no `unroll` here — unrolling this body makes XLA:CPU
-        # compile time explode (>2 min for unroll=8, measured); XLA keeps
-        # the rolled loop body fused and the scan is latency-bound.
-        (volts_f, save_f, hang_f, decay_f, st_f), volts_seq = jax.lax.scan(
-            step, carry0, seq)
-        volts_t = jnp.moveaxis(volts_seq, 0, -1)
-
+    volts_t, (volts_f, save_f, hang_f, decay_f, st_f, fba_last,
+              hba_last) = _run_machine(params, state, ring_max, abs_out)
     vo = jnp.minimum(jnp.log10(params.inv_max_input * volts_t), 0.0)
     mult = (params.out_target - _chan(params.slope_constant) * vo) / volts_t
     y = out_delayed * mult
