@@ -200,8 +200,9 @@ def test_dispatch_path_recorded():
 
     # 500 channels does not satisfy channels % 1024 == 0: on CPU this
     # records the scan fallback; off-CPU the channels are PADDED to the
-    # kernel gate instead (pallas_fused_padded — the r4 fallback cliff
-    # measured ~30x, so run() never takes the scan for 2D TPU batches).
+    # kernel gate instead (pallas_fused_padded; measured deltas in
+    # BENCH_AGC_PAD_r05.json — run() never takes the scan for 2D TPU
+    # batches).
     state = agc.init_state((500,), params)
     x = jnp.zeros((500, 512), jnp.float32)
     agc.run(params, state, x)
@@ -230,7 +231,7 @@ def test_dispatch_path_recorded():
 
 def test_padded_kernel_path_matches_scan():
     """Channel counts off the 1024 gate run the fused kernel on PADDED
-    channels (VERDICT r4 #8: the fallback cliff) — the padded dispatch
+    channels (VERDICT r4 #8) — the padded dispatch
     must be exact vs the XLA scan path and must not leak pad channels
     into outputs or state."""
     fs = 12000

@@ -458,10 +458,9 @@ def run(params: AgcParams, state: AgcState, x: jnp.ndarray,
         carry = _machine_carry(state)
         delay = state.delay
         if pad:
-            # pad channels up to the kernel's 1024 gate (zeros run the
-            # machine harmlessly: volts clamps at min_volts) — measured
-            # far cheaper than the masked-arithmetic XLA scan fallback
-            # (the r4 "fallback cliff", ops/agc.py:283)
+            # pad channels up to the kernel's 1024 gate (zeros run
+            # the machine harmlessly: volts clamps at min_volts) —
+            # measured numbers in BENCH_AGC_PAD_r05.json
             x = jnp.pad(x, ((0, pad), (0, 0)))
             delay = jnp.pad(delay, ((0, pad), (0, 0)))
             carry = jnp.pad(carry, ((0, 0), (0, pad)))
