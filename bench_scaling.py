@@ -52,7 +52,13 @@ def main() -> None:
     for n in sizes:
         cfg = rx.RxConfig(mode="usb", bw_key="2P3KHZ", path_name="LPF",
                           translate_hz=6000.0, block_len=block)
-        n_sp = 2 if n % 2 == 0 else 1
+        # mesh layout: sp=2 time-shards the front (halo ppermute); sp=1
+        # is pure channel parallelism.  SCALING_SP overrides for layout
+        # diagnostics (the r5 retention analysis runs both).
+        n_sp = int(os.environ.get("SCALING_SP",
+                                  "2" if n % 2 == 0 else "1"))
+        if n % n_sp:
+            n_sp = 1
         mesh = mesh_mod.make_mesh(n // n_sp, n_sp, devices=devices[:n])
         step, init_state = rx_sharded.make_sharded_rx(cfg, mesh)
         C = per_dev_channels * n
