@@ -539,8 +539,11 @@ class FreeDvFleetGroup:
         (`modems.fdmdv_batch.FreeDv1600Fleet`: batched FDMDV matched
         filter/timing/decision, batched Golay, batched Codec2 1300 —
         r5; the r4 per-channel modem-object loop is gone, ~30x the
-        per-core capacity).  700D keeps per-channel modem objects (its
-        OFDM/LDPC stack is not yet batched).  `bench_fleet.py --freedv`
+        per-core capacity).  700D batches its dominant cost too
+        (`FreeDv700DFleet`: batched Codec2 700C vocoder ~74% of the
+        scalar per-channel cost + per-frame LDPC; the thin per-channel
+        OFDM sync machines remain — their control flow is ragged by
+        nature and ~1% of real time each).  `bench_fleet.py --freedv`
         reports the measured real-time channel capacity of both tiers
         (committed artifact FLEET_FREEDV_r05.json).
     """
@@ -556,14 +559,13 @@ class FreeDvFleetGroup:
         self.n_channels = n_channels
         self.block_len = block_len_48k
         self.mode = mode
+        self.modems = None
         if mode == "freedv1600":
             from ..modems.fdmdv_batch import FreeDv1600Fleet
             self._fleet_modem = FreeDv1600Fleet(n_channels)
-            self.modems = None
         else:
-            self._fleet_modem = None
-            self.modems = [freedv_mod.FreeDv700D()
-                           for _ in range(n_channels)]
+            from ..modems.fdmdv_batch import FreeDv700DFleet
+            self._fleet_modem = FreeDv700DFleet(n_channels)
         ratio = freedv_mod.RATIO
         h_dec = design.decimation_fir(72, ratio,
                                       freedv_mod.IQ_RATE).astype(np.float32)
@@ -603,16 +605,8 @@ class FreeDvFleetGroup:
         per-channel decoded speech (int16-scale f32 @8k, possibly empty
         while the modem buffers)."""
         iq8 = self.front_block(i_plane, q_plane)
-        if self._fleet_modem is not None:
-            return self._fleet_modem.demod(iq8)
-        return [m.demod(iq8[c]) for c, m in enumerate(self.modems)]
+        return self._fleet_modem.demod(iq8)
 
     @property
     def stats(self) -> dict:
-        if self._fleet_modem is not None:
-            return self._fleet_modem.stats
-        return {
-            "frames_decoded": int(np.sum([m.frames_decoded
-                                          for m in self.modems])),
-            "channels": self.n_channels,
-        }
+        return self._fleet_modem.stats
