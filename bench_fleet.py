@@ -155,6 +155,7 @@ def freedv_row() -> None:
     from uhsdr_tpu.parallel.fleet import FreeDvFleetGroup
 
     n_ch = int(os.environ.get("FREEDV_CHANNELS", "512"))
+    mode = os.environ.get("FREEDV_MODE", "freedv1600")
     block = 7680 * 4
     fs8 = 8000
 
@@ -163,7 +164,8 @@ def freedv_row() -> None:
     speech = (5000 * np.sin(np.cumsum(
         2 * np.pi * (120 + 25 * np.sin(2 * np.pi * 1.1 * t8)) / fs8))
     ).astype(np.float32)
-    tx = freedv_mod.FreeDv1600(vocoder="codec2")
+    tx = (freedv_mod.FreeDv1600(vocoder="codec2")
+          if mode == "freedv1600" else freedv_mod.FreeDv700D())
     iq8 = tx.mod(speech)
     from scipy.signal import resample_poly
     iq48 = resample_poly(iq8, 6, 1).astype(np.complex64)
@@ -171,7 +173,7 @@ def freedv_row() -> None:
     i_np = np.broadcast_to(iq48[:T].real, (n_ch, T)).astype(np.float32)
     q_np = np.broadcast_to(iq48[:T].imag, (n_ch, T)).astype(np.float32)
 
-    grp = FreeDvFleetGroup(n_ch, block_len_48k=block)
+    grp = FreeDvFleetGroup(n_ch, mode=mode, block_len_48k=block)
     probe = jax.jit(lambda a: jnp.mean(jnp.abs(a)) * jnp.ones(
         (4,), jnp.float32))
 
@@ -197,18 +199,20 @@ def freedv_row() -> None:
     dt_full = time.perf_counter() - t0
     frames = grp.stats["frames_decoded"]
     full_rt = n_ch * (T / 48000.0) / dt_full
-    assert frames >= n_ch * 10, frames
+    assert frames >= n_ch * (10 if mode == "freedv1600" else 5), frames
 
     row = {
-        "metric": f"FreeDV 1600 fleet ({n_ch} ch, real decode, "
+        "metric": f"FreeDV fleet ({mode}, {n_ch} ch, real decode, "
                   "batched modem tier)",
         "front_realtime_channels_per_chip": round(front_rt, 1),
         "full_realtime_channels_one_host_core": round(full_rt, 1),
         "frames_decoded": int(frames),
         "unit": "x real-time channels",
-        "modem_tier": "fdmdv_batch.FreeDv1600Fleet (array state; "
-                      "batched MF/timing/DQPSK + batched Golay + "
-                      "batched Codec2 1300)",
+        "modem_tier": ("fdmdv_batch.FreeDv1600Fleet (array state; "
+                       "batched MF/timing/DQPSK + batched Golay + "
+                       "batched Codec2 1300)" if mode == "freedv1600"
+                       else "fdmdv_batch.FreeDv700DFleet (per-channel "
+                       "OFDM sync + LDPC, batched Codec2 700C)"),
     }
     print(json.dumps(row))
     out_path = os.environ.get("FLEET_FREEDV_OUT")
