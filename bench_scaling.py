@@ -127,11 +127,37 @@ def main() -> None:
         jax.block_until_ready(outs)
         ctrl_rate = C * block * steps / (time.perf_counter() - t0) / 1e6
 
-        results.append((n, rate, ctrl_rate))
-        row = {"devices": n, "channels": C,
+        # SERIAL CONTROL: ONE jit over ALL C channels on ONE device.
+        # r5 diagnosis: on a virtual-CPU mesh, XLA executes the
+        # partitions of a sharded computation sequentially (the sharded
+        # aggregate is FLAT ~3-5 Ms/s at every mesh size, sp=1 or 2),
+        # while N independent jits pipeline across the physical cores —
+        # so sharded_vs_control conflates the machinery overhead with
+        # serialized-vs-parallel host execution.  sharded/serial_control
+        # isolates the machinery overhead under EQUAL serialization.
+        dev0 = devices[0]
+        sh0 = jax.sharding.SingleDeviceSharding(dev0)
+        plain_s = jax.jit(_plain, out_shardings=sh0)
+        st_s = jax.jit(lambda dd: rx.init_state(cfg, params_c, (C,)),
+                       out_shardings=sh0)(
+            jax.device_put(np.zeros((), np.float32), dev0))
+        i_s = jax.device_put(i_np, dev0)
+        q_s = jax.device_put(q_np, dev0)
+        a, st_s = plain_s(st_s, i_s, q_s)
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            a, st_s = plain_s(st_s, i_s, q_s)
+        jax.block_until_ready(a)
+        serial_rate = C * block * steps / (time.perf_counter() - t0) / 1e6
+
+        results.append((n, rate, ctrl_rate, serial_rate))
+        row = {"devices": n, "channels": C, "n_sp": n_sp,
                "Msamples_per_s": round(rate, 1),
                "control_Msamples_per_s": round(ctrl_rate, 1),
-               "sharded_vs_control": round(rate / ctrl_rate, 3)}
+               "serial_control_Msamples_per_s": round(serial_rate, 1),
+               "sharded_vs_control": round(rate / ctrl_rate, 3),
+               "sharded_vs_serial_control": round(rate / serial_rate, 3)}
         artifact["rows"].append(row)
         print(json.dumps(row))
 
@@ -146,32 +172,38 @@ def main() -> None:
         # sharding overhead, which compute-dominated loads must not show.
         base = results[0][1]
         summary = {"mode": "cpu-validation",
-                   "meshes_validated": [n for n, _, _ in results],
+                   "meshes_validated": [r[0] for r in results],
                    "aggregate_retention_vs_1dev": {
-                       n: round(rate / base, 3)
-                       for n, rate, _ in results[1:]},
+                       r[0]: round(r[1] / base, 3) for r in results[1:]},
                    "sharded_vs_control_retention": {
-                       n: round(rate / ctrl, 3)
-                       for n, rate, ctrl in results},
-                   "note": "virtual devices share physical cores, so "
-                           "aggregate cannot grow with mesh size; the "
-                           "meaningful metric is sharded_vs_control — "
-                           "the halo-exchange shard_map step against "
-                           "N INDEPENDENT single-device jits running "
-                           "the same per-device channel load with zero "
-                           "communication (>=0.85 target isolates "
-                           "sharding overhead from the shared-core "
-                           "ceiling).  Run with SCALING_BACKEND=tpu "
-                           "on a real slice for ICI efficiency."}
+                       r[0]: round(r[1] / r[2], 3) for r in results},
+                   "sharded_vs_serial_control": {
+                       r[0]: round(r[1] / r[3], 3) for r in results},
+                   "note": "virtual devices share physical cores AND "
+                           "XLA:CPU executes a sharded computation's "
+                           "partitions serially (measured: the sharded "
+                           "aggregate is flat at every mesh size, with "
+                           "sp=1 or sp=2 layouts alike), while N "
+                           "independent jits (control) pipeline "
+                           "asynchronously across the physical cores — "
+                           "so sharded_vs_control conflates machinery "
+                           "overhead with serial-vs-parallel host "
+                           "execution and is a pessimistic lower "
+                           "bound.  sharded_vs_serial_control (vs ONE "
+                           "jit over ALL channels on ONE device) "
+                           "isolates the sharding machinery's overhead "
+                           "under equal serialization — that is the "
+                           ">=0.85-comparable number on this backend.  "
+                           "Run with SCALING_BACKEND=tpu on a real "
+                           "slice for true ICI efficiency."}
     else:
         base = results[0][1]
         summary = {"mode": "tpu",
                    "efficiency_vs_1dev": {
-                       n: round(rate / (n * base), 3)
-                       for n, rate, _ in results[1:]},
+                       r[0]: round(r[1] / (r[0] * base), 3)
+                       for r in results[1:]},
                    "sharded_vs_control_retention": {
-                       n: round(rate / ctrl, 3)
-                       for n, rate, ctrl in results}}
+                       r[0]: round(r[1] / r[2], 3) for r in results}}
     artifact["summary"] = summary
     print(json.dumps(summary))
     out_path = os.environ.get("SCALING_OUT")
