@@ -62,9 +62,12 @@ def main() -> None:
     # relay overhead (see module docstring)
     steps = int(os.environ.get("BENCH_STEPS", "3"))
     warm = int(os.environ.get("BENCH_WARM", "2"))
-    # inner=16 measured +3.6% over inner=8 (residual dispatch share +
-    # fewer barriers); compile cost is identical (fori body traced once)
-    inner = int(os.environ.get("BENCH_INNER", "16"))
+    # residual-dispatch amortization ladder (r5, quiet host): inner
+    # 16 -> 25,827, 32 -> 27,085, 64 -> 27,949, 128 -> 28,453 Ms/s —
+    # the per-dispatch relay overhead keeps paying down; 64 ships as
+    # the default (one dispatch = ~0.3 s of chained compute; per-block
+    # math identical at every inner, fori body traced once)
+    inner = int(os.environ.get("BENCH_INNER", "64"))
     # BASELINE flagship config: 96 kHz IQ (the north-star scale target is
     # "10k simultaneous SSB channels @96 kHz"); decimation scales so the
     # decimated audio rate matches the reference paths
