@@ -135,6 +135,10 @@ def _front_end_local(params, cfg, n_sp: int, t_local: int, use_pallas: bool,
             h_np, zero_c, jax.lax.complex(i_plane, q_plane), decim,
             tile_c=tile_c, tile_t=256,
             nco=(shard_phase, delta) if translating else None,
+            # delta is compile-time here (params.nco_delta is numpy) —
+            # engage the rotor-plane fast path (r5, pallas/fir)
+            nco_static_delta=(int(params.nco_delta) if translating
+                              else None),
             real_out=real_out, interpret=interpret)
     else:
         if translating:
